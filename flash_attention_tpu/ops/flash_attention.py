@@ -1,0 +1,328 @@
+"""Fused flash-attention forward kernel (Pallas / Mosaic TPU).
+
+TPU-native re-design of the reference's ``flash_attention_v9`` CUDA kernel
+(C4, flash_attention.cu:67-554) — same algorithm (blockwise QKᵀ → online
+softmax → PV with fp32 running (m, l, acc) state), completely different
+mechanics:
+
+  * mma.sync.m16n8k16 tensor-core tiles (flash_attention.cu:223-231) become
+    ``jax.lax.dot_general`` on the 128×128 MXU with fp32 accumulation.
+  * smem staging + XOR swizzle + ldmatrix (flash_attention.cu:91-95, 208, 308)
+    become Pallas BlockSpecs into VMEM; Mosaic owns physical layout.
+  * the cp.async triple-buffer pipeline (flash_attention.cu:336-414) becomes
+    Pallas grid pipelining (automatic double-buffering of index-mapped blocks).
+  * warp-shuffle row reductions (flash_attention.cu:259-262) become
+    ``jnp.max/sum`` over the score tile in vector registers.
+  * Q-in-registers across the KV loop (flash_attention.cu:145-159) becomes a Q
+    block whose index map is constant along the KV grid axis (stays in VMEM).
+  * the causal grid-swap / reversed-Q balancing trick (flash_attention.cu:
+    103-111) becomes KV-index-map clamping + predicated compute: fully-masked
+    KV blocks issue no DMA (the clamped index repeats the previous block) and
+    run no FLOPs, which is the TPU-idiomatic way to win the causal ÷2.
+
+Numerics contract (SURVEY.md §5 "numerics policy"): fp16/bf16 I/O, fp32 score
+and output accumulators, exp2-domain softmax with the log2(e) factor folded
+into the Q pre-scale (the reference folds it into its scale constant,
+flash_attention.cu:239), finite large-negative mask value rather than -inf,
+and a l==0 → output 0 guard (flash_attention.cu:502-503).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from flash_attention_tpu.ops.tuning import BlockSizes, select_block_sizes
+
+LOG2E = 1.4426950408889634
+# Large finite negative (exp2 of it underflows to 0) — same role as the
+# reference's -10000 constant (flash_attention.cu:238) but fp32-scaled.
+MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
+LANES = 128
+
+
+def _ceil_to(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _fwd_kernel(
+    q_ref,
+    k_ref,
+    v_ref,
+    o_ref,
+    lse_ref,
+    m_scr,
+    l_scr,
+    acc_scr,
+    *,
+    causal: bool,
+    q_len: int,
+    kv_len: int,
+    block_q: int,
+    block_kv: int,
+    num_kv_blocks: int,
+    kv_pad: bool,
+):
+    iq = pl.program_id(1)
+    ikv = pl.program_id(2)
+    # Decode/chunked-prefill convention: the last Q row aligns with the last
+    # KV row (offset = kv_len - q_len, both true lengths).
+    diag_offset = kv_len - q_len
+
+    @pl.when(ikv == 0)
+    def _init():
+        m_scr[...] = jnp.full_like(m_scr, -jnp.inf)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    if causal:
+        # Block is live iff its first KV column can be <= some Q row's diag.
+        should_run = ikv * block_kv <= (iq + 1) * block_q - 1 + diag_offset
+    else:
+        should_run = True
+
+    @pl.when(should_run)
+    def _compute():
+        q = q_ref[0]  # [block_q, d]
+        k = k_ref[0]  # [block_kv, d]
+        s = jax.lax.dot_general(
+            q,
+            k,
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [block_q, block_kv]; scale*log2e is pre-folded into q.
+
+        mask_conds = []
+        if causal:
+            # Mask needed only when the tile straddles the diagonal.
+            mask_conds.append(
+                (ikv + 1) * block_kv - 1 > iq * block_q + diag_offset
+            )
+        if kv_pad:
+            mask_conds.append(ikv == num_kv_blocks - 1)
+        if mask_conds:
+            need_mask = functools.reduce(jnp.logical_or, mask_conds)
+
+            def _masked(s):
+                ok = None
+                col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ikv * block_kv
+                if causal:
+                    row = (
+                        jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+                        + iq * block_q
+                        + diag_offset
+                    )
+                    ok = col <= row
+                if kv_pad:
+                    inb = col < kv_len
+                    ok = inb if ok is None else jnp.logical_and(ok, inb)
+                return jnp.where(ok, s, MASK_VALUE)
+
+            s = jax.lax.cond(need_mask, _masked, lambda s: s, s)
+
+        m_prev = m_scr[...]  # [block_q, LANES]
+        l_prev = l_scr[...]
+        m_curr = jnp.max(s, axis=-1, keepdims=True)  # [block_q, 1]
+        m_next = jnp.maximum(m_prev, m_curr)  # [block_q, LANES]
+        alpha = jnp.exp2(m_prev - m_next)
+        p = jnp.exp2(s - m_next[:, :1])  # [block_q, block_kv]
+        l_next = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+        m_scr[...] = m_next
+        l_scr[...] = l_next
+
+        v = v_ref[0]  # [block_kv, d]
+        pv = jax.lax.dot_general(
+            p.astype(v.dtype),
+            v,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [block_q, d]
+        acc_scr[...] = acc_scr[...] * alpha[:, :1] + pv
+
+    @pl.when(ikv == num_kv_blocks - 1)
+    def _epilogue():
+        l = l_scr[...][:, :1]  # [block_q, 1]
+        # l == 0 → output 0 (reference guard flash_attention.cu:502-503).
+        inv = jnp.where(l == 0.0, 0.0, 1.0 / l)
+        o_ref[0] = (acc_scr[...] * inv).astype(o_ref.dtype)
+        if lse_ref is not None:
+            m = m_scr[...][:, :1]
+            safe_l = jnp.where(l == 0.0, 1.0, l)
+            lse2 = jnp.where(
+                l == 0.0, -jnp.inf, m + jnp.log2(safe_l)
+            )  # base-2 LSE (the split-KV merge contract)
+            lse_ref[...] = jnp.broadcast_to(lse2, lse_ref.shape)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "causal",
+        "sm_scale",
+        "block_sizes",
+        "save_residuals",
+        "interpret",
+    ),
+)
+def flash_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    causal: bool = False,
+    sm_scale: float | None = None,
+    block_sizes: BlockSizes | None = None,
+    save_residuals: bool = False,
+    interpret: bool | None = None,
+):
+    """Fused multi-head flash attention forward pass.
+
+    Args:
+      q: [batch, q_heads, q_seq, head_dim].
+      k, v: [batch, kv_heads, kv_seq, head_dim]; q_heads % kv_heads == 0 (GQA
+        heads are broadcast zero-copy through the KV BlockSpec index map).
+      causal: lower-triangular masking, aligned so the last query attends to
+        the full KV sequence (standard self-attention when q_seq == kv_seq).
+      sm_scale: softmax scale, default 1/sqrt(head_dim)
+        (flash_attention.cu:612).
+      block_sizes: override the adaptive dispatch table (ops/tuning.py).
+      save_residuals: also return the base-2 log-sum-exp [batch, q_heads,
+        q_seq] — the (m, l) contract used by the split-KV / ring-attention
+        merge (the reference's latent split-K epilogue, flash_attention.cu:
+        460-496, folded into one value).
+      interpret: force Pallas interpreter mode (defaults to True off-TPU).
+
+    Returns:
+      [batch, q_heads, q_seq, head_dim] output, plus the LSE if requested.
+    """
+    batch, num_q_heads, q_len, head_dim = q.shape
+    _, num_kv_heads, kv_len, _ = k.shape
+    if num_q_heads % num_kv_heads:
+        raise ValueError(f"q_heads={num_q_heads} % kv_heads={num_kv_heads} != 0")
+    if k.shape != v.shape:
+        raise ValueError(f"k/v shape mismatch: {k.shape} vs {v.shape}")
+    if causal and kv_len < q_len:
+        raise ValueError("causal requires kv_seq >= q_seq")
+    if sm_scale is None:
+        sm_scale = 1.0 / math.sqrt(head_dim)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if block_sizes is None:
+        block_sizes = select_block_sizes(min(q_len, kv_len), causal=causal, head_dim=head_dim)
+
+    block_q = min(block_sizes.block_q, _ceil_to(q_len, 128))
+    block_kv = min(block_sizes.block_kv, _ceil_to(kv_len, 128))
+
+    # Fold softmax scale and the exp2-domain log2(e) factor into Q once, in
+    # fp32 (the reference folds log2e into its fp32 scale constant,
+    # flash_attention.cu:239, 612).
+    q_scaled = (q.astype(jnp.float32) * (sm_scale * LOG2E)).astype(q.dtype)
+
+    # Collapse [B, H, S, D] -> [B*H, S, D]; pad seq/head_dim to block multiples.
+    qq = q_scaled.reshape(batch * num_q_heads, q_len, head_dim)
+    kk = k.reshape(batch * num_kv_heads, kv_len, head_dim)
+    vv = v.reshape(batch * num_kv_heads, kv_len, head_dim)
+
+    q_pad = _ceil_to(q_len, block_q)
+    kv_padded = _ceil_to(kv_len, block_kv)
+    d_pad = _ceil_to(head_dim, 128)
+    if q_pad != q_len or d_pad != head_dim:
+        qq = jnp.pad(qq, ((0, 0), (0, q_pad - q_len), (0, d_pad - head_dim)))
+    if kv_padded != kv_len or d_pad != head_dim:
+        kk = jnp.pad(kk, ((0, 0), (0, kv_padded - kv_len), (0, d_pad - head_dim)))
+        vv = jnp.pad(vv, ((0, 0), (0, kv_padded - kv_len), (0, d_pad - head_dim)))
+
+    num_q_blocks = q_pad // block_q
+    num_kv_blocks = kv_padded // block_kv
+    group = num_q_heads // num_kv_heads
+    diag_offset = kv_len - q_len
+
+    def kv_head_index(bh):
+        if group == 1:
+            return bh
+        return (bh // num_q_heads) * num_kv_heads + (bh % num_q_heads) // group
+
+    def kv_block_index(iq, ikv):
+        if not causal:
+            return ikv
+        # Clamp fully-masked (above-diagonal) blocks to the diagonal block so
+        # no DMA is issued for them (same index => Pallas skips the copy).
+        last_live = ((iq + 1) * block_q - 1 + diag_offset) // block_kv
+        return jnp.minimum(ikv, last_live)
+
+    q_spec = pl.BlockSpec((1, block_q, d_pad), lambda bh, iq, ikv: (bh, iq, 0))
+    k_spec = pl.BlockSpec(
+        (1, block_kv, d_pad),
+        lambda bh, iq, ikv: (kv_head_index(bh), kv_block_index(iq, ikv), 0),
+    )
+    v_spec = k_spec
+    o_spec = pl.BlockSpec((1, block_q, d_pad), lambda bh, iq, ikv: (bh, iq, 0))
+
+    out_shapes = [
+        jax.ShapeDtypeStruct((batch * num_q_heads, q_pad, d_pad), q.dtype),
+    ]
+    out_specs = [o_spec]
+    if save_residuals:
+        out_shapes.append(
+            jax.ShapeDtypeStruct((batch * num_q_heads, q_pad, LANES), jnp.float32)
+        )
+        out_specs.append(
+            pl.BlockSpec((1, block_q, LANES), lambda bh, iq, ikv: (bh, iq, 0))
+        )
+
+    kernel = functools.partial(
+        _fwd_kernel,
+        causal=causal,
+        q_len=q_len,
+        kv_len=kv_len,
+        block_q=block_q,
+        block_kv=block_kv,
+        num_kv_blocks=num_kv_blocks,
+        kv_pad=kv_padded != kv_len,
+    )
+    if save_residuals:
+        wrapped = lambda q_r, k_r, v_r, o_r, lse_r, m_s, l_s, a_s: kernel(
+            q_r, k_r, v_r, o_r, lse_r, m_s, l_s, a_s
+        )
+    else:
+        wrapped = lambda q_r, k_r, v_r, o_r, m_s, l_s, a_s: kernel(
+            q_r, k_r, v_r, o_r, None, m_s, l_s, a_s
+        )
+
+    flops_per_bh = 4 * q_len * kv_len * head_dim // (2 if causal else 1)
+    results = pl.pallas_call(
+        wrapped,
+        grid=(batch * num_q_heads, num_q_blocks, num_kv_blocks),
+        in_specs=[q_spec, k_spec, v_spec],
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        scratch_shapes=[
+            pltpu.VMEM((block_q, LANES), jnp.float32),  # running max m
+            pltpu.VMEM((block_q, LANES), jnp.float32),  # running sum l
+            pltpu.VMEM((block_q, d_pad), jnp.float32),  # output accumulator
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=batch * num_q_heads * flops_per_bh,
+            bytes_accessed=(
+                q.size * q.dtype.itemsize
+                + k.size * k.dtype.itemsize * 2
+                + q.size * q.dtype.itemsize
+            ),
+            transcendentals=batch * num_q_heads * q_len * kv_len,
+        ),
+        interpret=interpret,
+    )(qq, kk, vv)
+
+    out = results[0][:, :q_len, :head_dim].reshape(batch, num_q_heads, q_len, head_dim)
+    if save_residuals:
+        lse2 = results[1][:, :q_len, 0].reshape(batch, num_q_heads, q_len)
+        return out, lse2
+    return out
