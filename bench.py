@@ -1,0 +1,186 @@
+"""Headline benchmark (run by the driver on real TPU hardware).
+
+Re-creates the reference's benchmark harness C10 (flash_attention.cu:886-971):
+the same 7 sequence lengths x {non-causal, causal} at batch=1, heads=32,
+head_dim=128, the same FLOPs formula (4·B·H·S²·D, halved for causal), plus the
+decode/quantized-KV configs from BASELINE.json the reference never had.
+
+Timing: in-graph lax.scan repeats at two repeat counts with a slope fit —
+the TPU-side equivalent of cudaEvent around a 100-dispatch loop; on this
+tunneled environment it also cancels the ~9 ms fixed per-invocation relay
+cost (see utils/benchmarking.py).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "TFLOPS", "vs_baseline": N}
+where value = geometric mean TFLOPS over the 14 forward configs and
+vs_baseline compares against the reference's published geomean on its GPU
+(BASELINE.md). Detail rows go to stderr and BENCH_DETAIL.json.
+"""
+
+import json
+import math
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
+
+import jax
+import jax.numpy as jnp
+
+from flash_attention_tpu.ops.decode import decode_attention
+from flash_attention_tpu.ops.flash_attention import flash_attention
+from flash_attention_tpu.ops.quant import quantize_kv
+from flash_attention_tpu.utils.benchmarking import (
+    attention_flops,
+    detect_mxu_peak_tflops,
+    time_fn,
+)
+from flash_attention_tpu.utils.testing import make_qkv
+
+# Reference published TFLOPS (README.md:15-33; BASELINE.md), RTX 3080 Ti Laptop.
+REFERENCE_TFLOPS = {
+    (512, True): 19.72, (768, True): 22.91, (1024, True): 23.56,
+    (2048, True): 24.33, (4096, True): 26.91, (8192, True): 27.84,
+    (16384, True): 26.62,
+    (512, False): 21.72, (768, False): 24.86, (1024, False): 25.78,
+    (2048, False): 29.62, (4096, False): 30.09, (8192, False): 30.37,
+    (16384, False): 30.20,
+}
+
+BATCH, HEADS, HEAD_DIM = 1, 32, 128
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def scan_timer(fn, args, reps_lo, reps_hi, *, iters=3, runs=2):
+    """Slope-fit seconds per op via two in-graph repeat counts."""
+
+    def make(reps):
+        @jax.jit
+        def run(*a):
+            def body(carry, _):
+                ca, tok = carry
+                o = fn(*ca)
+                leaf = jax.tree_util.tree_leaves(o)[0]
+                tok2 = leaf.reshape(-1)[0].astype(jnp.float32)
+                ca2 = jax.lax.optimization_barrier(a + (tok2,))
+                return (ca2[:-1], ca2[-1]), ()
+
+            init = jax.lax.optimization_barrier(a + (jnp.float32(0),))
+            (_, tok), _ = jax.lax.scan(
+                body, (init[:-1], init[-1]), None, length=reps
+            )
+            return tok
+
+        return run
+
+    t_lo = min(time_fn(make(reps_lo), *args, warmup=1, iters=iters, runs=runs))
+    t_hi = min(time_fn(make(reps_hi), *args, warmup=1, iters=iters, runs=runs))
+    return max((t_hi - t_lo) / (reps_hi - reps_lo), 1e-9)
+
+
+def bench_forward(on_tpu):
+    peak = detect_mxu_peak_tflops()
+    seqs = [512, 768, 1024, 2048, 4096, 8192, 16384] if on_tpu else [256]
+    rows = []
+    for causal in (False, True):
+        for seq in seqs:
+            q, k, v = make_qkv(0, BATCH, HEADS, seq, HEAD_DIM)
+            fn = lambda q, k, v: flash_attention(q, k, v, causal=causal)
+            reps_lo, reps_hi = (4, 12) if seq >= 4096 else (8, 24)
+            t = scan_timer(fn, (q, k, v), reps_lo, reps_hi)
+            fl = attention_flops(BATCH, HEADS, seq, HEAD_DIM, causal=causal)
+            tf = fl / t / 1e12
+            ref = REFERENCE_TFLOPS.get((seq, causal))
+            rows.append(
+                dict(
+                    kind="forward", seq=seq, causal=causal,
+                    time_us=t * 1e6, tflops=tf,
+                    roofline_frac=tf / peak,
+                    reference_tflops=ref,
+                    vs_reference=(tf / ref) if ref else None,
+                )
+            )
+            log(
+                f"fwd seq={seq:6d} causal={int(causal)}: {t*1e6:9.1f}us "
+                f"{tf:7.2f} TFLOPS ({tf/peak*100:4.1f}% roofline)"
+                + (f"  vs ref {ref:5.2f} = {tf/ref:4.1f}x" if ref else "")
+            )
+    return rows
+
+
+def bench_decode(on_tpu):
+    """Decode tokens/s/chip: seq=8192 batch=32 (BASELINE.json config)."""
+    rows = []
+    if not on_tpu:
+        return rows
+    batch, q_heads, kv_heads, seq = 32, 32, 8, 8192
+    q, k, v = make_qkv(1, batch, q_heads, 1, HEAD_DIM, num_kv_heads=kv_heads, kv_seq=seq)
+    q = q[:, :, 0, :]
+    lengths = jnp.full((batch,), seq, jnp.int32)
+    for mode in ("none", "int8", "fp8_e4m3"):
+        kq, vq = quantize_kv(k, v, mode)
+        fn = lambda q, kq=kq, vq=vq: decode_attention(q, kq, vq, lengths, block_kv=512)
+        t = scan_timer(fn, (q,), 8, 24)
+        toks_per_s = batch / t
+        # decode attention reads the whole KV cache once per step
+        kv_bytes = (
+            sum(x.size * x.dtype.itemsize for x in jax.tree_util.tree_leaves((kq, vq)))
+        )
+        bw = kv_bytes / t / 1e9
+        rows.append(
+            dict(
+                kind="decode", kv_quant=mode, batch=batch, seq=seq,
+                time_us=t * 1e6, tokens_per_s=toks_per_s, kv_read_gbps=bw,
+            )
+        )
+        log(
+            f"decode kv={mode:9s} b={batch} s={seq}: {t*1e6:8.1f}us/step "
+            f"{toks_per_s:9.0f} tok/s  (KV read {bw:5.0f} GB/s)"
+        )
+    return rows
+
+
+def main():
+    on_tpu = jax.default_backend() == "tpu"
+    log(f"devices: {jax.devices()}  backend={jax.default_backend()}")
+    fwd_rows = bench_forward(on_tpu)
+    dec_rows = bench_decode(on_tpu)
+
+    ref_rows = [r for r in fwd_rows if r["reference_tflops"]]
+    if ref_rows:
+        geo = math.exp(sum(math.log(r["tflops"]) for r in ref_rows) / len(ref_rows))
+        ref_geo = math.exp(
+            sum(math.log(r["reference_tflops"]) for r in ref_rows) / len(ref_rows)
+        )
+        vs = geo / ref_geo
+    else:  # CPU smoke fallback
+        geo = fwd_rows[0]["tflops"] if fwd_rows else 0.0
+        vs = 0.0
+
+    detail = dict(
+        device=str(jax.devices()[0]),
+        peak_tflops=detect_mxu_peak_tflops(),
+        forward=fwd_rows,
+        decode=dec_rows,
+        geomean_tflops=geo,
+        vs_baseline=vs,
+    )
+    pathlib.Path("BENCH_DETAIL.json").write_text(json.dumps(detail, indent=2))
+
+    print(
+        json.dumps(
+            dict(
+                metric="attention_fwd_geomean_tflops_seq512-16k",
+                value=round(geo, 2),
+                unit="TFLOPS",
+                vs_baseline=round(vs, 3),
+            )
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,172 @@
+"""GQA attention layer with a decode KV cache, built on the Pallas kernels.
+
+The layer is the consumer the reference never had: it routes prefill through
+ops/flash_attention.py (causal forward) and decode through ops/decode.py
+(flash-decoding over the cache), with optional int8/fp8 cache quantization
+(ops/quant.py). Functional style: params and cache are pytrees; everything
+jits and shards (heads over the mesh "model" axis).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from flash_attention_tpu.ops.decode import decode_attention
+from flash_attention_tpu.ops.flash_attention import flash_attention
+from flash_attention_tpu.ops.quant import QuantizedTensor, quantize_fp8, quantize_int8
+from flash_attention_tpu.models.rope import apply_rope
+
+
+@dataclasses.dataclass(frozen=True)
+class AttentionConfig:
+    model_dim: int
+    num_q_heads: int
+    num_kv_heads: int
+    head_dim: int = 128
+    rope_theta: float = 10000.0
+    kv_quant: str = "none"  # none | int8 | fp8_e4m3 | fp8_e5m2
+    dtype: str = "bfloat16"
+
+    @property
+    def jnp_dtype(self):
+        return jnp.dtype(self.dtype)
+
+
+class KVCache(NamedTuple):
+    """Decode cache: [B, Hkv, max_seq, D] payload (+ scales when quantized)."""
+
+    k: jax.Array
+    v: jax.Array
+    k_scales: jax.Array | None
+    v_scales: jax.Array | None
+    lengths: jax.Array  # [B] int32 — valid prefix per sequence
+
+    def quantized(self) -> bool:
+        return self.k_scales is not None
+
+    def k_view(self):
+        return QuantizedTensor(self.k, self.k_scales) if self.quantized() else self.k
+
+    def v_view(self):
+        return QuantizedTensor(self.v, self.v_scales) if self.quantized() else self.v
+
+
+def init_attention_params(key, cfg: AttentionConfig):
+    dt = cfg.jnp_dtype
+    kq, kk, kv, ko = jax.random.split(key, 4)
+    s = 1.0 / math.sqrt(cfg.model_dim)
+    so = 1.0 / math.sqrt(cfg.num_q_heads * cfg.head_dim)
+    return {
+        "wq": (jax.random.normal(kq, (cfg.model_dim, cfg.num_q_heads, cfg.head_dim), jnp.float32) * s).astype(dt),
+        "wk": (jax.random.normal(kk, (cfg.model_dim, cfg.num_kv_heads, cfg.head_dim), jnp.float32) * s).astype(dt),
+        "wv": (jax.random.normal(kv, (cfg.model_dim, cfg.num_kv_heads, cfg.head_dim), jnp.float32) * s).astype(dt),
+        "wo": (jax.random.normal(ko, (cfg.num_q_heads, cfg.head_dim, cfg.model_dim), jnp.float32) * so).astype(dt),
+    }
+
+
+def init_kv_cache(cfg: AttentionConfig, batch: int, max_seq: int) -> KVCache:
+    quant = cfg.kv_quant != "none"
+    if cfg.kv_quant == "int8":
+        payload_dtype = jnp.int8
+    elif cfg.kv_quant == "fp8_e4m3":
+        payload_dtype = jnp.float8_e4m3fn
+    elif cfg.kv_quant == "fp8_e5m2":
+        payload_dtype = jnp.float8_e5m2
+    else:
+        payload_dtype = cfg.jnp_dtype
+    shape = (batch, cfg.num_kv_heads, max_seq, cfg.head_dim)
+    return KVCache(
+        k=jnp.zeros(shape, payload_dtype),
+        v=jnp.zeros(shape, payload_dtype),
+        k_scales=jnp.ones((batch, cfg.num_kv_heads, max_seq, 1), jnp.float32) if quant else None,
+        v_scales=jnp.ones((batch, cfg.num_kv_heads, max_seq, 1), jnp.float32) if quant else None,
+        lengths=jnp.zeros((batch,), jnp.int32),
+    )
+
+
+def _quantize_for_cache(cfg: AttentionConfig, x: jax.Array):
+    if cfg.kv_quant == "none":
+        return x.astype(cfg.jnp_dtype), None
+    if cfg.kv_quant == "int8":
+        qt = quantize_int8(x)
+    elif cfg.kv_quant == "fp8_e4m3":
+        qt = quantize_fp8(x, dtype=jnp.float8_e4m3fn)
+    elif cfg.kv_quant == "fp8_e5m2":
+        qt = quantize_fp8(x, dtype=jnp.float8_e5m2)
+    else:
+        raise ValueError(cfg.kv_quant)
+    return qt.values, qt.scales
+
+
+def write_cache(cfg: AttentionConfig, cache: KVCache, k_new, v_new, start_positions) -> KVCache:
+    """Insert [B, Hkv, T, D] new K/V rows at per-sequence start positions."""
+    kq, ks = _quantize_for_cache(cfg, k_new)
+    vq, vs = _quantize_for_cache(cfg, v_new)
+    t = k_new.shape[2]
+
+    def upd(buf, new):
+        def one(buf_b, new_b, pos):
+            return jax.lax.dynamic_update_slice(buf_b, new_b, (0, pos, 0))
+        return jax.vmap(one)(buf, new, start_positions)
+
+    cache = cache._replace(
+        k=upd(cache.k, kq.astype(cache.k.dtype)),
+        v=upd(cache.v, vq.astype(cache.v.dtype)),
+        lengths=start_positions + t,
+    )
+    if cache.k_scales is not None:
+        cache = cache._replace(
+            k_scales=upd(cache.k_scales, ks),
+            v_scales=upd(cache.v_scales, vs),
+        )
+    return cache
+
+
+def attention_prefill(
+    params, cfg: AttentionConfig, x: jax.Array, cache: KVCache, *, block_sizes=None
+):
+    """Causal prefill over [B, T, model_dim]; fills the cache from position 0.
+
+    Returns (output [B, T, model_dim], updated cache).
+    """
+    batch, t, _ = x.shape
+    q = jnp.einsum("btm,mhd->bhtd", x, params["wq"]).astype(cfg.jnp_dtype)
+    k = jnp.einsum("btm,mhd->bhtd", x, params["wk"]).astype(cfg.jnp_dtype)
+    v = jnp.einsum("btm,mhd->bhtd", x, params["wv"]).astype(cfg.jnp_dtype)
+    positions = jnp.arange(t)[None, None, :]
+    q = apply_rope(q, positions, theta=cfg.rope_theta)
+    k = apply_rope(k, positions, theta=cfg.rope_theta)
+
+    o = flash_attention(q, k, v, causal=True, block_sizes=block_sizes)
+    out = jnp.einsum("bhtd,hdm->btm", o.astype(jnp.float32), params["wo"].astype(jnp.float32))
+    cache = write_cache(cfg, cache, k, v, jnp.zeros((batch,), jnp.int32))
+    return out.astype(x.dtype), cache
+
+
+def attention_decode(
+    params, cfg: AttentionConfig, x: jax.Array, cache: KVCache, *, block_kv: int = 512
+):
+    """One decode step over [B, 1, model_dim] against the cache.
+
+    Returns (output [B, 1, model_dim], updated cache).
+    """
+    batch = x.shape[0]
+    q = jnp.einsum("btm,mhd->bhtd", x, params["wq"]).astype(cfg.jnp_dtype)
+    k = jnp.einsum("btm,mhd->bhtd", x, params["wk"]).astype(cfg.jnp_dtype)
+    v = jnp.einsum("btm,mhd->bhtd", x, params["wv"]).astype(cfg.jnp_dtype)
+    positions = cache.lengths[:, None, None]  # next position per sequence
+    q = apply_rope(q, positions, theta=cfg.rope_theta)
+    k = apply_rope(k, positions, theta=cfg.rope_theta)
+
+    cache = write_cache(cfg, cache, k, v, cache.lengths)
+    o = decode_attention(
+        q[:, :, 0, :], cache.k_view(), cache.v_view(), cache.lengths,
+        block_kv=block_kv,
+    )
+    out = jnp.einsum("bhd,hdm->bm", o.astype(jnp.float32), params["wo"].astype(jnp.float32))
+    return out[:, None, :].astype(x.dtype), cache

@@ -1,0 +1,154 @@
+"""LLaMA-class decoder-only transformer built on the attention engine.
+
+The flagship serving model family for the north-star configs (7B-class,
+32 q heads / 8 kv heads / head_dim 128). Functional pytree params; every
+matmul shaped for the MXU (bf16 inputs, fp32 accumulation via
+preferred_element_type); attention runs through the Pallas kernels.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+import jax
+import jax.numpy as jnp
+
+from flash_attention_tpu.models.attention import (
+    AttentionConfig,
+    KVCache,
+    attention_decode,
+    attention_prefill,
+    init_attention_params,
+    init_kv_cache,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    vocab_size: int = 32000
+    model_dim: int = 4096
+    num_layers: int = 32
+    num_q_heads: int = 32
+    num_kv_heads: int = 8
+    head_dim: int = 128
+    mlp_dim: int = 11008
+    rope_theta: float = 10000.0
+    norm_eps: float = 1e-5
+    kv_quant: str = "none"
+    dtype: str = "bfloat16"
+
+    @property
+    def jnp_dtype(self):
+        return jnp.dtype(self.dtype)
+
+    def attention_config(self) -> AttentionConfig:
+        return AttentionConfig(
+            model_dim=self.model_dim,
+            num_q_heads=self.num_q_heads,
+            num_kv_heads=self.num_kv_heads,
+            head_dim=self.head_dim,
+            rope_theta=self.rope_theta,
+            kv_quant=self.kv_quant,
+            dtype=self.dtype,
+        )
+
+    @staticmethod
+    def tiny(**overrides) -> "ModelConfig":
+        """A small config for tests / dryruns."""
+        defaults = dict(
+            vocab_size=256, model_dim=256, num_layers=2, num_q_heads=8,
+            num_kv_heads=4, head_dim=32, mlp_dim=512,
+        )
+        defaults.update(overrides)
+        return ModelConfig(**defaults)
+
+
+def rms_norm(x: jax.Array, weight: jax.Array, eps: float) -> jax.Array:
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    return (xf * jax.lax.rsqrt(var + eps) * weight.astype(jnp.float32)).astype(x.dtype)
+
+
+def swiglu(x: jax.Array, params) -> jax.Array:
+    gate = jnp.einsum("btm,mf->btf", x, params["w_gate"], preferred_element_type=jnp.float32)
+    up = jnp.einsum("btm,mf->btf", x, params["w_up"], preferred_element_type=jnp.float32)
+    act = (jax.nn.silu(gate) * up).astype(x.dtype)
+    return jnp.einsum(
+        "btf,fm->btm", act, params["w_down"], preferred_element_type=jnp.float32
+    ).astype(x.dtype)
+
+
+def init_model_params(key, cfg: ModelConfig):
+    dt = cfg.jnp_dtype
+    keys = jax.random.split(key, cfg.num_layers + 2)
+    acfg = cfg.attention_config()
+
+    def init_layer(k):
+        ka, kg, ku, kd = jax.random.split(k, 4)
+        s_in = 1.0 / math.sqrt(cfg.model_dim)
+        s_mlp = 1.0 / math.sqrt(cfg.mlp_dim)
+        return {
+            "attn": init_attention_params(ka, acfg),
+            "attn_norm": jnp.ones((cfg.model_dim,), dt),
+            "mlp_norm": jnp.ones((cfg.model_dim,), dt),
+            "mlp": {
+                "w_gate": (jax.random.normal(kg, (cfg.model_dim, cfg.mlp_dim), jnp.float32) * s_in).astype(dt),
+                "w_up": (jax.random.normal(ku, (cfg.model_dim, cfg.mlp_dim), jnp.float32) * s_in).astype(dt),
+                "w_down": (jax.random.normal(kd, (cfg.mlp_dim, cfg.model_dim), jnp.float32) * s_mlp).astype(dt),
+            },
+        }
+
+    return {
+        "embed": (
+            jax.random.normal(keys[0], (cfg.vocab_size, cfg.model_dim), jnp.float32)
+            / math.sqrt(cfg.model_dim)
+        ).astype(dt),
+        "layers": [init_layer(k) for k in keys[1:-1]],
+        "final_norm": jnp.ones((cfg.model_dim,), dt),
+    }
+
+
+def init_caches(cfg: ModelConfig, batch: int, max_seq: int) -> list:
+    acfg = cfg.attention_config()
+    return [init_kv_cache(acfg, batch, max_seq) for _ in range(cfg.num_layers)]
+
+
+def _layer(params, acfg, cfg, x, cache, *, decode: bool):
+    h = rms_norm(x, params["attn_norm"], cfg.norm_eps)
+    if decode:
+        attn_out, cache = attention_decode(params["attn"], acfg, h, cache)
+    else:
+        attn_out, cache = attention_prefill(params["attn"], acfg, h, cache)
+    x = x + attn_out
+    h = rms_norm(x, params["mlp_norm"], cfg.norm_eps)
+    x = x + swiglu(h, params["mlp"])
+    return x, cache
+
+
+def forward(params, cfg: ModelConfig, tokens: jax.Array, caches: list, *, decode: bool = False):
+    """Run the model over [B, T] tokens (T=1 when decode=True).
+
+    Returns (logits [B, T, vocab], updated caches).
+    """
+    acfg = cfg.attention_config()
+    x = params["embed"][tokens].astype(cfg.jnp_dtype)
+    new_caches = []
+    for lp, cache in zip(params["layers"], caches):
+        x, cache = _layer(lp, acfg, cfg, x, cache, decode=decode)
+        new_caches.append(cache)
+    x = rms_norm(x, params["final_norm"], cfg.norm_eps)
+    logits = jnp.einsum(
+        "btm,vm->btv", x, params["embed"], preferred_element_type=jnp.float32
+    )
+    return logits, new_caches
+
+
+def prefill(params, cfg: ModelConfig, tokens: jax.Array, caches: list):
+    return forward(params, cfg, tokens, caches, decode=False)
+
+
+def decode_step(params, cfg: ModelConfig, tokens: jax.Array, caches: list):
+    """One greedy decode step: tokens [B, 1] -> (next_tokens [B, 1], caches)."""
+    logits, caches = forward(params, cfg, tokens, caches, decode=True)
+    return jnp.argmax(logits[:, -1:, :], axis=-1), caches

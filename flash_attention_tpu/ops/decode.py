@@ -1,0 +1,345 @@
+"""Decode attention: single-token queries against a (possibly quantized) KV
+cache, with per-sequence lengths — flash-decoding.
+
+This is the first-class productionization of the reference's *latent* split-K
+path (C4g/C5, flash_attention.cu:169-180, 460-496, 559-598): the CUDA kernel
+could emit per-split (O, m, l) partials and a merge kernel existed, but the
+dispatcher never used them (SURVEY.md §2 "IS_SPLITK always false"). Here the
+same math is live:
+
+  * the per-chip kernel streams KV blocks with online-softmax state and can
+    emit the base-2 LSE residual,
+  * :func:`flash_attention_tpu.ops.merge.merge_partial_attention` is the
+    reference's merge math (exp2-domain weights, flash_attention.cu:584-592),
+  * :func:`decode_attention_split` = flash-decoding (KV-range splits merged
+    on-chip); the identical merge combines cross-chip partials for
+    sequence-parallel serving.
+
+GQA grouping uses the "commute the sum" trick (q heads sharing a KV head form
+the M rows of one MXU matmul) — the TPU equivalent of the reference packing
+16 Q rows per warp (flash_attention.cu:114-117).
+
+Quantized KV caches (int8 / fp8 with per-token scales, ops/quant.py) are
+dequantized inside the kernel, fused ahead of the QK/PV matmuls — KV HBM
+traffic halves (int8) vs bf16, which is the decode bottleneck.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from flash_attention_tpu.ops.merge import merge_partial_attention
+from flash_attention_tpu.ops.quant import QuantizedTensor
+
+LOG2E = 1.4426950408889634
+MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
+LANES = 128
+MIN_GROUP_BLOCK = 16  # bf16 sublane tile height
+
+
+def _ceil_to(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _decode_kernel(
+    lengths_ref,  # scalar prefetch: [B] int32
+    q_ref,  # [1, 1, Gp, D]
+    k_ref,  # [1, 1, block_kv, D]
+    k_scale_ref,  # [1, 1, block_kv, 1] or None
+    v_ref,
+    v_scale_ref,
+    o_ref,  # [1, 1, Gp, D]
+    lse_ref,  # [1, 1, Gp, LANES] or None
+    m_scr,
+    l_scr,
+    acc_scr,
+    *,
+    scale2: float,
+    block_kv: int,
+    num_kv_blocks: int,
+):
+    b = pl.program_id(0)
+    ikv = pl.program_id(2)
+    length = lengths_ref[b]
+
+    @pl.when(ikv == 0)
+    def _init():
+        m_scr[...] = jnp.full_like(m_scr, -jnp.inf)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    @pl.when(ikv * block_kv < length)
+    def _compute():
+        q = q_ref[0, 0]  # [Gp, D]
+        k = k_ref[0, 0]  # [block_kv, D]
+        if k_scale_ref is not None:
+            # Fused dequant: int8/fp8 payload * per-token scale -> compute dtype.
+            k = k.astype(jnp.float32) * k_scale_ref[0, 0]
+            k = k.astype(q.dtype)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [Gp, block_kv]
+
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ikv * block_kv
+        s = jnp.where(col < length, s, MASK_VALUE)
+
+        m_prev = m_scr[...]
+        l_prev = l_scr[...]
+        m_curr = jnp.max(s, axis=-1, keepdims=True) * scale2
+        m_next = jnp.maximum(m_prev, m_curr)
+        alpha = jnp.exp2(m_prev - m_next)
+        p = jnp.exp2(s * scale2 - m_next[:, :1])
+        l_scr[...] = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+        m_scr[...] = m_next
+
+        v = v_ref[0, 0]
+        if v_scale_ref is not None:
+            v = v.astype(jnp.float32) * v_scale_ref[0, 0]
+            v = v.astype(q.dtype)
+        pv = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc_scr[...] = acc_scr[...] * alpha[:, :1] + pv
+
+    @pl.when(ikv == num_kv_blocks - 1)
+    def _epilogue():
+        l = l_scr[...][:, :1]
+        inv = jnp.where(l == 0.0, 0.0, 1.0 / l)
+        o_ref[0, 0] = (acc_scr[...] * inv).astype(o_ref.dtype)
+        if lse_ref is not None:
+            m = m_scr[...][:, :1]
+            safe_l = jnp.where(l == 0.0, 1.0, l)
+            lse2 = jnp.where(l == 0.0, -jnp.inf, m + jnp.log2(safe_l))
+            lse_ref[0, 0] = jnp.broadcast_to(lse2, lse_ref.shape[2:])
+
+
+def _split_quant(x):
+    if isinstance(x, QuantizedTensor):
+        return x.values, x.scales
+    return x, None
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("sm_scale", "block_kv", "save_residuals", "interpret"),
+)
+def decode_attention(
+    q: jax.Array,
+    k_cache,
+    v_cache,
+    lengths: jax.Array,
+    *,
+    sm_scale: float | None = None,
+    block_kv: int = 512,
+    save_residuals: bool = False,
+    interpret: bool | None = None,
+):
+    """Single-token decode attention over a KV cache.
+
+    Args:
+      q: [batch, q_heads, head_dim] current-token queries.
+      k_cache, v_cache: [batch, kv_heads, max_seq, head_dim] — either plain
+        arrays (bf16/fp16/fp32) or :class:`QuantizedTensor` (int8/fp8 payload
+        + [batch, kv_heads, max_seq, 1] fp32 per-token scales), dequantized
+        in-kernel.
+      lengths: [batch] int32 — valid KV prefix per sequence (the new token's
+        K/V must already be written at position lengths-1).
+      block_kv: KV rows per grid step.
+      save_residuals: also return base-2 LSE [batch, q_heads] for cross-chip
+        or split merging.
+
+    Returns:
+      [batch, q_heads, head_dim] output (q.dtype), plus LSE if requested.
+    """
+    k_vals, k_scales = _split_quant(k_cache)
+    v_vals, v_scales = _split_quant(v_cache)
+
+    batch, num_q_heads, head_dim = q.shape
+    _, num_kv_heads, max_seq, _ = k_vals.shape
+    if num_q_heads % num_kv_heads:
+        raise ValueError(f"q_heads={num_q_heads} % kv_heads={num_kv_heads} != 0")
+    if sm_scale is None:
+        sm_scale = 1.0 / math.sqrt(head_dim)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    group = num_q_heads // num_kv_heads
+    group_pad = max(_ceil_to(group, 8), MIN_GROUP_BLOCK)
+    d_pad = _ceil_to(head_dim, 128)
+
+    # [B, Hq, D] -> [B, Hkv, Gp, D]
+    qg = q.reshape(batch, num_kv_heads, group, head_dim)
+    if group_pad != group or d_pad != head_dim:
+        qg = jnp.pad(
+            qg, ((0, 0), (0, 0), (0, group_pad - group), (0, d_pad - head_dim))
+        )
+
+    block_kv = min(block_kv, _ceil_to(max_seq, 128))
+    seq_pad = _ceil_to(max_seq, block_kv)
+    pads = ((0, 0), (0, 0), (0, seq_pad - max_seq), (0, d_pad - head_dim))
+    if seq_pad != max_seq or d_pad != head_dim:
+        k_vals = jnp.pad(k_vals, pads)
+        v_vals = jnp.pad(v_vals, pads)
+        if k_scales is not None:
+            spads = ((0, 0), (0, 0), (0, seq_pad - max_seq), (0, 0))
+            k_scales = jnp.pad(k_scales, spads)
+            v_scales = jnp.pad(v_scales, spads)
+    num_kv_blocks = seq_pad // block_kv
+
+    def last_live(b, lengths_ref):
+        return jnp.maximum(pl.cdiv(lengths_ref[b], block_kv) - 1, 0)
+
+    def kv_map(b, h, ikv, lengths_ref):
+        return (b, h, jnp.minimum(ikv, last_live(b, lengths_ref)), 0)
+
+    def scale_map(b, h, ikv, lengths_ref):
+        return (b, h, jnp.minimum(ikv, last_live(b, lengths_ref)), 0)
+
+    q_spec = pl.BlockSpec(
+        (1, 1, group_pad, d_pad), lambda b, h, ikv, L: (b, h, 0, 0)
+    )
+    kv_spec = pl.BlockSpec((1, 1, block_kv, d_pad), kv_map)
+    sc_spec = pl.BlockSpec((1, 1, block_kv, 1), scale_map)
+
+    in_specs = [q_spec, kv_spec]
+    inputs = [qg, k_vals]
+    if k_scales is not None:
+        in_specs.append(sc_spec)
+        inputs.append(k_scales)
+    in_specs.append(kv_spec)
+    inputs.append(v_vals)
+    if v_scales is not None:
+        in_specs.append(sc_spec)
+        inputs.append(v_scales)
+
+    out_shapes = [
+        jax.ShapeDtypeStruct((batch, num_kv_heads, group_pad, d_pad), q.dtype)
+    ]
+    out_specs = [
+        pl.BlockSpec((1, 1, group_pad, d_pad), lambda b, h, ikv, L: (b, h, 0, 0))
+    ]
+    if save_residuals:
+        out_shapes.append(
+            jax.ShapeDtypeStruct(
+                (batch, num_kv_heads, group_pad, LANES), jnp.float32
+            )
+        )
+        out_specs.append(
+            pl.BlockSpec((1, 1, group_pad, LANES), lambda b, h, ikv, L: (b, h, 0, 0))
+        )
+
+    has_k_scale = k_scales is not None
+    has_v_scale = v_scales is not None
+
+    def wrapped(lengths_ref, *refs):
+        idx = 0
+        q_ref = refs[idx]; idx += 1
+        k_ref = refs[idx]; idx += 1
+        k_s = refs[idx] if has_k_scale else None
+        idx += int(has_k_scale)
+        v_ref = refs[idx]; idx += 1
+        v_s = refs[idx] if has_v_scale else None
+        idx += int(has_v_scale)
+        o_ref = refs[idx]; idx += 1
+        lse_ref = refs[idx] if save_residuals else None
+        idx += int(save_residuals)
+        m_scr, l_scr, acc_scr = refs[idx:]
+        _decode_kernel(
+            lengths_ref, q_ref, k_ref, k_s, v_ref, v_s, o_ref, lse_ref,
+            m_scr, l_scr, acc_scr,
+            scale2=sm_scale * LOG2E,
+            block_kv=block_kv,
+            num_kv_blocks=num_kv_blocks,
+        )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(batch, num_kv_heads, num_kv_blocks),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        scratch_shapes=[
+            pltpu.VMEM((group_pad, LANES), jnp.float32),
+            pltpu.VMEM((group_pad, LANES), jnp.float32),
+            pltpu.VMEM((group_pad, d_pad), jnp.float32),
+        ],
+    )
+
+    results = pl.pallas_call(
+        wrapped,
+        grid_spec=grid_spec,
+        out_shape=out_shapes,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(lengths.astype(jnp.int32), *inputs)
+
+    out = results[0][:, :, :group, :head_dim].reshape(batch, num_q_heads, head_dim)
+    if save_residuals:
+        lse2 = results[1][:, :, :group, 0].reshape(batch, num_q_heads)
+        return out, lse2
+    return out
+
+
+def decode_attention_split(
+    q: jax.Array,
+    k_cache,
+    v_cache,
+    lengths: jax.Array,
+    *,
+    num_splits: int = 4,
+    sm_scale: float | None = None,
+    block_kv: int = 512,
+    interpret: bool | None = None,
+):
+    """Flash-decoding: split the KV range, attend per split, LSE-merge.
+
+    The live version of the reference's split-K grid.z path + merge kernel
+    (flash_attention.cu:174-176, 559-598). Splits map into the kernel's batch
+    grid axis (more parallel work when batch*kv_heads is small); the merge is
+    the spec'd primitive from ops/merge.py.
+    """
+    k_vals, k_scales = _split_quant(k_cache)
+    v_vals, v_scales = _split_quant(v_cache)
+    batch, num_q_heads, head_dim = q.shape
+    _, num_kv_heads, max_seq, _ = k_vals.shape
+    if max_seq % num_splits:
+        raise ValueError(f"max_seq={max_seq} % num_splits={num_splits} != 0")
+    split_len = max_seq // num_splits
+
+    def resplit(x, dim_len):
+        # [B, H, S, d] -> [B*ns, H, S/ns, d]
+        b, h, s, d = x.shape
+        x = x.reshape(b, h, num_splits, s // num_splits, d)
+        x = jnp.moveaxis(x, 2, 1)  # [B, ns, H, S/ns, d]
+        return x.reshape(b * num_splits, h, s // num_splits, d)
+
+    k_r = resplit(k_vals, split_len)
+    v_r = resplit(v_vals, split_len)
+    if k_scales is not None:
+        k_r = QuantizedTensor(values=k_r, scales=resplit(k_scales, split_len))
+        v_r = QuantizedTensor(values=v_r, scales=resplit(v_scales, split_len))
+    q_r = jnp.broadcast_to(
+        q[:, None], (batch, num_splits, num_q_heads, head_dim)
+    ).reshape(batch * num_splits, num_q_heads, head_dim)
+    split_starts = jnp.tile(jnp.arange(num_splits) * split_len, batch)
+    lengths_r = jnp.clip(
+        jnp.repeat(lengths, num_splits) - split_starts, 0, split_len
+    ).astype(jnp.int32)
+
+    o, lse2 = decode_attention(
+        q_r, k_r, v_r, lengths_r,
+        sm_scale=sm_scale, block_kv=min(block_kv, split_len),
+        save_residuals=True, interpret=interpret,
+    )
+    o = o.reshape(batch, num_splits, num_q_heads, head_dim)
+    lse2 = lse2.reshape(batch, num_splits, num_q_heads)
+    merged, _ = merge_partial_attention(o, lse2, axis=1)
+    return merged

@@ -22,9 +22,10 @@ mechanics:
 
 Numerics contract (SURVEY.md §5 "numerics policy"): fp16/bf16 I/O, fp32 score
 and output accumulators, exp2-domain softmax with the log2(e) factor folded
-into the Q pre-scale (the reference folds it into its scale constant,
-flash_attention.cu:239), finite large-negative mask value rather than -inf,
-and a l==0 → output 0 guard (flash_attention.cu:502-503).
+into the fp32 scale constant applied inside the fused exp2 chain (the
+reference folds it the same way, flash_attention.cu:239), finite
+large-negative mask value rather than -inf, and a l==0 → output 0 guard
+(flash_attention.cu:502-503).
 """
 
 from __future__ import annotations
@@ -61,6 +62,7 @@ def _fwd_kernel(
     acc_scr,
     *,
     causal: bool,
+    scale2: float,
     q_len: int,
     kv_len: int,
     block_q: int,
@@ -95,42 +97,37 @@ def _fwd_kernel(
             k,
             (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # [block_q, block_kv]; scale*log2e is pre-folded into q.
+        )  # [block_q, block_kv] raw scores; scale applied below.
 
-        mask_conds = []
-        if causal:
-            # Mask needed only when the tile straddles the diagonal.
-            mask_conds.append(
-                (ikv + 1) * block_kv - 1 > iq * block_q + diag_offset
-            )
-        if kv_pad:
-            mask_conds.append(ikv == num_kv_blocks - 1)
-        if mask_conds:
-            need_mask = functools.reduce(jnp.logical_or, mask_conds)
-
-            def _masked(s):
-                ok = None
-                col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ikv * block_kv
-                if causal:
-                    row = (
-                        jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
-                        + iq * block_q
-                        + diag_offset
-                    )
-                    ok = col <= row
-                if kv_pad:
-                    inb = col < kv_len
-                    ok = inb if ok is None else jnp.logical_and(ok, inb)
-                return jnp.where(ok, s, MASK_VALUE)
-
-            s = jax.lax.cond(need_mask, _masked, lambda s: s, s)
+        # Masking is applied unconditionally when the config needs it at all:
+        # a fully-live tile evaluates to all-true and the select costs ~2%,
+        # whereas gating it behind lax.cond costs ~2x on Mosaic (the cond
+        # materializes both vector branches and breaks software pipelining).
+        if causal or kv_pad:
+            ok = None
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ikv * block_kv
+            if causal:
+                row = (
+                    jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+                    + iq * block_q
+                    + diag_offset
+                )
+                ok = col <= row
+            if kv_pad:
+                inb = col < kv_len
+                ok = inb if ok is None else jnp.logical_and(ok, inb)
+            s = jnp.where(ok, s, MASK_VALUE)
 
         m_prev = m_scr[...]  # [block_q, LANES]
         l_prev = l_scr[...]
-        m_curr = jnp.max(s, axis=-1, keepdims=True)  # [block_q, 1]
+        # scale2 = sm_scale*log2(e); applied to the row max (cheap, commutes
+        # with max since scale2 > 0) and fused into the exp2 elementwise
+        # chain (mul+sub+exp2 lower to one VPU pass) — avoids both a full
+        # score-tile multiply and a Q pre-scale HBM pass.
+        m_curr = jnp.max(s, axis=-1, keepdims=True) * scale2  # [block_q, 1]
         m_next = jnp.maximum(m_prev, m_curr)  # [block_q, LANES]
         alpha = jnp.exp2(m_prev - m_next)
-        p = jnp.exp2(s - m_next[:, :1])  # [block_q, block_kv]
+        p = jnp.exp2(s * scale2 - m_next[:, :1])  # [block_q, block_kv]
         l_next = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
         m_scr[...] = m_next
         l_scr[...] = l_next
@@ -218,13 +215,9 @@ def flash_attention(
     block_q = min(block_sizes.block_q, _ceil_to(q_len, 128))
     block_kv = min(block_sizes.block_kv, _ceil_to(kv_len, 128))
 
-    # Fold softmax scale and the exp2-domain log2(e) factor into Q once, in
-    # fp32 (the reference folds log2e into its fp32 scale constant,
-    # flash_attention.cu:239, 612).
-    q_scaled = (q.astype(jnp.float32) * (sm_scale * LOG2E)).astype(q.dtype)
-
-    # Collapse [B, H, S, D] -> [B*H, S, D]; pad seq/head_dim to block multiples.
-    qq = q_scaled.reshape(batch * num_q_heads, q_len, head_dim)
+    # Collapse [B, H, S, D] -> [B*H, S, D] (free for contiguous inputs);
+    # pad seq/head_dim to block multiples only when needed.
+    qq = q.reshape(batch * num_q_heads, q_len, head_dim)
     kk = k.reshape(batch * num_kv_heads, kv_len, head_dim)
     vv = v.reshape(batch * num_kv_heads, kv_len, head_dim)
 
@@ -278,6 +271,7 @@ def flash_attention(
     kernel = functools.partial(
         _fwd_kernel,
         causal=causal,
+        scale2=sm_scale * LOG2E,
         q_len=q_len,
         kv_len=kv_len,
         block_q=block_q,

@@ -1,0 +1,76 @@
+"""KV-cache quantization: int8 / fp8 payload with per-token fp32 scales.
+
+The reference is fp16-only; the north-star (BASELINE.json) extends to
+FP8/INT8 KV-cache decode with dequantization fused into the attention
+matmuls. Storage layout: payload [B, H, S, D] in int8 or fp8, scales
+[B, H, S, 1] fp32 (per token per head — one scale per cached K/V row, the
+granularity that keeps dequant a single broadcast multiply inside the
+kernel's KV tile).
+
+Decode HBM traffic is dominated by the KV cache read; int8/fp8 halve it vs
+bf16, which translates ~1:1 into decode throughput at long context.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class QuantizedTensor(NamedTuple):
+    """Quantized payload + broadcastable scales (registered pytree)."""
+
+    values: jax.Array  # [..., S, D] int8 / float8
+    scales: jax.Array  # [..., S, 1] float32
+
+    @property
+    def shape(self):
+        return self.values.shape
+
+    @property
+    def dtype(self):
+        return self.values.dtype
+
+
+def quantize_int8(x: jax.Array, *, axis: int = -1) -> QuantizedTensor:
+    """Symmetric per-row int8 quantization (scale = absmax/127 over `axis`)."""
+    xf = x.astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(xf), axis=axis, keepdims=True)
+    scale = jnp.where(absmax == 0.0, 1.0, absmax / 127.0)
+    q = jnp.clip(jnp.round(xf / scale), -127, 127).astype(jnp.int8)
+    return QuantizedTensor(values=q, scales=scale)
+
+
+def quantize_fp8(
+    x: jax.Array, *, axis: int = -1, dtype=jnp.float8_e4m3fn
+) -> QuantizedTensor:
+    """Per-row fp8 quantization: scale rows to the fp8 dynamic range."""
+    xf = x.astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(xf), axis=axis, keepdims=True)
+    fp8_max = float(jnp.finfo(dtype).max)
+    scale = jnp.where(absmax == 0.0, 1.0, absmax / fp8_max)
+    q = (xf / scale).astype(dtype)
+    return QuantizedTensor(values=q, scales=scale)
+
+
+def dequantize(qt: QuantizedTensor, dtype=jnp.float32) -> jax.Array:
+    return (qt.values.astype(jnp.float32) * qt.scales).astype(dtype)
+
+
+def quantize_kv(k: jax.Array, v: jax.Array, mode: str):
+    """Quantize K/V caches. mode in {'int8', 'fp8_e4m3', 'fp8_e5m2', 'none'}."""
+    if mode == "none":
+        return k, v
+    if mode == "int8":
+        return quantize_int8(k), quantize_int8(v)
+    if mode == "fp8_e4m3":
+        return quantize_fp8(k, dtype=jnp.float8_e4m3fn), quantize_fp8(
+            v, dtype=jnp.float8_e4m3fn
+        )
+    if mode == "fp8_e5m2":
+        return quantize_fp8(k, dtype=jnp.float8_e5m2), quantize_fp8(
+            v, dtype=jnp.float8_e5m2
+        )
+    raise ValueError(f"unknown quantization mode {mode!r}")

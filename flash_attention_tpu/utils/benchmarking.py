@@ -67,6 +67,20 @@ class BenchResult:
         )
 
 
+def _force(out):
+    """Force completion with a host readback of a tiny slice.
+
+    On tunneled/relayed TPU platforms ``jax.block_until_ready`` can return
+    before the (lazily triggered) compile + execution has actually run; a
+    host readback is the only reliable sync point. The slice keeps the
+    device->host transfer negligible.
+    """
+    leaf = jax.tree_util.tree_leaves(out)[-1]
+    import numpy as np  # local: keep module import light
+
+    np.asarray(jax.device_get(leaf.reshape(-1)[:1]))
+
+
 def time_fn(
     fn,
     *args,
@@ -77,19 +91,32 @@ def time_fn(
 ) -> list:
     """The reference's timing protocol: `warmup` untimed dispatches, then
     `iters` timed dispatches, repeated `runs` times (flash_attention.cu:941-956).
+    cudaEvent timing becomes wall-clock around the dispatch loop with a forced
+    readback sync, minus the calibrated fixed readback/RPC cost.
     Returns per-run average seconds per iteration."""
-    # Donated/jitted fn is assumed; compile + warm up.
     out = None
     for _ in range(warmup):
         out = fn(*args)
     jax.block_until_ready(out)
+    _force(out)
+    # Calibrate the fixed sync cost (device is idle now): a dispatch-free
+    # forced readback of an already-computed value.
+    sync_costs = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _force(out)
+        sync_costs.append(time.perf_counter() - t0)
+    sync_cost = min(sync_costs)
+
     run_times = []
     for _ in range(runs):
         start = time.perf_counter()
         for _ in range(iters):
             out = fn(*args)
         jax.block_until_ready(out)
-        run_times.append((time.perf_counter() - start) / iters)
+        _force(out)
+        elapsed = time.perf_counter() - start - sync_cost
+        run_times.append(max(elapsed, 1e-9) / iters)
         if inter_run_sleep_s:
             time.sleep(inter_run_sleep_s)
     return run_times

@@ -1,0 +1,98 @@
+"""Model layer tests: attention module prefill/decode consistency, tiny LM."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from flash_attention_tpu.models.attention import (
+    AttentionConfig,
+    attention_decode,
+    attention_prefill,
+    init_attention_params,
+    init_kv_cache,
+)
+from flash_attention_tpu.models.rope import apply_rope
+from flash_attention_tpu.models.transformer import (
+    ModelConfig,
+    decode_step,
+    forward,
+    init_caches,
+    init_model_params,
+    prefill,
+)
+
+
+def test_rope_rotation_preserves_norm():
+    x = jax.random.normal(jax.random.key(0), (2, 4, 16, 64), jnp.float32)
+    pos = jnp.arange(16)[None, None, :]
+    r = apply_rope(x, pos)
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(r), axis=-1),
+        np.linalg.norm(np.asarray(x), axis=-1),
+        rtol=1e-5,
+    )
+
+
+def test_rope_relative_property():
+    """<rope(q,i), rope(k,j)> depends only on i-j."""
+    q = jax.random.normal(jax.random.key(1), (1, 1, 1, 32), jnp.float32)
+    k = jax.random.normal(jax.random.key(2), (1, 1, 1, 32), jnp.float32)
+    def dot_at(i, j):
+        qi = apply_rope(q, jnp.array([[[i]]]))
+        kj = apply_rope(k, jnp.array([[[j]]]))
+        return float(jnp.sum(qi * kj))
+    assert abs(dot_at(5, 3) - dot_at(10, 8)) < 1e-4
+
+
+@pytest.mark.parametrize("kv_quant", ["none", "int8"])
+def test_prefill_then_decode_matches_full_prefill(kv_quant):
+    """Decoding token T after prefilling T-1 must match prefilling T tokens."""
+    cfg = AttentionConfig(
+        model_dim=128, num_q_heads=4, num_kv_heads=2, head_dim=32,
+        kv_quant=kv_quant, dtype="float32",
+    )
+    params = init_attention_params(jax.random.key(3), cfg)
+    x = jax.random.normal(jax.random.key(4), (2, 16, 128), jnp.float32) * 0.1
+
+    cache_full = init_kv_cache(cfg, 2, 64)
+    out_full, _ = attention_prefill(params, cfg, x, cache_full)
+
+    cache = init_kv_cache(cfg, 2, 64)
+    _, cache = attention_prefill(params, cfg, x[:, :15, :], cache)
+    out_last, cache = attention_decode(params, cfg, x[:, 15:16, :], cache)
+
+    tol = 0.05 if kv_quant != "none" else 2e-2
+    np.testing.assert_allclose(
+        np.asarray(out_last[:, 0]), np.asarray(out_full[:, 15]), atol=tol
+    )
+    assert int(cache.lengths[0]) == 16
+
+
+def test_tiny_lm_prefill_decode_consistency():
+    cfg = ModelConfig.tiny(dtype="float32")
+    params = init_model_params(jax.random.key(5), cfg)
+    tokens = jax.random.randint(jax.random.key(6), (2, 12), 0, cfg.vocab_size)
+
+    caches = init_caches(cfg, 2, 32)
+    logits_full, _ = prefill(params, cfg, tokens, caches)
+
+    caches = init_caches(cfg, 2, 32)
+    _, caches = prefill(params, cfg, tokens[:, :11], caches)
+    logits_step, caches = forward(params, cfg, tokens[:, 11:12], caches, decode=True)
+    np.testing.assert_allclose(
+        np.asarray(logits_step[:, 0]), np.asarray(logits_full[:, 11]), atol=0.05, rtol=0.05
+    )
+
+
+def test_tiny_lm_greedy_decode_runs():
+    cfg = ModelConfig.tiny()
+    params = init_model_params(jax.random.key(7), cfg)
+    caches = init_caches(cfg, 2, 64)
+    tokens = jax.random.randint(jax.random.key(8), (2, 8), 0, cfg.vocab_size)
+    logits, caches = prefill(params, cfg, tokens, caches)
+    next_tok = jnp.argmax(logits[:, -1:, :], axis=-1)
+    for _ in range(3):
+        next_tok, caches = decode_step(params, cfg, next_tok, caches)
+    assert next_tok.shape == (2, 1)
+    assert int(caches[0].lengths[0]) == 11

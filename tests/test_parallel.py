@@ -1,0 +1,89 @@
+"""Multi-chip sharding paths on the virtual 8-device CPU mesh.
+
+Validates: head/batch-sharded attention, context-parallel merge, ring
+attention (causal + non-causal), sharded decode — all vs. the fp32 oracle.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from flash_attention_tpu.ops.reference import reference_attention
+from flash_attention_tpu.ops.tuning import BlockSizes
+from flash_attention_tpu.parallel.mesh import auto_mesh, make_mesh
+from flash_attention_tpu.parallel.ring import make_ring_attention
+from flash_attention_tpu.parallel.sharding import (
+    make_context_parallel_attention,
+    make_sharded_decode_attention,
+    make_sharded_flash_attention,
+)
+from flash_attention_tpu.utils.testing import assert_close, make_qkv
+
+BS = BlockSizes(block_q=128, block_kv=128)
+
+
+def test_mesh_helpers():
+    mesh = make_mesh(data=2, model=4)
+    assert mesh.shape == {"data": 2, "model": 4, "context": 1}
+    mesh = auto_mesh(8, num_kv_heads=4)
+    assert mesh.shape["model"] == 4 and mesh.shape["data"] == 2
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_head_and_batch_sharded_attention(causal):
+    mesh = make_mesh(data=2, model=4)
+    q, k, v = make_qkv(51, 2, 8, 256, 128)
+    fn = make_sharded_flash_attention(mesh, causal=causal, block_sizes=BS)
+    got = fn(q, k, v)
+    want = reference_attention(q, k, v, causal=causal)
+    assert_close(got, want, msg=f"dp2 x tp4 causal={causal}")
+
+
+def test_head_sharded_gqa_colocation():
+    """8 q heads / 4 kv heads over model=4: one KV head per chip, no comms."""
+    mesh = make_mesh(data=1, model=4)
+    q, k, v = make_qkv(52, 1, 8, 256, 128, num_kv_heads=4)
+    fn = make_sharded_flash_attention(mesh, causal=True, block_sizes=BS)
+    got = fn(q, k, v)
+    want = reference_attention(q, k, v, causal=True)
+    assert_close(got, want, msg="gqa tp4")
+
+
+def test_context_parallel_noncausal():
+    mesh = make_mesh(data=1, model=2, context=4)
+    q, k, v = make_qkv(53, 1, 2, 512, 128)
+    fn = make_context_parallel_attention(mesh, block_sizes=BS)
+    got = fn(q, k, v)
+    want = reference_attention(q, k, v)
+    assert_close(got, want, msg="context-parallel merge")
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_ring_attention(causal):
+    mesh = make_mesh(data=1, model=2, context=4)
+    q, k, v = make_qkv(54, 1, 2, 512, 128)
+    fn = make_ring_attention(mesh, causal=causal, block_sizes=BS)
+    got = fn(q, k, v)
+    want = reference_attention(q, k, v, causal=causal)
+    assert_close(got, want, msg=f"ring causal={causal}")
+
+
+def test_ring_attention_full_context_axis():
+    mesh = make_mesh(data=1, model=1, context=8)
+    q, k, v = make_qkv(55, 1, 2, 1024, 128)
+    fn = make_ring_attention(mesh, causal=True, block_sizes=BS)
+    got = fn(q, k, v)
+    want = reference_attention(q, k, v, causal=True)
+    assert_close(got, want, msg="ring ctx=8 causal")
+
+
+def test_sharded_decode():
+    mesh = make_mesh(data=2, model=4)
+    q, k, v = make_qkv(56, 2, 8, 1, 128, kv_seq=256)
+    q = q[:, :, 0, :]
+    lengths = jnp.array([256, 130], jnp.int32)
+    fn = make_sharded_decode_attention(mesh, block_kv=128)
+    got = fn(q, k, v, lengths)
+    want = reference_attention(q[:, :, None, :], k, v, kv_length=lengths)[:, :, 0, :]
+    assert_close(got, want, msg="sharded decode dp2 x tp4")
