@@ -38,17 +38,14 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from flash_attention_tpu.ops.tuning import BlockSizes, select_block_sizes
+from flash_attention_tpu.ops.common import LANES, LOG2E, MASK_VALUE, ceil_to
+from flash_attention_tpu.ops.tuning import (
+    BlockSizes,
+    select_block_sizes,
+    select_bwd_block_sizes,
+)
 
-LOG2E = 1.4426950408889634
-# Large finite negative (exp2 of it underflows to 0) — same role as the
-# reference's -10000 constant (flash_attention.cu:238) but fp32-scaled.
-MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
-LANES = 128
-
-
-def _ceil_to(x: int, m: int) -> int:
-    return -(-x // m) * m
+_ceil_to = ceil_to
 
 
 def _fwd_kernel(
@@ -156,61 +153,20 @@ def _fwd_kernel(
             lse_ref[...] = jnp.broadcast_to(lse2, lse_ref.shape)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "causal",
-        "sm_scale",
-        "block_sizes",
-        "save_residuals",
-        "interpret",
-    ),
-)
-def flash_attention(
+def _fwd_impl(
     q: jax.Array,
     k: jax.Array,
     v: jax.Array,
     *,
-    causal: bool = False,
-    sm_scale: float | None = None,
-    block_sizes: BlockSizes | None = None,
-    save_residuals: bool = False,
-    interpret: bool | None = None,
+    causal: bool,
+    sm_scale: float,
+    block_sizes: BlockSizes,
+    save_residuals: bool,
+    interpret: bool,
 ):
-    """Fused multi-head flash attention forward pass.
-
-    Args:
-      q: [batch, q_heads, q_seq, head_dim].
-      k, v: [batch, kv_heads, kv_seq, head_dim]; q_heads % kv_heads == 0 (GQA
-        heads are broadcast zero-copy through the KV BlockSpec index map).
-      causal: lower-triangular masking, aligned so the last query attends to
-        the full KV sequence (standard self-attention when q_seq == kv_seq).
-      sm_scale: softmax scale, default 1/sqrt(head_dim)
-        (flash_attention.cu:612).
-      block_sizes: override the adaptive dispatch table (ops/tuning.py).
-      save_residuals: also return the base-2 log-sum-exp [batch, q_heads,
-        q_seq] — the (m, l) contract used by the split-KV / ring-attention
-        merge (the reference's latent split-K epilogue, flash_attention.cu:
-        460-496, folded into one value).
-      interpret: force Pallas interpreter mode (defaults to True off-TPU).
-
-    Returns:
-      [batch, q_heads, q_seq, head_dim] output, plus the LSE if requested.
-    """
+    """Forward implementation; defaults already resolved by the caller."""
     batch, num_q_heads, q_len, head_dim = q.shape
     _, num_kv_heads, kv_len, _ = k.shape
-    if num_q_heads % num_kv_heads:
-        raise ValueError(f"q_heads={num_q_heads} % kv_heads={num_kv_heads} != 0")
-    if k.shape != v.shape:
-        raise ValueError(f"k/v shape mismatch: {k.shape} vs {v.shape}")
-    if causal and kv_len < q_len:
-        raise ValueError("causal requires kv_seq >= q_seq")
-    if sm_scale is None:
-        sm_scale = 1.0 / math.sqrt(head_dim)
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
-    if block_sizes is None:
-        block_sizes = select_block_sizes(min(q_len, kv_len), causal=causal, head_dim=head_dim)
 
     block_q = min(block_sizes.block_q, _ceil_to(q_len, 128))
     block_kv = min(block_sizes.block_kv, _ceil_to(kv_len, 128))
@@ -320,3 +276,114 @@ def flash_attention(
         lse2 = results[1][:, :q_len, 0].reshape(batch, num_q_heads, q_len)
         return out, lse2
     return out
+
+
+# Custom VJP: the forward saves (q, k, v, out, lse2); the backward runs the
+# fused Pallas dq / dkv kernels (ops/attention_bwd.py). The reference has no
+# backward at all (SURVEY.md §2) — this is new capability, same numerics
+# contract.
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def _fa(q, k, v, causal, sm_scale, block_sizes, bwd_block_sizes, interpret):
+    return _fwd_impl(
+        q, k, v,
+        causal=causal, sm_scale=sm_scale, block_sizes=block_sizes,
+        save_residuals=False, interpret=interpret,
+    )
+
+
+def _fa_fwd(q, k, v, causal, sm_scale, block_sizes, bwd_block_sizes, interpret):
+    out, lse2 = _fwd_impl(
+        q, k, v,
+        causal=causal, sm_scale=sm_scale, block_sizes=block_sizes,
+        save_residuals=True, interpret=interpret,
+    )
+    return out, (q, k, v, out, lse2)
+
+
+def _fa_bwd(causal, sm_scale, block_sizes, bwd_block_sizes, interpret, res, g):
+    from flash_attention_tpu.ops.attention_bwd import flash_attention_bwd
+
+    q, k, v, out, lse2 = res
+    dq, dk, dv = flash_attention_bwd(
+        q, k, v, out, lse2, g,
+        causal=causal, sm_scale=sm_scale,
+        block_sizes=bwd_block_sizes, interpret=interpret,
+    )
+    return dq, dk, dv
+
+
+_fa.defvjp(_fa_fwd, _fa_bwd)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "causal",
+        "sm_scale",
+        "block_sizes",
+        "bwd_block_sizes",
+        "save_residuals",
+        "interpret",
+    ),
+)
+def flash_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    causal: bool = False,
+    sm_scale: float | None = None,
+    block_sizes: BlockSizes | None = None,
+    bwd_block_sizes: BlockSizes | None = None,
+    save_residuals: bool = False,
+    interpret: bool | None = None,
+):
+    """Fused multi-head flash attention (differentiable).
+
+    Args:
+      q: [batch, q_heads, q_seq, head_dim].
+      k, v: [batch, kv_heads, kv_seq, head_dim]; q_heads % kv_heads == 0 (GQA
+        heads are broadcast zero-copy through the KV BlockSpec index map).
+      causal: lower-triangular masking, aligned so the last query attends to
+        the full KV sequence (standard self-attention when q_seq == kv_seq).
+      sm_scale: softmax scale, default 1/sqrt(head_dim)
+        (flash_attention.cu:612).
+      block_sizes: override the adaptive dispatch table (ops/tuning.py).
+      bwd_block_sizes: block sizes for the backward kernels.
+      save_residuals: also return the base-2 log-sum-exp [batch, q_heads,
+        q_seq] — the (m, l) contract used by the split-KV / ring-attention
+        merge (the reference's latent split-K epilogue, flash_attention.cu:
+        460-496, folded into one value). This path is not differentiable.
+      interpret: force Pallas interpreter mode (defaults to True off-TPU).
+
+    Returns:
+      [batch, q_heads, q_seq, head_dim] output, plus the LSE if requested.
+    """
+    batch, num_q_heads, q_len, head_dim = q.shape
+    _, num_kv_heads, kv_len, _ = k.shape
+    if num_q_heads % num_kv_heads:
+        raise ValueError(f"q_heads={num_q_heads} % kv_heads={num_kv_heads} != 0")
+    if k.shape != v.shape:
+        raise ValueError(f"k/v shape mismatch: {k.shape} vs {v.shape}")
+    if causal and kv_len < q_len:
+        raise ValueError("causal requires kv_seq >= q_seq")
+    if sm_scale is None:
+        sm_scale = 1.0 / math.sqrt(head_dim)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if block_sizes is None:
+        block_sizes = select_block_sizes(
+            min(q_len, kv_len), causal=causal, head_dim=head_dim
+        )
+    if bwd_block_sizes is None:
+        bwd_block_sizes = select_bwd_block_sizes(
+            min(q_len, kv_len), causal=causal, head_dim=head_dim
+        )
+
+    if save_residuals:
+        return _fwd_impl(
+            q, k, v,
+            causal=causal, sm_scale=sm_scale, block_sizes=block_sizes,
+            save_residuals=True, interpret=interpret,
+        )
+    return _fa(q, k, v, causal, sm_scale, block_sizes, bwd_block_sizes, interpret)

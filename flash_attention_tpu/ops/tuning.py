@@ -81,6 +81,18 @@ def select_block_sizes(seq: int, *, causal: bool, head_dim: int = 128) -> BlockS
     return BlockSizes(block_q=1024, block_kv=1024)
 
 
+def select_bwd_block_sizes(seq: int, *, causal: bool, head_dim: int = 128) -> BlockSizes:
+    """Block sizes for the backward (dq / dkv) kernels.
+
+    The backward holds more live fp32 tiles than the forward (score tile,
+    dP tile, dS tile, two accumulators), so blocks are capped at 512 to stay
+    inside the ~16 MB VMEM budget with double-buffered streaming.
+    """
+    pad_seq = _ceil_to(seq, 128)
+    b = min(512, pad_seq)
+    return BlockSizes(block_q=b, block_kv=b)
+
+
 def select_decode_block_sizes(kv_seq: int, *, head_dim: int = 128) -> DecodeBlockSizes:
     pad = _ceil_to(kv_seq, 128)
     return DecodeBlockSizes(block_kv=min(512, pad))
