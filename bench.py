@@ -27,6 +27,14 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
 import jax
 import jax.numpy as jnp
 
+# Persistent compilation cache: the bench compiles ~30 scan-wrapped kernel
+# programs; cached compiles turn a >10 min cold run into ~2 min on reruns.
+_CACHE_DIR = pathlib.Path(__file__).resolve().parent / ".jax_cache"
+_CACHE_DIR.mkdir(exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", str(_CACHE_DIR))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
 from flash_attention_tpu.ops.decode import decode_attention
 from flash_attention_tpu.ops.flash_attention import flash_attention
 from flash_attention_tpu.ops.quant import quantize_kv
