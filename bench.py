@@ -41,7 +41,7 @@ from flash_attention_tpu.ops.quant import quantize_kv
 from flash_attention_tpu.utils.benchmarking import (
     attention_flops,
     detect_mxu_peak_tflops,
-    time_fn,
+    scan_timer,
 )
 from flash_attention_tpu.utils.testing import make_qkv
 
@@ -62,33 +62,6 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-def scan_timer(fn, args, reps_lo, reps_hi, *, iters=3, runs=2):
-    """Slope-fit seconds per op via two in-graph repeat counts."""
-
-    def make(reps):
-        @jax.jit
-        def run(*a):
-            def body(carry, _):
-                ca, tok = carry
-                o = fn(*ca)
-                leaf = jax.tree_util.tree_leaves(o)[0]
-                tok2 = leaf.reshape(-1)[0].astype(jnp.float32)
-                ca2 = jax.lax.optimization_barrier(a + (tok2,))
-                return (ca2[:-1], ca2[-1]), ()
-
-            init = jax.lax.optimization_barrier(a + (jnp.float32(0),))
-            (_, tok), _ = jax.lax.scan(
-                body, (init[:-1], init[-1]), None, length=reps
-            )
-            return tok
-
-        return run
-
-    t_lo = min(time_fn(make(reps_lo), *args, warmup=1, iters=iters, runs=runs))
-    t_hi = min(time_fn(make(reps_hi), *args, warmup=1, iters=iters, runs=runs))
-    return max((t_hi - t_lo) / (reps_hi - reps_lo), 1e-9)
-
-
 def bench_forward(on_tpu):
     peak = detect_mxu_peak_tflops()
     seqs = [512, 768, 1024, 2048, 4096, 8192, 16384] if on_tpu else [256]
@@ -97,8 +70,7 @@ def bench_forward(on_tpu):
         for seq in seqs:
             q, k, v = make_qkv(0, BATCH, HEADS, seq, HEAD_DIM)
             fn = lambda q, k, v: flash_attention(q, k, v, causal=causal)
-            reps_lo, reps_hi = (4, 12) if seq >= 4096 else (8, 24)
-            t = scan_timer(fn, (q, k, v), reps_lo, reps_hi)
+            t = scan_timer(fn, (q, k, v))
             fl = attention_flops(BATCH, HEADS, seq, HEAD_DIM, causal=causal)
             tf = fl / t / 1e12
             ref = REFERENCE_TFLOPS.get((seq, causal))
@@ -131,7 +103,7 @@ def bench_decode(on_tpu):
     for mode in ("none", "int8", "fp8_e4m3"):
         kq, vq = quantize_kv(k, v, mode)
         fn = lambda q, kq=kq, vq=vq: decode_attention(q, kq, vq, lengths, block_kv=512)
-        t = scan_timer(fn, (q,), 8, 24)
+        t = scan_timer(fn, (q,))
         toks_per_s = batch / t
         # decode attention reads the whole KV cache once per step
         kv_bytes = (

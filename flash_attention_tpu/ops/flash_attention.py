@@ -66,46 +66,68 @@ def _fwd_kernel(
     block_kv: int,
     num_kv_blocks: int,
     kv_pad: bool,
+    tri_refs=None,
 ):
-    iq = pl.program_id(1)
-    ikv = pl.program_id(2)
     # Decode/chunked-prefill convention: the last Q row aligns with the last
     # KV row (offset = kv_len - q_len, both true lengths).
     diag_offset = kv_len - q_len
+    if tri_refs is not None:
+        # Triangular enumeration: grid axis 1 walks only LIVE (iq, ikv)
+        # pairs; every step computes, init/epilogue come from prefetch flags.
+        iq_ref, ikv_ref, flags_ref = tri_refs
+        t = pl.program_id(1)
+        iq = iq_ref[t]
+        ikv = ikv_ref[t]
+        flags = flags_ref[t]
+        is_first = (flags & 1) != 0
+        is_last = (flags & 2) != 0
+        should_run = True
+    else:
+        iq = pl.program_id(1)
+        ikv = pl.program_id(2)
+        is_first = ikv == 0
+        is_last = ikv == num_kv_blocks - 1
+        if causal:
+            # Block is live iff its first KV column can be <= some Q row's diag.
+            should_run = ikv * block_kv <= (iq + 1) * block_q - 1 + diag_offset
+        else:
+            should_run = True
 
-    @pl.when(ikv == 0)
+    @pl.when(is_first)
     def _init():
         m_scr[...] = jnp.full_like(m_scr, -jnp.inf)
         l_scr[...] = jnp.zeros_like(l_scr)
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
-    if causal:
-        # Block is live iff its first KV column can be <= some Q row's diag.
-        should_run = ikv * block_kv <= (iq + 1) * block_q - 1 + diag_offset
-    else:
-        should_run = True
-
     @pl.when(should_run)
     def _compute():
-        q = q_ref[0]  # [block_q, d]
-        k = k_ref[0]  # [block_kv, d]
+        # Blocks carry a leading head-batch dim (block_h heads per grid step,
+        # usually 1; >1 at short seq to amortize per-step fixed costs — the
+        # TPU analog of the reference packing more CTAs per SM at short seq
+        # via MIN_BLOCKS=2, flash_attention.cu:618). Matmuls are batched over
+        # it; the VPU softmax ops batch for free.
+        q = q_ref[...]  # [hb, block_q, d]
+        k = k_ref[...]  # [hb, block_kv, d]
         s = jax.lax.dot_general(
             q,
             k,
-            (((1,), (1,)), ((), ())),
+            (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-        )  # [block_q, block_kv] raw scores; scale applied below.
+        )  # [hb, block_q, block_kv] raw scores; scale applied below.
 
         # Masking is applied unconditionally when the config needs it at all:
         # a fully-live tile evaluates to all-true and the select costs ~2%,
         # whereas gating it behind lax.cond costs ~2x on Mosaic (the cond
         # materializes both vector branches and breaks software pipelining).
         if causal or kv_pad:
+            # The mask is head-independent: build it 2D and broadcast over the
+            # head-batch dim (hb x smaller iota/compare tiles in VMEM).
             ok = None
-            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ikv * block_kv
+            shape2d = s.shape[1:]
+            col = jax.lax.broadcasted_iota(jnp.int32, shape2d, 1) + ikv * block_kv
             if causal:
                 row = (
-                    jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+                    jax.lax.broadcasted_iota(jnp.int32, shape2d, 0)
                     + iq * block_q
                     + diag_offset
                 )
@@ -113,39 +135,39 @@ def _fwd_kernel(
             if kv_pad:
                 inb = col < kv_len
                 ok = inb if ok is None else jnp.logical_and(ok, inb)
-            s = jnp.where(ok, s, MASK_VALUE)
+            s = jnp.where(ok[None], s, MASK_VALUE)
 
-        m_prev = m_scr[...]  # [block_q, LANES]
+        m_prev = m_scr[...]  # [hb, block_q, LANES]
         l_prev = l_scr[...]
         # scale2 = sm_scale*log2(e); applied to the row max (cheap, commutes
         # with max since scale2 > 0) and fused into the exp2 elementwise
         # chain (mul+sub+exp2 lower to one VPU pass) — avoids both a full
         # score-tile multiply and a Q pre-scale HBM pass.
-        m_curr = jnp.max(s, axis=-1, keepdims=True) * scale2  # [block_q, 1]
-        m_next = jnp.maximum(m_prev, m_curr)  # [block_q, LANES]
+        m_curr = jnp.max(s, axis=-1, keepdims=True) * scale2  # [hb, block_q, 1]
+        m_next = jnp.maximum(m_prev, m_curr)  # [hb, block_q, LANES]
         alpha = jnp.exp2(m_prev - m_next)
-        p = jnp.exp2(s * scale2 - m_next[:, :1])  # [block_q, block_kv]
+        p = jnp.exp2(s * scale2 - m_next[:, :, :1])  # [hb, block_q, block_kv]
         l_next = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
         m_scr[...] = m_next
         l_scr[...] = l_next
 
-        v = v_ref[0]  # [block_kv, d]
+        v = v_ref[...]  # [hb, block_kv, d]
         pv = jax.lax.dot_general(
             p.astype(v.dtype),
             v,
-            (((1,), (0,)), ((), ())),
+            (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-        )  # [block_q, d]
-        acc_scr[...] = acc_scr[...] * alpha[:, :1] + pv
+        )  # [hb, block_q, d]
+        acc_scr[...] = acc_scr[...] * alpha[:, :, :1] + pv
 
-    @pl.when(ikv == num_kv_blocks - 1)
+    @pl.when(is_last)
     def _epilogue():
-        l = l_scr[...][:, :1]  # [block_q, 1]
+        l = l_scr[...][:, :, :1]  # [hb, block_q, 1]
         # l == 0 → output 0 (reference guard flash_attention.cu:502-503).
         inv = jnp.where(l == 0.0, 0.0, 1.0 / l)
-        o_ref[0] = (acc_scr[...] * inv).astype(o_ref.dtype)
+        o_ref[...] = (acc_scr[...] * inv).astype(o_ref.dtype)
         if lse_ref is not None:
-            m = m_scr[...][:, :1]
+            m = m_scr[...][:, :, :1]
             safe_l = jnp.where(l == 0.0, 1.0, l)
             lse2 = jnp.where(
                 l == 0.0, -jnp.inf, m + jnp.log2(safe_l)
@@ -191,27 +213,80 @@ def _fwd_impl(
     group = num_q_heads // num_kv_heads
     diag_offset = kv_len - q_len
 
+    # Head-batching (block_h heads per grid step): only when the KV mapping
+    # stays a contiguous identity — MHA with block_h dividing batch*heads.
+    hb = block_sizes.block_h
+    if group != 1 or hb < 1 or (batch * num_q_heads) % hb:
+        hb = 1
+    num_h_blocks = (batch * num_q_heads) // hb
+
     def kv_head_index(bh):
         if group == 1:
             return bh
         return (bh // num_q_heads) * num_kv_heads + (bh % num_q_heads) // group
 
-    def kv_block_index(iq, ikv):
-        if not causal:
-            return ikv
-        # Clamp fully-masked (above-diagonal) blocks to the diagonal block so
-        # no DMA is issued for them (same index => Pallas skips the copy).
-        last_live = ((iq + 1) * block_q - 1 + diag_offset) // block_kv
-        return jnp.minimum(ikv, last_live)
+    # Causal: enumerate only the LIVE (iq, ikv) pairs as the grid's second
+    # axis, mapped through scalar-prefetch index arrays. Fully-masked blocks
+    # never become grid steps at all — the TPU-idiomatic version of the
+    # reference's grid-swap/reversed-Q causal balancing (flash_attention.cu:
+    # 103-111), but stronger: the reference still launched the masked CTAs.
+    tri = causal
+    if tri:
+        iq_list, ikv_list, flag_list = [], [], []
+        for iq_i in range(num_q_blocks):
+            last_live = min(
+                ((iq_i + 1) * block_q - 1 + diag_offset) // block_kv,
+                num_kv_blocks - 1,
+            )
+            for ikv_i in range(last_live + 1):
+                iq_list.append(iq_i)
+                ikv_list.append(ikv_i)
+                flag_list.append(
+                    (1 if ikv_i == 0 else 0) | (2 if ikv_i == last_live else 0)
+                )
+        tri_iq = jnp.asarray(iq_list, jnp.int32)
+        tri_ikv = jnp.asarray(ikv_list, jnp.int32)
+        tri_flags = jnp.asarray(flag_list, jnp.int32)
+        num_steps = len(iq_list)
 
-    q_spec = pl.BlockSpec((1, block_q, d_pad), lambda bh, iq, ikv: (bh, iq, 0))
-    k_spec = pl.BlockSpec(
-        (1, block_kv, d_pad),
-        lambda bh, iq, ikv: (kv_head_index(bh), kv_block_index(iq, ikv), 0),
-    )
+        q_spec = pl.BlockSpec(
+            (hb, block_q, d_pad), lambda bh, t, iq_m, ikv_m, f_m: (bh, iq_m[t], 0)
+        )
+        k_spec = pl.BlockSpec(
+            (hb, block_kv, d_pad),
+            lambda bh, t, iq_m, ikv_m, f_m: (kv_head_index(bh), ikv_m[t], 0),
+        )
+        o_spec = pl.BlockSpec(
+            (hb, block_q, d_pad), lambda bh, t, iq_m, ikv_m, f_m: (bh, iq_m[t], 0)
+        )
+        lse_spec = pl.BlockSpec(
+            (hb, block_q, LANES), lambda bh, t, iq_m, ikv_m, f_m: (bh, iq_m[t], 0)
+        )
+        grid = (num_h_blocks, num_steps)
+        dim_semantics = ("parallel", "arbitrary")
+    else:
+
+        def kv_block_index(iq, ikv):
+            if not causal:
+                return ikv
+            # Clamp fully-masked (above-diagonal) blocks to the diagonal block
+            # so no DMA is issued for them (same index => the copy is skipped).
+            last_live = ((iq + 1) * block_q - 1 + diag_offset) // block_kv
+            return jnp.minimum(ikv, last_live)
+
+        q_spec = pl.BlockSpec((hb, block_q, d_pad), lambda bh, iq, ikv: (bh, iq, 0))
+        k_spec = pl.BlockSpec(
+            (hb, block_kv, d_pad),
+            lambda bh, iq, ikv: (kv_head_index(bh), kv_block_index(iq, ikv), 0),
+        )
+        o_spec = pl.BlockSpec((hb, block_q, d_pad), lambda bh, iq, ikv: (bh, iq, 0))
+        lse_spec = pl.BlockSpec(
+            (hb, block_q, LANES), lambda bh, iq, ikv: (bh, iq, 0)
+        )
+        grid = (num_h_blocks, num_q_blocks, num_kv_blocks)
+        dim_semantics = ("parallel", "parallel", "arbitrary")
+
     v_spec = k_spec
-    o_spec = pl.BlockSpec((1, block_q, d_pad), lambda bh, iq, ikv: (bh, iq, 0))
-
     out_shapes = [
         jax.ShapeDtypeStruct((batch * num_q_heads, q_pad, d_pad), q.dtype),
     ]
@@ -220,56 +295,88 @@ def _fwd_impl(
         out_shapes.append(
             jax.ShapeDtypeStruct((batch * num_q_heads, q_pad, LANES), jnp.float32)
         )
-        out_specs.append(
-            pl.BlockSpec((1, block_q, LANES), lambda bh, iq, ikv: (bh, iq, 0))
+        out_specs.append(lse_spec)
+
+    def make_kernel(tri_refs):
+        return functools.partial(
+            _fwd_kernel,
+            causal=causal,
+            scale2=sm_scale * LOG2E,
+            q_len=q_len,
+            kv_len=kv_len,
+            block_q=block_q,
+            block_kv=block_kv,
+            num_kv_blocks=num_kv_blocks,
+            kv_pad=kv_padded != kv_len,
+            tri_refs=tri_refs,
         )
 
-    kernel = functools.partial(
-        _fwd_kernel,
-        causal=causal,
-        scale2=sm_scale * LOG2E,
-        q_len=q_len,
-        kv_len=kv_len,
-        block_q=block_q,
-        block_kv=block_kv,
-        num_kv_blocks=num_kv_blocks,
-        kv_pad=kv_padded != kv_len,
-    )
-    if save_residuals:
-        wrapped = lambda q_r, k_r, v_r, o_r, lse_r, m_s, l_s, a_s: kernel(
-            q_r, k_r, v_r, o_r, lse_r, m_s, l_s, a_s
-        )
+    if tri:
+        if save_residuals:
+            def wrapped(iq_m, ikv_m, f_m, q_r, k_r, v_r, o_r, lse_r, m_s, l_s, a_s):
+                make_kernel((iq_m, ikv_m, f_m))(
+                    q_r, k_r, v_r, o_r, lse_r, m_s, l_s, a_s
+                )
+        else:
+            def wrapped(iq_m, ikv_m, f_m, q_r, k_r, v_r, o_r, m_s, l_s, a_s):
+                make_kernel((iq_m, ikv_m, f_m))(
+                    q_r, k_r, v_r, o_r, None, m_s, l_s, a_s
+                )
     else:
-        wrapped = lambda q_r, k_r, v_r, o_r, m_s, l_s, a_s: kernel(
-            q_r, k_r, v_r, o_r, None, m_s, l_s, a_s
-        )
+        if save_residuals:
+            def wrapped(q_r, k_r, v_r, o_r, lse_r, m_s, l_s, a_s):
+                make_kernel(None)(q_r, k_r, v_r, o_r, lse_r, m_s, l_s, a_s)
+        else:
+            def wrapped(q_r, k_r, v_r, o_r, m_s, l_s, a_s):
+                make_kernel(None)(q_r, k_r, v_r, o_r, None, m_s, l_s, a_s)
 
+    scratch_shapes = [
+        pltpu.VMEM((hb, block_q, LANES), jnp.float32),  # running max m
+        pltpu.VMEM((hb, block_q, LANES), jnp.float32),  # running sum l
+        pltpu.VMEM((hb, block_q, d_pad), jnp.float32),  # output accumulator
+    ]
     flops_per_bh = 4 * q_len * kv_len * head_dim // (2 if causal else 1)
-    results = pl.pallas_call(
-        wrapped,
-        grid=(batch * num_q_heads, num_q_blocks, num_kv_blocks),
-        in_specs=[q_spec, k_spec, v_spec],
-        out_specs=out_specs,
-        out_shape=out_shapes,
-        scratch_shapes=[
-            pltpu.VMEM((block_q, LANES), jnp.float32),  # running max m
-            pltpu.VMEM((block_q, LANES), jnp.float32),  # running sum l
-            pltpu.VMEM((block_q, d_pad), jnp.float32),  # output accumulator
-        ],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
+    cost = pl.CostEstimate(
+        flops=batch * num_q_heads * flops_per_bh,
+        bytes_accessed=(
+            q.size * q.dtype.itemsize
+            + k.size * k.dtype.itemsize * 2
+            + q.size * q.dtype.itemsize
         ),
-        cost_estimate=pl.CostEstimate(
-            flops=batch * num_q_heads * flops_per_bh,
-            bytes_accessed=(
-                q.size * q.dtype.itemsize
-                + k.size * k.dtype.itemsize * 2
-                + q.size * q.dtype.itemsize
+        transcendentals=batch * num_q_heads * q_len * kv_len,
+    )
+
+    if tri:
+        results = pl.pallas_call(
+            wrapped,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=3,
+                grid=grid,
+                in_specs=[q_spec, k_spec, v_spec],
+                out_specs=out_specs,
+                scratch_shapes=scratch_shapes,
             ),
-            transcendentals=batch * num_q_heads * q_len * kv_len,
-        ),
-        interpret=interpret,
-    )(qq, kk, vv)
+            out_shape=out_shapes,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=dim_semantics,
+            ),
+            cost_estimate=cost,
+            interpret=interpret,
+        )(tri_iq, tri_ikv, tri_flags, qq, kk, vv)
+    else:
+        results = pl.pallas_call(
+            wrapped,
+            grid=grid,
+            in_specs=[q_spec, k_spec, v_spec],
+            out_specs=out_specs,
+            out_shape=out_shapes,
+            scratch_shapes=scratch_shapes,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=dim_semantics,
+            ),
+            cost_estimate=cost,
+            interpret=interpret,
+        )(qq, kk, vv)
 
     out = results[0][:, :q_len, :head_dim].reshape(batch, num_q_heads, q_len, head_dim)
     if save_residuals:

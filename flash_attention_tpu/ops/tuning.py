@@ -8,23 +8,28 @@ balancing trick (flash_attention.cu:103-111) has no TPU analog — Pallas grids
 are not SM-scheduled — so causal work-skipping is done with clamped KV index
 maps + predicated compute inside the kernel instead.
 
-Tuned on TPU v5e with tools/autotune.py (slope-fit in-graph timing). Measured
-winners at batch=1, heads=32, head_dim=128, bf16:
+Tuned on TPU v5e with tools/autotune.py (calibrated in-graph scan slope-fit
+timing, utils/benchmarking.py::scan_timer). Measured winners at batch=1,
+heads=32, head_dim=128, bf16, with the triangular causal grid and
+head-batching (block_q, block_kv, block_h):
 
-  seq      non-causal            causal
-  512      (512,512)   57.6 TF   (512,512)     31.2 TF
-  768      (768,768)   93.5 TF   (768,768)     58.3 TF
-  1024     (1024,1024) 140.9 TF  (1024,1024)   78.7 TF
-  2048     (1024,2048) 151.2 TF  (2048,2048)   87.9 TF
-  4096     (1024,1024) 143.9 TF  (1024,1024)  109.8 TF
-  8192     (1024,1024) 150.8 TF  (1024,1024)  114.0 TF
-  16384    (1024,1024) 152.4 TF  (1024,1024)  121.5 TF
+  seq      non-causal                     causal
+  512      (512,512,h8)    86.9 TF        (512,512,h4)    38.0 TF
+  768      (768,768,h4)   116.1 TF        (768,768,h2)    55.9 TF
+  1024     (1024,1024,h1) 141.0 TF        (1024,1024,h2)  70.3 TF
+  2048     (1024,1024,h2) 157.9 TF        (1024,1024,h2)  93.8 TF
+  4096     (1024,1024,h2) 160.8 TF        (1024,1024,h2) 125.2 TF
+  8192     (1024,1024,h2) 169.9 TF        (1024,1024,h2) 137.7 TF
+  16384    (1024,1024,h2) 171.2 TF        (1024,1024,h2) 149.3 TF
 
-The emergent rule: below ~2K, one grid step per (batch*head) — the whole
-sequence as a single (bq=bkv=seq) tile — amortizes per-tile VPU overheads;
-above 2K, (1024,1024) tiles keep the score tile + double-buffered KV inside
-the ~16 MB VMEM budget ((2048,2048) only fits when there is exactly one KV
-block, i.e. seq==2048, because a single block is not double-buffered).
+(v5e bf16 peak 197 TF => non-causal long-seq is ~87% of roofline.)
+
+The emergent rules: (1024,1024) tiles keep the fp32 score tile plus
+double-buffered KV inside the ~16 MB VMEM budget; block_h=2 halves the number
+of grid steps (per-step fixed costs and DMA descriptor overhead amortize over
+two heads' batched matmuls); at seq <= 768 the whole sequence fits one tile
+and larger head batches win until the hb-scaled score tiles hit the VMEM
+ceiling (h8 at bq=bkv=512 non-causal; causal also carries mask tiles so h4).
 """
 
 from __future__ import annotations
@@ -39,14 +44,22 @@ class BlockSizes:
     block_q:  Q rows per grid step (the reference's BLOCK_M, 64/128).
     block_kv: KV rows per grid step (the reference's BLOCK_N, 64/128).
     Both must be multiples of 128 (TPU lane width / MXU edge).
+    block_h:  heads per grid step (batched matmuls); >1 amortizes per-step
+      fixed costs at short sequence lengths — the TPU analog of the
+      reference's MIN_BLOCKS=2 short-seq occupancy boost
+      (flash_attention.cu:618). Applied only when it divides batch*heads and
+      the layout allows (MHA, or GQA when block_h spans whole groups).
     """
 
     block_q: int = 1024
     block_kv: int = 1024
+    block_h: int = 1
 
     def __post_init__(self):
         if self.block_q % 128 or self.block_kv % 128:
             raise ValueError(f"block sizes must be multiples of 128, got {self}")
+        if self.block_h < 1:
+            raise ValueError(f"block_h must be >= 1, got {self}")
 
 
 @dataclasses.dataclass(frozen=True)
@@ -70,15 +83,25 @@ def select_block_sizes(seq: int, *, causal: bool, head_dim: int = 128) -> BlockS
       * larger: (1024, 1024)
     """
     pad_seq = _ceil_to(seq, 128)
+    if head_dim > 128:
+        # Tuned at head_dim=128; larger heads scale the VMEM accumulators, so
+        # fall back to unbatched heads rather than risk scoped-VMEM OOM.
+        return BlockSizes(block_q=min(1024, pad_seq), block_kv=min(1024, pad_seq))
     if causal:
-        if pad_seq <= 2048:
-            return BlockSizes(block_q=pad_seq, block_kv=pad_seq)
-        return BlockSizes(block_q=1024, block_kv=1024)
+        if pad_seq <= 512:
+            return BlockSizes(block_q=pad_seq, block_kv=pad_seq, block_h=4)
+        if pad_seq <= 1024:
+            return BlockSizes(block_q=pad_seq, block_kv=pad_seq, block_h=2)
+        return BlockSizes(block_q=1024, block_kv=1024, block_h=2)
+    if pad_seq <= 512:
+        # h8 measures ~87 TF in-scan but sits at 17.5 MB scoped VMEM when
+        # compiled standalone (over the 16 MB limit); h4 is the safe default.
+        return BlockSizes(block_q=pad_seq, block_kv=pad_seq, block_h=4)
+    if pad_seq <= 768:
+        return BlockSizes(block_q=pad_seq, block_kv=pad_seq, block_h=4)
     if pad_seq <= 1024:
-        return BlockSizes(block_q=pad_seq, block_kv=pad_seq)
-    if pad_seq <= 2048:
-        return BlockSizes(block_q=1024, block_kv=pad_seq)
-    return BlockSizes(block_q=1024, block_kv=1024)
+        return BlockSizes(block_q=pad_seq, block_kv=pad_seq, block_h=1)
+    return BlockSizes(block_q=1024, block_kv=1024, block_h=2)
 
 
 def select_bwd_block_sizes(seq: int, *, causal: bool, head_dim: int = 128) -> BlockSizes:

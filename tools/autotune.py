@@ -25,7 +25,7 @@ from flash_attention_tpu.ops.tuning import BlockSizes
 from flash_attention_tpu.utils.benchmarking import (
     attention_flops,
     detect_mxu_peak_tflops,
-    time_fn,
+    scan_timer,
 )
 from flash_attention_tpu.utils.testing import make_qkv
 
@@ -46,31 +46,6 @@ def vmem_bytes(bq, bkv, d=128):
         + 4 * bq * d          # acc fp32
         + 2 * 4 * bq * 128    # m, l fp32
     )
-
-
-def scan_timer(fn_of_qkv, q, k, v, reps_lo=8, reps_hi=24):
-    """Slope-fit seconds per op using two in-graph repeat counts."""
-
-    def make(reps):
-        @jax.jit
-        def run(q, k, v):
-            def body(carry, _):
-                c_q, c_k, c_v, tok = carry
-                o = fn_of_qkv(c_q, c_k, c_v)
-                # optimization_barrier threads a dependency without data copies
-                tok2 = o.reshape(-1)[0].astype(jnp.float32)
-                c_q, c_k, c_v, _ = jax.lax.optimization_barrier((q, k, v, tok2))
-                return (c_q, c_k, c_v, tok2), ()
-
-            init = jax.lax.optimization_barrier((q, k, v, jnp.float32(0)))
-            (_, _, _, tok), _ = jax.lax.scan(body, init, None, length=reps)
-            return tok
-
-        return run
-
-    t_lo = min(time_fn(make(reps_lo), q, k, v, warmup=2, iters=3, runs=2))
-    t_hi = min(time_fn(make(reps_hi), q, k, v, warmup=2, iters=3, runs=2))
-    return max((t_hi - t_lo) / (reps_hi - reps_lo), 1e-9)
 
 
 def main():
@@ -98,7 +73,7 @@ def main():
                 bs = BlockSizes(block_q=bq, block_kv=bkv)
                 fn = lambda q, k, v: flash_attention(q, k, v, causal=causal, block_sizes=bs)
                 try:
-                    t = scan_timer(fn, q, k, v)
+                    t = scan_timer(fn, (q, k, v))
                 except Exception as e:  # VMEM OOM etc.
                     print(f"  seq={seq} c={int(causal)} bq={bq} bkv={bkv}: FAIL {type(e).__name__}")
                     continue
