@@ -149,7 +149,7 @@ def attention_prefill(
 
 
 def attention_decode(
-    params, cfg: AttentionConfig, x: jax.Array, cache: KVCache, *, block_kv: int = 512
+    params, cfg: AttentionConfig, x: jax.Array, cache: KVCache, *, block_kv: int | None = None
 ):
     """One decode step over [B, 1, model_dim] against the cache.
 

@@ -18,7 +18,7 @@ import tempfile
 import threading
 
 _SRC_DIR = pathlib.Path(__file__).resolve().parent / "src"
-_SOURCES = ["scheduler.cpp", "oracle.cpp"]
+_SOURCES = ["scheduler.cpp", "oracle.cpp", "allocator.cpp"]
 _LOCK = threading.Lock()
 _LIB: ctypes.CDLL | None = None
 
@@ -75,6 +75,16 @@ def _declare(lib: ctypes.CDLL) -> None:
     lib.fat_sched_slot_request.argtypes = [c.c_void_p, c.c_int32]
     lib.fat_sched_stats.restype = None
     lib.fat_sched_stats.argtypes = [c.c_void_p, c.POINTER(c.c_int64)]
+    lib.fat_alloc_create.restype = c.c_void_p
+    lib.fat_alloc_create.argtypes = [c.c_int32]
+    lib.fat_alloc_destroy.restype = None
+    lib.fat_alloc_destroy.argtypes = [c.c_void_p]
+    lib.fat_alloc_acquire.restype = c.c_int32
+    lib.fat_alloc_acquire.argtypes = [c.c_void_p, c.c_int32, c.POINTER(c.c_int32)]
+    lib.fat_alloc_release.restype = None
+    lib.fat_alloc_release.argtypes = [c.c_void_p, c.POINTER(c.c_int32), c.c_int32]
+    lib.fat_alloc_free_count.restype = c.c_int32
+    lib.fat_alloc_free_count.argtypes = [c.c_void_p]
     lib.fat_oracle_attention.restype = None
     lib.fat_oracle_attention.argtypes = [
         c.POINTER(c.c_float), c.POINTER(c.c_float), c.POINTER(c.c_float),

@@ -36,6 +36,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from flash_attention_tpu.ops.merge import merge_partial_attention
 from flash_attention_tpu.ops.quant import QuantizedTensor
+from flash_attention_tpu.ops.tuning import select_decode_block_sizes
 
 LOG2E = 1.4426950408889634
 MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
@@ -51,7 +52,7 @@ def _decode_kernel(
     lengths_ref,  # scalar prefetch: [B] int32
     q_ref,  # [1, 1, Gp, D]
     k_ref,  # [1, 1, block_kv, D]
-    k_scale_ref,  # [1, 1, block_kv, 1] or None
+    k_scale_ref,  # [1, 1, 1, block_kv] or None (lane-oriented per-token scales)
     v_ref,
     v_scale_ref,
     o_ref,  # [1, 1, Gp, D]
@@ -78,13 +79,16 @@ def _decode_kernel(
     def _compute():
         q = q_ref[0, 0]  # [Gp, D]
         k = k_ref[0, 0]  # [block_kv, D]
-        if k_scale_ref is not None:
-            # Fused dequant: int8/fp8 payload * per-token scale -> compute dtype.
-            k = k.astype(jnp.float32) * k_scale_ref[0, 0]
-            k = k.astype(q.dtype)
+        # Fused dequant, LATE-scaled: per-token scales commute with the dot,
+        # so q·(k·s) == (q·k_payload)·s — apply them to the [Gp, block_kv]
+        # score tile instead of the [block_kv, D] payload (Gp/D ~= 8x less
+        # VPU work, and the payload never materializes in fp32).
         s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            q, k.astype(q.dtype), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )  # [Gp, block_kv]
+        if k_scale_ref is not None:
+            s = s * k_scale_ref[0, 0]  # [1, block_kv] broadcast over rows
 
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ikv * block_kv
         s = jnp.where(col < length, s, MASK_VALUE)
@@ -100,10 +104,11 @@ def _decode_kernel(
 
         v = v_ref[0, 0]
         if v_scale_ref is not None:
-            v = v.astype(jnp.float32) * v_scale_ref[0, 0]
-            v = v.astype(q.dtype)
+            # (p·diag(s_v))·v_payload == p·(v_payload·s_v): fold V's per-token
+            # scales into the small p tile before the PV matmul.
+            p = p * v_scale_ref[0, 0]
         pv = jax.lax.dot_general(
-            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            p.astype(q.dtype), v.astype(q.dtype), (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         acc_scr[...] = acc_scr[...] * alpha[:, :1] + pv
@@ -137,7 +142,7 @@ def decode_attention(
     lengths: jax.Array,
     *,
     sm_scale: float | None = None,
-    block_kv: int = 512,
+    block_kv: int | None = None,
     save_residuals: bool = False,
     interpret: bool | None = None,
 ):
@@ -169,6 +174,8 @@ def decode_attention(
         sm_scale = 1.0 / math.sqrt(head_dim)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if block_kv is None:
+        block_kv = select_decode_block_sizes(max_seq).block_kv
 
     group = num_q_heads // num_kv_heads
     group_pad = max(_ceil_to(group, 8), MIN_GROUP_BLOCK)
@@ -193,6 +200,12 @@ def decode_attention(
             v_scales = jnp.pad(v_scales, spads)
     num_kv_blocks = seq_pad // block_kv
 
+    # Scales ride lane-oriented ([B, H, 1, S]) so the kernel's late-scaling
+    # broadcast needs no relayout.
+    if k_scales is not None:
+        k_scales = jnp.swapaxes(k_scales, 2, 3)
+        v_scales = jnp.swapaxes(v_scales, 2, 3)
+
     def last_live(b, lengths_ref):
         return jnp.maximum(pl.cdiv(lengths_ref[b], block_kv) - 1, 0)
 
@@ -200,13 +213,13 @@ def decode_attention(
         return (b, h, jnp.minimum(ikv, last_live(b, lengths_ref)), 0)
 
     def scale_map(b, h, ikv, lengths_ref):
-        return (b, h, jnp.minimum(ikv, last_live(b, lengths_ref)), 0)
+        return (b, h, 0, jnp.minimum(ikv, last_live(b, lengths_ref)))
 
     q_spec = pl.BlockSpec(
         (1, 1, group_pad, d_pad), lambda b, h, ikv, L: (b, h, 0, 0)
     )
     kv_spec = pl.BlockSpec((1, 1, block_kv, d_pad), kv_map)
-    sc_spec = pl.BlockSpec((1, 1, block_kv, 1), scale_map)
+    sc_spec = pl.BlockSpec((1, 1, 1, block_kv), scale_map)
 
     in_specs = [q_spec, kv_spec]
     inputs = [qg, k_vals]
@@ -296,7 +309,7 @@ def decode_attention_split(
     *,
     num_splits: int = 4,
     sm_scale: float | None = None,
-    block_kv: int = 512,
+    block_kv: int | None = None,
     interpret: bool | None = None,
 ):
     """Flash-decoding: split the KV range, attend per split, LSE-merge.
@@ -334,6 +347,8 @@ def decode_attention_split(
         jnp.repeat(lengths, num_splits) - split_starts, 0, split_len
     ).astype(jnp.int32)
 
+    if block_kv is None:
+        block_kv = select_decode_block_sizes(split_len).block_kv
     o, lse2 = decode_attention(
         q_r, k_r, v_r, lengths_r,
         sm_scale=sm_scale, block_kv=min(block_kv, split_len),

@@ -117,5 +117,13 @@ def select_bwd_block_sizes(seq: int, *, causal: bool, head_dim: int = 128) -> Bl
 
 
 def select_decode_block_sizes(kv_seq: int, *, head_dim: int = 128) -> DecodeBlockSizes:
+    """Decode KV block: as large as VMEM comfortably allows.
+
+    Decode is grid-step-overhead bound at small blocks (~0.6us/step floor on
+    v5e regardless of payload): measured at batch=32, 32q/8kv heads, seq=8192
+    the 512->4096 block jump takes bf16 12.7k -> 22.6k tok/s (759 GB/s, 93%
+    of HBM peak) and int8 13.1k -> 41.1k tok/s (1.8x bf16 — the quantization
+    win only materializes with big blocks).
+    """
     pad = _ceil_to(kv_seq, 128)
-    return DecodeBlockSizes(block_kv=min(512, pad))
+    return DecodeBlockSizes(block_kv=min(4096, pad))

@@ -156,39 +156,70 @@ def scan_timer(
     target_hi_s: float = 0.16,
     iters: int = 3,
     runs: int = 3,
+    est_s: float | None = None,
+    chain: str = "barrier",
 ) -> float:
     """Robust seconds-per-op via in-graph lax.scan repeats + slope fit.
 
-    The op runs ``reps`` times inside one jitted scan (dependency-chained with
-    ``optimization_barrier`` so XLA cannot hoist or dedupe), at two repeat
-    counts sized so the *difference* in device time is >> the relay jitter;
-    the slope between them cancels every fixed per-invocation cost. This is
-    the TPU-tunnel equivalent of the reference's cudaEvent-around-100-
-    dispatches loop (flash_attention.cu:949-956).
+    The op runs ``reps`` times inside one jitted scan, dependency-chained so
+    XLA cannot hoist or dedupe iterations, at two repeat counts sized so the
+    *difference* in device time is >> the relay jitter; the slope between
+    them cancels every fixed per-invocation cost. This is the TPU-tunnel
+    equivalent of the reference's cudaEvent-around-100-dispatches loop
+    (flash_attention.cu:949-956).
+
+    chain: "barrier" threads every arg through optimization_barrier each
+      iteration; "add" perturbs only the first arg with tok*0 (cannot be
+      algebraically folded: NaN*0 = NaN). Use "add" when the op captures
+      large arrays — barrier-in-carry plus multi-hundred-MB operands hangs
+      XLA's loop optimizer.
     """
     import jax.numpy as jnp
 
     def make(reps):
-        @jax.jit
-        def run(*a):
-            def body(carry, _):
-                ca, tok = carry
-                o = fn(*ca)
-                leaf = jax.tree_util.tree_leaves(o)[0]
-                tok2 = leaf.reshape(-1)[0].astype(jnp.float32)
-                ca2 = jax.lax.optimization_barrier(a + (tok2,))
-                return (ca2[:-1], ca2[-1]), ()
+        if chain == "barrier":
 
-            init = jax.lax.optimization_barrier(a + (jnp.float32(0),))
-            (_, tok), _ = jax.lax.scan(body, (init[:-1], init[-1]), None, length=reps)
-            return tok
+            @jax.jit
+            def run(*a):
+                def body(carry, _):
+                    ca, tok = carry
+                    o = fn(*ca)
+                    leaf = jax.tree_util.tree_leaves(o)[0]
+                    tok2 = leaf.reshape(-1)[0].astype(jnp.float32)
+                    ca2 = jax.lax.optimization_barrier(a + (tok2,))
+                    return (ca2[:-1], ca2[-1]), ()
+
+                init = jax.lax.optimization_barrier(a + (jnp.float32(0),))
+                (_, tok), _ = jax.lax.scan(
+                    body, (init[:-1], init[-1]), None, length=reps
+                )
+                return tok
+
+        else:
+
+            @jax.jit
+            def run(*a):
+                def body(tok, _):
+                    a0 = a[0] + tok.astype(a[0].dtype) * 0
+                    o = fn(a0, *a[1:])
+                    leaf = jax.tree_util.tree_leaves(o)[0]
+                    return leaf.reshape(-1)[0].astype(jnp.float32), ()
+
+                tok, _ = jax.lax.scan(body, jnp.float32(0), None, length=reps)
+                return tok
 
         return run
 
-    overhead = calibrate_overhead_s()
-    # Calibration pass: estimate the per-op time from a small fixed-reps scan.
-    t8 = min(time_fn(make(8), *args, warmup=2, iters=3, runs=2))
-    est = max((t8 - overhead) / 8, 1e-7)
+    if est_s is not None:
+        # Deterministic reps from a caller-supplied time model: skips the
+        # calibration compile AND makes scan lengths reproducible across runs
+        # (100% persistent-compilation-cache hits on re-benchmarks).
+        est = max(est_s, 1e-7)
+    else:
+        overhead = calibrate_overhead_s()
+        # Calibration pass: estimate per-op time from a small fixed-reps scan.
+        t8 = min(time_fn(make(8), *args, warmup=2, iters=3, runs=2))
+        est = max((t8 - overhead) / 8, 1e-7)
     reps_hi = _round_pow2(target_hi_s / est, 16, 8192)
     reps_lo = reps_hi // 4
     t_lo = min(time_fn(make(reps_lo), *args, warmup=1, iters=iters, runs=runs))

@@ -1,0 +1,164 @@
+"""Paged KV-cache attention tests: kernel vs oracle over scattered pages,
+write paths, and the native page allocator."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from flash_attention_tpu.ops.paged import (
+    PagedKVCache,
+    init_paged_cache,
+    paged_decode_attention,
+    paged_write_prefill,
+    paged_write_tokens,
+)
+from flash_attention_tpu.ops.reference import reference_attention
+from flash_attention_tpu.serving.allocator import PageAllocator
+from flash_attention_tpu.utils.testing import assert_close, make_qkv
+
+PAGE = 128
+
+
+def build_scattered_cache(seed, num_slots, kv_heads, lengths, pages_per_slot,
+                          head_dim=128, num_pages=64):
+    """Fill a paged cache with random K/V via a shuffled page table; returns
+    (cache, dense_k, dense_v) where dense arrays are [S, H, max_len, D]."""
+    rng = np.random.RandomState(seed)
+    max_len = pages_per_slot * PAGE
+    _, k, v = make_qkv(seed, num_slots, kv_heads, 1, head_dim, kv_seq=max_len)
+    cache = init_paged_cache(
+        num_pages=num_pages, num_slots=num_slots, pages_per_slot=pages_per_slot,
+        kv_heads=kv_heads, page_size=PAGE, head_dim=head_dim,
+    )
+    # Scattered (shuffled) physical page assignment — the whole point of
+    # paging is that logical pages land anywhere.
+    phys = rng.permutation(num_pages)[: num_slots * pages_per_slot]
+    table = phys.reshape(num_slots, pages_per_slot).astype(np.int32)
+    k_pages = np.zeros(cache.k_pages.shape, np.float32)
+    v_pages = np.zeros(cache.v_pages.shape, np.float32)
+    for s in range(num_slots):
+        for p in range(pages_per_slot):
+            sl = slice(p * PAGE, (p + 1) * PAGE)
+            k_pages[table[s, p]] = np.asarray(k[s, :, sl], np.float32)
+            v_pages[table[s, p]] = np.asarray(v[s, :, sl], np.float32)
+    cache = cache._replace(
+        k_pages=jnp.asarray(k_pages, cache.k_pages.dtype),
+        v_pages=jnp.asarray(v_pages, cache.v_pages.dtype),
+        page_table=jnp.asarray(table),
+        lengths=jnp.asarray(lengths, jnp.int32),
+    )
+    return cache, k, v
+
+
+@pytest.mark.parametrize("group", [1, 4])
+def test_paged_decode_matches_oracle(group):
+    num_slots, kv_heads, pages_per_slot = 3, 2, 4
+    lengths = np.array([512, 200, 37], np.int32)  # page-aligned, ragged, tiny
+    cache, k, v = build_scattered_cache(0, num_slots, kv_heads, lengths, pages_per_slot)
+    q, _, _ = make_qkv(7, num_slots, kv_heads * group, 1, 128)
+    q = q[:, :, 0, :]
+
+    got = paged_decode_attention(q, cache)
+    want = reference_attention(
+        q[:, :, None, :], k, v, kv_length=jnp.asarray(lengths)
+    )[:, :, 0, :]
+    assert_close(got, want)
+
+
+def test_paged_decode_residuals_match_dense():
+    from flash_attention_tpu.ops.decode import decode_attention
+
+    num_slots, kv_heads, pages_per_slot = 2, 2, 2
+    lengths = np.array([256, 100], np.int32)
+    cache, k, v = build_scattered_cache(1, num_slots, kv_heads, lengths, pages_per_slot)
+    q, _, _ = make_qkv(8, num_slots, kv_heads, 1, 128)
+    q = q[:, :, 0, :]
+    o_p, lse_p = paged_decode_attention(q, cache, save_residuals=True)
+    o_d, lse_d = decode_attention(
+        q, k, v, jnp.asarray(lengths), block_kv=PAGE, save_residuals=True
+    )
+    assert_close(o_p, o_d)
+    np.testing.assert_allclose(np.asarray(lse_p), np.asarray(lse_d), atol=2e-2)
+
+
+def test_paged_write_prefill_and_tokens():
+    kv_heads, pages_per_slot = 2, 4
+    cache = init_paged_cache(
+        num_pages=16, num_slots=2, pages_per_slot=pages_per_slot,
+        kv_heads=kv_heads, page_size=PAGE,
+    )
+    cache = cache._replace(
+        page_table=jnp.asarray([[5, 3, 9, 1], [0, 7, 2, 8]], jnp.int32)
+    )
+    # Prefill slot 0 with 150 real tokens (padded to 2 pages = 256).
+    _, k, v = make_qkv(2, 1, kv_heads, 1, 128, kv_seq=256)
+    cache = paged_write_prefill(cache, k[0], v[0], 0, 150)
+    assert int(cache.lengths[0]) == 150
+    q, _, _ = make_qkv(3, 2, kv_heads, 1, 128)
+    q = q[:, :, 0, :]
+    got = paged_decode_attention(q, cache)
+    want = reference_attention(
+        q[:1, :, None, :], k[:, :, :150], v[:, :, :150]
+    )[:, :, 0, :]
+    assert_close(got[:1], want)
+
+    # Append 3 tokens one at a time to slot 0 (crossing nothing; pos 150..152)
+    _, k_new, v_new = make_qkv(4, 3, kv_heads, 1, 128, kv_seq=1)
+    k_new = k_new[:, :, 0, :]
+    v_new = v_new[:, :, 0, :]
+    for i in range(3):
+        cache = paged_write_tokens(
+            cache, k_new[i : i + 1], v_new[i : i + 1], jnp.asarray([0])
+        )
+    assert int(cache.lengths[0]) == 153
+    got2 = paged_decode_attention(q, cache)
+    k_full = jnp.concatenate([k[:, :, :150], k_new.transpose(1, 0, 2)[None]], axis=2)
+    v_full = jnp.concatenate([v[:, :, :150], v_new.transpose(1, 0, 2)[None]], axis=2)
+    want2 = reference_attention(q[:1, :, None, :], k_full, v_full)[:, :, 0, :]
+    assert_close(got2[:1], want2)
+
+
+def test_paged_write_crosses_page_boundary():
+    kv_heads = 2
+    cache = init_paged_cache(
+        num_pages=8, num_slots=1, pages_per_slot=3, kv_heads=kv_heads, page_size=PAGE
+    )
+    cache = cache._replace(page_table=jnp.asarray([[4, 1, 6]], jnp.int32))
+    # Fill to one token before the boundary, then append across it.
+    _, k, v = make_qkv(5, 1, kv_heads, 1, 128, kv_seq=PAGE)
+    cache = paged_write_prefill(cache, k[0], v[0], 0, PAGE - 1)
+    _, k_new, v_new = make_qkv(6, 2, kv_heads, 1, 128, kv_seq=1)
+    k_new, v_new = k_new[:, :, 0, :], v_new[:, :, 0, :]
+    cache = paged_write_tokens(cache, k_new[:1], v_new[:1], jnp.asarray([0]))
+    cache = paged_write_tokens(cache, k_new[1:], v_new[1:], jnp.asarray([0]))
+    assert int(cache.lengths[0]) == PAGE + 1
+    # Token at position PAGE-1 replaced nothing (was the padded row); token at
+    # PAGE must live in physical page 1 (logical page 1 -> phys 1).
+    q, _, _ = make_qkv(9, 1, kv_heads, 1, 128)
+    q = q[:, :, 0, :]
+    got = paged_decode_attention(q, cache)
+    k_full = jnp.concatenate(
+        [k[:, :, : PAGE - 1], k_new.transpose(1, 0, 2)[None]], axis=2
+    )
+    v_full = jnp.concatenate(
+        [v[:, :, : PAGE - 1], v_new.transpose(1, 0, 2)[None]], axis=2
+    )
+    want = reference_attention(q[:, :, None, :], k_full, v_full)[:, :, 0, :]
+    assert_close(got, want)
+
+
+def test_page_allocator():
+    a = PageAllocator(8)
+    assert a.free_count == 8
+    p1 = a.acquire(3)
+    assert p1 is not None and len(set(p1)) == 3
+    p2 = a.acquire(5)
+    assert p2 is not None and not (set(p1) & set(p2))
+    assert a.free_count == 0
+    assert a.acquire(1) is None  # exhausted: all-or-nothing refusal
+    a.release(p1)
+    assert a.free_count == 3
+    p3 = a.acquire(2)
+    assert set(p3) <= set(p1)
+    a.close()
