@@ -389,8 +389,11 @@ def _fwd_impl(
 # fused Pallas dq / dkv kernels (ops/attention_bwd.py). The reference has no
 # backward at all (SURVEY.md §2) — this is new capability, same numerics
 # contract.
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
-def _fa(q, k, v, causal, sm_scale, block_sizes, bwd_block_sizes, interpret):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
+def _fa(
+    q, k, v, causal, sm_scale, block_sizes, res_block_sizes, bwd_block_sizes,
+    interpret,
+):
     return _fwd_impl(
         q, k, v,
         causal=causal, sm_scale=sm_scale, block_sizes=block_sizes,
@@ -398,16 +401,26 @@ def _fa(q, k, v, causal, sm_scale, block_sizes, bwd_block_sizes, interpret):
     )
 
 
-def _fa_fwd(q, k, v, causal, sm_scale, block_sizes, bwd_block_sizes, interpret):
+def _fa_fwd(
+    q, k, v, causal, sm_scale, block_sizes, res_block_sizes, bwd_block_sizes,
+    interpret,
+):
+    # Under jax.grad the forward must emit the LSE residual, whose extra fp32
+    # output block needs the residuals-tuned dispatch (VMEM headroom). The
+    # primal value can differ from the no-grad path only by accumulation
+    # order (block shapes), well inside the numerics tolerance.
     out, lse2 = _fwd_impl(
         q, k, v,
-        causal=causal, sm_scale=sm_scale, block_sizes=block_sizes,
+        causal=causal, sm_scale=sm_scale, block_sizes=res_block_sizes,
         save_residuals=True, interpret=interpret,
     )
     return out, (q, k, v, out, lse2)
 
 
-def _fa_bwd(causal, sm_scale, block_sizes, bwd_block_sizes, interpret, res, g):
+def _fa_bwd(
+    causal, sm_scale, block_sizes, res_block_sizes, bwd_block_sizes, interpret,
+    res, g,
+):
     from flash_attention_tpu.ops.attention_bwd import flash_attention_bwd
 
     q, k, v, out, lse2 = res
@@ -478,10 +491,16 @@ def flash_attention(
         sm_scale = 1.0 / math.sqrt(head_dim)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    res_block_sizes = select_block_sizes(
+        min(q_len, kv_len), causal=causal, head_dim=head_dim, save_residuals=True
+    )
     if block_sizes is None:
         block_sizes = select_block_sizes(
-            min(q_len, kv_len), causal=causal, head_dim=head_dim
+            min(q_len, kv_len), causal=causal, head_dim=head_dim,
+            save_residuals=save_residuals,
         )
+    elif save_residuals:
+        res_block_sizes = block_sizes
     if bwd_block_sizes is None:
         bwd_block_sizes = select_bwd_block_sizes(
             min(q_len, kv_len), causal=causal, head_dim=head_dim
@@ -493,4 +512,7 @@ def flash_attention(
             causal=causal, sm_scale=sm_scale, block_sizes=block_sizes,
             save_residuals=True, interpret=interpret,
         )
-    return _fa(q, k, v, causal, sm_scale, block_sizes, bwd_block_sizes, interpret)
+    return _fa(
+        q, k, v, causal, sm_scale, block_sizes, res_block_sizes,
+        bwd_block_sizes, interpret,
+    )

@@ -73,20 +73,34 @@ def _ceil_to(x: int, m: int) -> int:
     return max(m, -(-x // m) * m)
 
 
-def select_block_sizes(seq: int, *, causal: bool, head_dim: int = 128) -> BlockSizes:
-    """Pick forward block sizes for a (seq, causal) config.
+def select_block_sizes(
+    seq: int, *, causal: bool, head_dim: int = 128, save_residuals: bool = False
+) -> BlockSizes:
+    """Pick forward block sizes for a (seq, causal, residuals) config.
 
     Mirrors the dispatch keying of flash_attention.cu:620-661; values from the
-    v5e autotune sweep (see module docstring). Rules:
-      * seq <= 2048 causal / <= 1024 non-causal: single tile (bq = bkv = seq)
-      * 1024 < seq <= 2048 non-causal: (1024, seq)
-      * larger: (1024, 1024)
+    v5e autotune sweep (see module docstring). The residuals path (LSE output
+    — used under jax.grad, by ring attention, and by split merging) carries an
+    extra fp32 output block, which pushes the (1024,1024,h2) configs over the
+    16 MB scoped-VMEM limit; its sweep favors (512,1024,h2) instead (within
+    ~2% of the non-residual rates at long seq: 166.6 TF non-causal / 137.3 TF
+    causal at 8K).
     """
     pad_seq = _ceil_to(seq, 128)
     if head_dim > 128:
         # Tuned at head_dim=128; larger heads scale the VMEM accumulators, so
         # fall back to unbatched heads rather than risk scoped-VMEM OOM.
         return BlockSizes(block_q=min(1024, pad_seq), block_kv=min(1024, pad_seq))
+    if save_residuals:
+        if causal:
+            if pad_seq <= 512:
+                return BlockSizes(block_q=pad_seq, block_kv=pad_seq, block_h=2)
+            if pad_seq <= 1024:
+                return BlockSizes(block_q=pad_seq, block_kv=pad_seq, block_h=1)
+            return BlockSizes(block_q=512, block_kv=1024, block_h=2)
+        if pad_seq <= 768:
+            return BlockSizes(block_q=pad_seq, block_kv=pad_seq, block_h=2)
+        return BlockSizes(block_q=512, block_kv=min(1024, pad_seq), block_h=2)
     if causal:
         if pad_seq <= 512:
             return BlockSizes(block_q=pad_seq, block_kv=pad_seq, block_h=4)

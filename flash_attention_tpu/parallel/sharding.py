@@ -55,7 +55,7 @@ def make_sharded_decode_attention(
     mesh: Mesh,
     *,
     sm_scale: float | None = None,
-    block_kv: int = 512,
+    block_kv: int | None = None,
     data_axis: str = "data",
     model_axis: str = "model",
 ):
