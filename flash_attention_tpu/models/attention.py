@@ -148,6 +148,64 @@ def attention_prefill(
     return out.astype(x.dtype), cache
 
 
+def attention_prefill_paged(
+    params, cfg: AttentionConfig, x: jax.Array, paged_cache, slot, true_len,
+    *, block_sizes=None
+):
+    """Causal prefill of ONE sequence ([1, T, model_dim], T a multiple of the
+    page size) writing its K/V into ``slot``'s pages of a PagedKVCache.
+
+    Returns (output [1, T, model_dim], updated cache).
+    """
+    from flash_attention_tpu.ops.paged import paged_write_prefill
+
+    _, t, _ = x.shape
+    q = jnp.einsum("btm,mhd->bhtd", x, params["wq"]).astype(cfg.jnp_dtype)
+    k = jnp.einsum("btm,mhd->bhtd", x, params["wk"]).astype(cfg.jnp_dtype)
+    v = jnp.einsum("btm,mhd->bhtd", x, params["wv"]).astype(cfg.jnp_dtype)
+    positions = jnp.arange(t)[None, None, :]
+    q = apply_rope(q, positions, theta=cfg.rope_theta)
+    k = apply_rope(k, positions, theta=cfg.rope_theta)
+
+    o = flash_attention(q, k, v, causal=True, block_sizes=block_sizes)
+    out = jnp.einsum(
+        "bhtd,hdm->btm", o.astype(jnp.float32), params["wo"].astype(jnp.float32)
+    )
+    paged_cache = paged_write_prefill(paged_cache, k[0], v[0], slot, true_len)
+    return out.astype(x.dtype), paged_cache
+
+
+def attention_decode_paged(params, cfg: AttentionConfig, x: jax.Array, paged_cache):
+    """One decode step over [num_slots, 1, model_dim] against a paged cache.
+
+    Writes every slot's new K/V token at its current length (the engine
+    freezes lengths for inactive slots afterwards; their writes land in pages
+    they still own, or the dump page once released) and runs paged decode
+    attention. Returns (output [num_slots, 1, model_dim], updated cache).
+    """
+    from flash_attention_tpu.ops.paged import (
+        paged_decode_attention,
+        paged_write_tokens,
+    )
+
+    num_slots = x.shape[0]
+    q = jnp.einsum("btm,mhd->bhtd", x, params["wq"]).astype(cfg.jnp_dtype)
+    k = jnp.einsum("btm,mhd->bhtd", x, params["wk"]).astype(cfg.jnp_dtype)
+    v = jnp.einsum("btm,mhd->bhtd", x, params["wv"]).astype(cfg.jnp_dtype)
+    positions = paged_cache.lengths[:, None, None]
+    q = apply_rope(q, positions, theta=cfg.rope_theta)
+    k = apply_rope(k, positions, theta=cfg.rope_theta)
+
+    paged_cache = paged_write_tokens(
+        paged_cache, k[:, :, 0, :], v[:, :, 0, :], jnp.arange(num_slots)
+    )
+    o = paged_decode_attention(q[:, :, 0, :], paged_cache)
+    out = jnp.einsum(
+        "bhd,hdm->bm", o.astype(jnp.float32), params["wo"].astype(jnp.float32)
+    )
+    return out[:, None, :].astype(x.dtype), paged_cache
+
+
 def attention_decode(
     params, cfg: AttentionConfig, x: jax.Array, cache: KVCache, *, block_kv: int | None = None
 ):

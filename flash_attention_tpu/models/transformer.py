@@ -18,7 +18,9 @@ from flash_attention_tpu.models.attention import (
     AttentionConfig,
     KVCache,
     attention_decode,
+    attention_decode_paged,
     attention_prefill,
+    attention_prefill_paged,
     init_attention_params,
     init_kv_cache,
 )
@@ -146,6 +148,70 @@ def forward(params, cfg: ModelConfig, tokens: jax.Array, caches: list, *, decode
 
 def prefill(params, cfg: ModelConfig, tokens: jax.Array, caches: list):
     return forward(params, cfg, tokens, caches, decode=False)
+
+
+def init_paged_caches(
+    cfg: ModelConfig, *, num_pages: int, num_slots: int, pages_per_slot: int,
+    page_size: int = 128,
+) -> list:
+    from flash_attention_tpu.ops.paged import init_paged_cache
+
+    return [
+        init_paged_cache(
+            num_pages=num_pages, num_slots=num_slots,
+            pages_per_slot=pages_per_slot, kv_heads=cfg.num_kv_heads,
+            page_size=page_size, head_dim=cfg.head_dim, dtype=cfg.jnp_dtype,
+        )
+        for _ in range(cfg.num_layers)
+    ]
+
+
+def _paged_layer(params, acfg, cfg, x, cache, *, decode, slot=None, true_len=None):
+    h = rms_norm(x, params["attn_norm"], cfg.norm_eps)
+    if decode:
+        attn_out, cache = attention_decode_paged(params["attn"], acfg, h, cache)
+    else:
+        attn_out, cache = attention_prefill_paged(
+            params["attn"], acfg, h, cache, slot, true_len
+        )
+    x = x + attn_out
+    h = rms_norm(x, params["mlp_norm"], cfg.norm_eps)
+    x = x + swiglu(h, params["mlp"])
+    return x, cache
+
+
+def prefill_paged(params, cfg: ModelConfig, tokens, caches, slot, true_len):
+    """Prefill ONE sequence ([1, T] tokens, T a page multiple) into its slot's
+    pages. Returns (logits [1, T, vocab], updated caches)."""
+    acfg = cfg.attention_config()
+    x = params["embed"][tokens].astype(cfg.jnp_dtype)
+    new_caches = []
+    for lp, cache in zip(params["layers"], caches):
+        x, cache = _paged_layer(
+            lp, acfg, cfg, x, cache, decode=False, slot=slot, true_len=true_len
+        )
+        new_caches.append(cache)
+    x = rms_norm(x, params["final_norm"], cfg.norm_eps)
+    logits = jnp.einsum(
+        "btm,vm->btv", x, params["embed"], preferred_element_type=jnp.float32
+    )
+    return logits, new_caches
+
+
+def decode_step_paged(params, cfg: ModelConfig, tokens, caches):
+    """One greedy decode step over all slots ([S, 1] tokens) against paged
+    caches. Returns (next_tokens [S, 1], updated caches)."""
+    acfg = cfg.attention_config()
+    x = params["embed"][tokens].astype(cfg.jnp_dtype)
+    new_caches = []
+    for lp, cache in zip(params["layers"], caches):
+        x, cache = _paged_layer(lp, acfg, cfg, x, cache, decode=True)
+        new_caches.append(cache)
+    x = rms_norm(x, params["final_norm"], cfg.norm_eps)
+    logits = jnp.einsum(
+        "btm,vm->btv", x, params["embed"], preferred_element_type=jnp.float32
+    )
+    return jnp.argmax(logits[:, -1:, :], axis=-1), new_caches
 
 
 def decode_step(params, cfg: ModelConfig, tokens: jax.Array, caches: list):

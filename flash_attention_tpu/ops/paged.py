@@ -92,7 +92,10 @@ def paged_write_tokens(
         k_pages, v_pages, lengths = carry
         kt, vt, slot = x
         pos = lengths[slot]
-        logical = pos // page_size
+        # Clamp: a slot at capacity (or an inactive slot whose length froze at
+        # its final value) must not index past its page table — the write
+        # lands in its last page's tail and is masked by ``lengths``.
+        logical = jnp.minimum(pos // page_size, cache.pages_per_slot - 1)
         offset = pos % page_size
         phys = cache.page_table[slot, logical]
         k_pages = jax.lax.dynamic_update_slice(

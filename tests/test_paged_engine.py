@@ -1,0 +1,82 @@
+"""Paged serving engine: must reproduce the dense engine's exact tokens
+(paging is a memory-layout optimization, not a numerics change), recycle
+pages, and defer admission when the pool is exhausted."""
+
+import jax
+import numpy as np
+import pytest
+
+from flash_attention_tpu.models.transformer import ModelConfig, init_model_params
+from flash_attention_tpu.serving.engine import Request, ServingEngine
+from flash_attention_tpu.serving.paged_engine import PagedServingEngine
+
+
+@pytest.fixture(scope="module")
+def model():
+    cfg = ModelConfig(
+        vocab_size=128, model_dim=128, num_layers=2, num_q_heads=4,
+        num_kv_heads=2, head_dim=32, mlp_dim=256, dtype="float32",
+    )
+    params = init_model_params(jax.random.key(0), cfg)
+    return cfg, params
+
+
+REQS = [
+    Request(id=1, prompt=(5, 9, 2), max_new_tokens=6),
+    Request(id=2, prompt=(100, 3, 44, 8, 21, 60, 7), max_new_tokens=9),
+    Request(id=3, prompt=(64,), max_new_tokens=4),
+    Request(id=4, prompt=(11, 12, 13, 14), max_new_tokens=5),
+    Request(id=5, prompt=(90, 2), max_new_tokens=3),
+]
+
+
+def test_paged_engine_matches_dense_engine(model):
+    cfg, params = model
+    dense = ServingEngine(params, cfg, max_slots=3, max_seq=256)
+    want = dense.run(REQS)
+    paged = PagedServingEngine(
+        params, cfg, max_slots=3, num_pages=16, pages_per_slot=2, page_size=128
+    )
+    got = paged.run(REQS)
+    for r in REQS:
+        assert got[r.id].tokens == want[r.id].tokens, f"request {r.id}"
+    # All pages released at the end (15 allocatable; page 0 is the dump page).
+    assert paged.alloc.free_count == 15
+    assert paged.sched.stats().completed == 5
+
+
+def test_paged_engine_page_pool_backpressure(model):
+    cfg, params = model
+    # Pool of 3 allocatable pages, each request needs 1: with 4 slots but only
+    # 3 pages, the 4th admission defers until a page frees, then completes.
+    paged = PagedServingEngine(
+        params, cfg, max_slots=4, num_pages=4, pages_per_slot=2, page_size=128
+    )
+    reqs = [Request(id=i, prompt=(3 * i + 1, 2), max_new_tokens=3) for i in range(4)]
+    got = paged.run(reqs)
+    dense = ServingEngine(params, cfg, max_slots=4, max_seq=256)
+    want = dense.run(reqs)
+    for r in reqs:
+        assert got[r.id].tokens == want[r.id].tokens, f"request {r.id}"
+    assert paged.alloc.free_count == 3
+
+
+def test_paged_engine_pool_too_small_raises(model):
+    cfg, params = model
+    paged = PagedServingEngine(
+        params, cfg, max_slots=1, num_pages=2, pages_per_slot=2, page_size=128
+    )
+    # Needs 2 pages (prompt+budget > 128) but only 1 allocatable: deferred forever.
+    req = Request(id=1, prompt=tuple(range(120)), max_new_tokens=20)
+    with pytest.raises(RuntimeError, match="page pool too small"):
+        paged.run([req])
+
+
+def test_paged_engine_reuse_across_runs(model):
+    cfg, params = model
+    paged = PagedServingEngine(
+        params, cfg, max_slots=2, num_pages=8, pages_per_slot=2, page_size=128
+    )
+    got1 = paged.run([Request(id=1, prompt=(7, 8), max_new_tokens=4)])
+    got2 = paged.run([Request(id=2, prompt=(7, 8), max_new_tokens=4)])
+    assert got1[1].tokens == got2[2].tokens  # same prompt, recycled pages
