@@ -18,3 +18,45 @@ LANES = 128
 
 def ceil_to(x: int, m: int) -> int:
     return -(-x // m) * m
+
+
+def upcast_kv_payload(x, target_dtype):
+    """Cast a KV payload tile to the compute dtype, fast-pathing fp8.
+
+    v5e has no native fp8, so ``astype`` lowers to slow emulated conversion
+    (~4x the whole decode step). Both fp8 formats embed losslessly in
+    bf16/fp16 bit layouts, so widen with integer VPU ops instead:
+
+      * e5m2 is exactly fp16's top byte: widen, shift left 8, bitcast fp16.
+      * e4m3 (bias 7) -> bf16 (bias 127): place exp+mant at bit 4, rebias by
+        adding (127-7)<<7. Denormals flush to zero (quantized payloads put
+        ~absmax-scaled values well above the denormal range; the flush error
+        is < 0.4% of one quantization step).
+
+    NaN payloads are not preserved — acceptable for quantized caches (the
+    quantizer never emits them).
+    """
+    import jax.numpy as _jnp
+
+    if x.dtype == target_dtype:
+        return x
+    if x.dtype in (_jnp.float8_e4m3fn, _jnp.float8_e5m2):
+        # All arithmetic in int32 (Mosaic vectorizes 32-bit shifts natively;
+        # 16-bit shifts are unsupported), assembling the fp32 bit pattern.
+        from jax.experimental.pallas import tpu as _pltpu
+
+        u = _pltpu.bitcast(x, _jnp.uint8).astype(_jnp.int32)
+        sign = (u & 0x80) << 24
+        mag = u & 0x7F
+        if x.dtype == _jnp.float8_e4m3fn:
+            # exp4:mant3 -> fp32 exp at bit 23 (rebias 7 -> 127), mant3 at 20.
+            bits = (mag << 20) + (120 << 23)
+            denorm = mag < 8  # exp4 == 0
+        else:
+            # exp5:mant2 -> fp32 exp at bit 23 (rebias 15 -> 127), mant2 at 21.
+            bits = (mag << 21) + (112 << 23)
+            denorm = mag < 4  # exp5 == 0
+        bits = _jnp.where(denorm, 0, bits) | sign
+        f32 = _pltpu.bitcast(bits, _jnp.float32)
+        return f32.astype(target_dtype)
+    return x.astype(target_dtype)

@@ -34,6 +34,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from flash_attention_tpu.ops.common import upcast_kv_payload
 from flash_attention_tpu.ops.merge import merge_partial_attention
 from flash_attention_tpu.ops.quant import QuantizedTensor
 from flash_attention_tpu.ops.tuning import select_decode_block_sizes
@@ -84,7 +85,7 @@ def _decode_kernel(
         # score tile instead of the [block_kv, D] payload (Gp/D ~= 8x less
         # VPU work, and the payload never materializes in fp32).
         s = jax.lax.dot_general(
-            q, k.astype(q.dtype), (((1,), (1,)), ((), ())),
+            q, upcast_kv_payload(k, q.dtype), (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # [Gp, block_kv]
         if k_scale_ref is not None:
@@ -108,7 +109,7 @@ def _decode_kernel(
             # scales into the small p tile before the PV matmul.
             p = p * v_scale_ref[0, 0]
         pv = jax.lax.dot_general(
-            p.astype(q.dtype), v.astype(q.dtype), (((1,), (0,)), ((), ())),
+            p.astype(q.dtype), upcast_kv_payload(v, q.dtype), (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         acc_scr[...] = acc_scr[...] * alpha[:, :1] + pv
