@@ -67,6 +67,7 @@ def _fwd_kernel(
     num_kv_blocks: int,
     kv_pad: bool,
     tri_refs=None,
+    single_step: bool = False,
 ):
     # Decode/chunked-prefill convention: the last Q row aligns with the last
     # KV row (offset = kv_len - q_len, both true lengths).
@@ -92,6 +93,44 @@ def _fwd_kernel(
             should_run = ikv * block_kv <= (iq + 1) * block_q - 1 + diag_offset
         else:
             should_run = True
+
+    if single_step:
+        # Exactly one KV step per Q block (short-seq single-tile configs):
+        # plain softmax straight to the output — no (m, l, acc) scratch, no
+        # init pass, no alpha rescale. Cuts ~1/3 of the VPU work that
+        # dominates these shapes.
+        q = q_ref[...]
+        k = k_ref[...]
+        s = jax.lax.dot_general(
+            q, k, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        if causal or kv_pad:
+            ok = None
+            shape2d = s.shape[1:]
+            col = jax.lax.broadcasted_iota(jnp.int32, shape2d, 1)
+            if causal:
+                row = jax.lax.broadcasted_iota(jnp.int32, shape2d, 0) + diag_offset
+                ok = col <= row
+            if kv_pad:
+                inb = col < kv_len
+                ok = inb if ok is None else jnp.logical_and(ok, inb)
+            s = jnp.where(ok[None], s, MASK_VALUE)
+        m = jnp.max(s, axis=-1, keepdims=True) * scale2
+        p = jnp.exp2(s * scale2 - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        v = v_ref[...]
+        pv = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        inv = jnp.where(l == 0.0, 0.0, 1.0 / l)
+        o_ref[...] = (pv * inv).astype(o_ref.dtype)
+        if lse_ref is not None:
+            safe_l = jnp.where(l == 0.0, 1.0, l)
+            lse2 = jnp.where(l == 0.0, -jnp.inf, m + jnp.log2(safe_l))
+            lse_ref[...] = jnp.broadcast_to(lse2, lse_ref.shape)
+        return
 
     @pl.when(is_first)
     def _init():
@@ -309,6 +348,7 @@ def _fwd_impl(
             num_kv_blocks=num_kv_blocks,
             kv_pad=kv_padded != kv_len,
             tri_refs=tri_refs,
+            single_step=num_q_blocks == 1 and num_kv_blocks == 1,
         )
 
     if tri:

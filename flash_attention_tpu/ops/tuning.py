@@ -14,15 +14,17 @@ heads=32, head_dim=128, bf16, with the triangular causal grid and
 head-batching (block_q, block_kv, block_h):
 
   seq      non-causal                     causal
-  512      (512,512,h8)    86.9 TF        (512,512,h4)    38.0 TF
-  768      (768,768,h4)   116.1 TF        (768,768,h2)    55.9 TF
-  1024     (1024,1024,h1) 141.0 TF        (1024,1024,h2)  70.3 TF
+  512      (512,512,h4)   129.7 TF        (512,512,h4)    69.4 TF
+  768      (768,768,h4)   138.6 TF        (768,768,h2)    79.1 TF
+  1024     (1024,1024,h2) 143.1 TF        (1024,1024,h2)  80.7 TF
   2048     (1024,1024,h2) 157.9 TF        (1024,1024,h2)  93.8 TF
   4096     (1024,1024,h2) 160.8 TF        (1024,1024,h2) 125.2 TF
   8192     (1024,1024,h2) 169.9 TF        (1024,1024,h2) 137.7 TF
   16384    (1024,1024,h2) 171.2 TF        (1024,1024,h2) 149.3 TF
 
-(v5e bf16 peak 197 TF => non-causal long-seq is ~87% of roofline.)
+(v5e bf16 peak 197 TF => non-causal long-seq is ~87% of roofline. The
+single-tile rows use the kernel's single-step specialization — plain softmax
+with no online-softmax scratch — worth ~1.8x at seq 512.)
 
 The emergent rules: (1024,1024) tiles keep the fp32 score tile plus
 double-buffered KV inside the ~16 MB VMEM budget; block_h=2 halves the number
@@ -114,7 +116,7 @@ def select_block_sizes(
     if pad_seq <= 768:
         return BlockSizes(block_q=pad_seq, block_kv=pad_seq, block_h=4)
     if pad_seq <= 1024:
-        return BlockSizes(block_q=pad_seq, block_kv=pad_seq, block_h=1)
+        return BlockSizes(block_q=pad_seq, block_kv=pad_seq, block_h=2)
     return BlockSizes(block_q=1024, block_kv=1024, block_h=2)
 
 
