@@ -31,6 +31,8 @@ class AttentionConfig:
     rope_theta: float = 10000.0
     kv_quant: str = "none"  # none | int8 | fp8_e4m3 | fp8_e5m2
     dtype: str = "bfloat16"
+    sliding_window: int | None = None  # Mistral-style local attention
+    logit_softcap: float | None = None  # Gemma-style attn logit cap
 
     @property
     def jnp_dtype(self):
@@ -142,7 +144,10 @@ def attention_prefill(
     q = apply_rope(q, positions, theta=cfg.rope_theta)
     k = apply_rope(k, positions, theta=cfg.rope_theta)
 
-    o = flash_attention(q, k, v, causal=True, block_sizes=block_sizes)
+    o = flash_attention(
+        q, k, v, causal=True, block_sizes=block_sizes,
+        sliding_window=cfg.sliding_window, logit_softcap=cfg.logit_softcap,
+    )
     out = jnp.einsum("bhtd,hdm->btm", o.astype(jnp.float32), params["wo"].astype(jnp.float32))
     cache = write_cache(cfg, cache, k, v, jnp.zeros((batch,), jnp.int32))
     return out.astype(x.dtype), cache
@@ -167,7 +172,10 @@ def attention_prefill_paged(
     q = apply_rope(q, positions, theta=cfg.rope_theta)
     k = apply_rope(k, positions, theta=cfg.rope_theta)
 
-    o = flash_attention(q, k, v, causal=True, block_sizes=block_sizes)
+    o = flash_attention(
+        q, k, v, causal=True, block_sizes=block_sizes,
+        sliding_window=cfg.sliding_window, logit_softcap=cfg.logit_softcap,
+    )
     out = jnp.einsum(
         "bhtd,hdm->btm", o.astype(jnp.float32), params["wo"].astype(jnp.float32)
     )
@@ -199,7 +207,10 @@ def attention_decode_paged(params, cfg: AttentionConfig, x: jax.Array, paged_cac
     paged_cache = paged_write_tokens(
         paged_cache, k[:, :, 0, :], v[:, :, 0, :], jnp.arange(num_slots)
     )
-    o = paged_decode_attention(q[:, :, 0, :], paged_cache)
+    o = paged_decode_attention(
+        q[:, :, 0, :], paged_cache,
+        sliding_window=cfg.sliding_window, logit_softcap=cfg.logit_softcap,
+    )
     out = jnp.einsum(
         "bhd,hdm->bm", o.astype(jnp.float32), params["wo"].astype(jnp.float32)
     )
@@ -225,6 +236,7 @@ def attention_decode(
     o = decode_attention(
         q[:, :, 0, :], cache.k_view(), cache.v_view(), cache.lengths,
         block_kv=block_kv,
+        sliding_window=cfg.sliding_window, logit_softcap=cfg.logit_softcap,
     )
     out = jnp.einsum("bhd,hdm->bm", o.astype(jnp.float32), params["wo"].astype(jnp.float32))
     return out[:, None, :].astype(x.dtype), cache

@@ -39,6 +39,8 @@ class ModelConfig:
     norm_eps: float = 1e-5
     kv_quant: str = "none"
     dtype: str = "bfloat16"
+    sliding_window: int | None = None
+    logit_softcap: float | None = None
 
     @property
     def jnp_dtype(self):
@@ -53,6 +55,8 @@ class ModelConfig:
             rope_theta=self.rope_theta,
             kv_quant=self.kv_quant,
             dtype=self.dtype,
+            sliding_window=self.sliding_window,
+            logit_softcap=self.logit_softcap,
         )
 
     @staticmethod

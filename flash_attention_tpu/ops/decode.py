@@ -65,6 +65,9 @@ def _decode_kernel(
     scale2: float,
     block_kv: int,
     num_kv_blocks: int,
+    window: int | None = None,
+    softcap_in: float | None = None,
+    softcap_out: float | None = None,
 ):
     b = pl.program_id(0)
     ikv = pl.program_id(2)
@@ -76,7 +79,14 @@ def _decode_kernel(
         l_scr[...] = jnp.zeros_like(l_scr)
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
-    @pl.when(ikv * block_kv < length)
+    if window is None:
+        live = ikv * block_kv < length
+    else:
+        live = jnp.logical_and(
+            ikv * block_kv < length, (ikv + 1) * block_kv > length - window
+        )
+
+    @pl.when(live)
     def _compute():
         q = q_ref[0, 0]  # [Gp, D]
         k = k_ref[0, 0]  # [block_kv, D]
@@ -90,9 +100,14 @@ def _decode_kernel(
         )  # [Gp, block_kv]
         if k_scale_ref is not None:
             s = s * k_scale_ref[0, 0]  # [1, block_kv] broadcast over rows
+        if softcap_in is not None:
+            s = jnp.tanh(s * softcap_in) * softcap_out
 
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ikv * block_kv
-        s = jnp.where(col < length, s, MASK_VALUE)
+        ok = col < length
+        if window is not None:
+            ok = jnp.logical_and(ok, col >= length - window)
+        s = jnp.where(ok, s, MASK_VALUE)
 
         m_prev = m_scr[...]
         l_prev = l_scr[...]
@@ -134,7 +149,10 @@ def _split_quant(x):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("sm_scale", "block_kv", "save_residuals", "interpret"),
+    static_argnames=(
+        "sm_scale", "block_kv", "save_residuals", "interpret",
+        "sliding_window", "logit_softcap",
+    ),
 )
 def decode_attention(
     q: jax.Array,
@@ -146,6 +164,8 @@ def decode_attention(
     block_kv: int | None = None,
     save_residuals: bool = False,
     interpret: bool | None = None,
+    sliding_window: int | None = None,
+    logit_softcap: float | None = None,
 ):
     """Single-token decode attention over a KV cache.
 
@@ -210,11 +230,21 @@ def decode_attention(
     def last_live(b, lengths_ref):
         return jnp.maximum(pl.cdiv(lengths_ref[b], block_kv) - 1, 0)
 
+    def live_index(b, ikv, lengths_ref):
+        # Clamp into the live range so fully-masked blocks repeat a live
+        # index and issue no DMA: above the length (all modes) and below the
+        # sliding window (local attention reads only ~window rows).
+        idx = jnp.minimum(ikv, last_live(b, lengths_ref))
+        if sliding_window is not None:
+            lo = jnp.maximum(lengths_ref[b] - sliding_window, 0) // block_kv
+            idx = jnp.maximum(idx, lo)
+        return idx
+
     def kv_map(b, h, ikv, lengths_ref):
-        return (b, h, jnp.minimum(ikv, last_live(b, lengths_ref)), 0)
+        return (b, h, live_index(b, ikv, lengths_ref), 0)
 
     def scale_map(b, h, ikv, lengths_ref):
-        return (b, h, 0, jnp.minimum(ikv, last_live(b, lengths_ref)))
+        return (b, h, 0, live_index(b, ikv, lengths_ref))
 
     q_spec = pl.BlockSpec(
         (1, 1, group_pad, d_pad), lambda b, h, ikv, L: (b, h, 0, 0)
@@ -271,6 +301,9 @@ def decode_attention(
             scale2=sm_scale * LOG2E,
             block_kv=block_kv,
             num_kv_blocks=num_kv_blocks,
+            window=sliding_window,
+            softcap_in=None if logit_softcap is None else sm_scale / logit_softcap,
+            softcap_out=None if logit_softcap is None else logit_softcap / sm_scale,
         )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(

@@ -68,6 +68,9 @@ def _fwd_kernel(
     kv_pad: bool,
     tri_refs=None,
     single_step: bool = False,
+    window: int | None = None,
+    softcap_in: float | None = None,
+    softcap_out: float | None = None,
 ):
     # Decode/chunked-prefill convention: the last Q row aligns with the last
     # KV row (offset = kv_len - q_len, both true lengths).
@@ -105,13 +108,21 @@ def _fwd_kernel(
             q, k, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )
-        if causal or kv_pad:
+        if softcap_in is not None:
+            # Gemma-style logit cap, rescaled so the downstream scale2-folded
+            # exp2 path applies unchanged: capped_logits/sm_scale.
+            s = jnp.tanh(s * softcap_in) * softcap_out
+        if causal or kv_pad or window is not None:
             ok = None
             shape2d = s.shape[1:]
             col = jax.lax.broadcasted_iota(jnp.int32, shape2d, 1)
-            if causal:
+            if causal or window is not None:
                 row = jax.lax.broadcasted_iota(jnp.int32, shape2d, 0) + diag_offset
+            if causal:
                 ok = col <= row
+            if window is not None:
+                vis = col > row - window
+                ok = vis if ok is None else jnp.logical_and(ok, vis)
             if kv_pad:
                 inb = col < kv_len
                 ok = inb if ok is None else jnp.logical_and(ok, inb)
@@ -154,23 +165,32 @@ def _fwd_kernel(
             preferred_element_type=jnp.float32,
         )  # [hb, block_q, block_kv] raw scores; scale applied below.
 
+        if softcap_in is not None:
+            # Gemma-style logit cap, rescaled so the downstream scale2-folded
+            # exp2 path applies unchanged: capped_logits/sm_scale.
+            s = jnp.tanh(s * softcap_in) * softcap_out
+
         # Masking is applied unconditionally when the config needs it at all:
         # a fully-live tile evaluates to all-true and the select costs ~2%,
         # whereas gating it behind lax.cond costs ~2x on Mosaic (the cond
         # materializes both vector branches and breaks software pipelining).
-        if causal or kv_pad:
+        if causal or kv_pad or window is not None:
             # The mask is head-independent: build it 2D and broadcast over the
             # head-batch dim (hb x smaller iota/compare tiles in VMEM).
             ok = None
             shape2d = s.shape[1:]
             col = jax.lax.broadcasted_iota(jnp.int32, shape2d, 1) + ikv * block_kv
-            if causal:
+            if causal or window is not None:
                 row = (
                     jax.lax.broadcasted_iota(jnp.int32, shape2d, 0)
                     + iq * block_q
                     + diag_offset
                 )
+            if causal:
                 ok = col <= row
+            if window is not None:
+                vis = col > row - window
+                ok = vis if ok is None else jnp.logical_and(ok, vis)
             if kv_pad:
                 inb = col < kv_len
                 ok = inb if ok is None else jnp.logical_and(ok, inb)
@@ -224,6 +244,8 @@ def _fwd_impl(
     block_sizes: BlockSizes,
     save_residuals: bool,
     interpret: bool,
+    window: int | None = None,
+    softcap: float | None = None,
 ):
     """Forward implementation; defaults already resolved by the caller."""
     batch, num_q_heads, q_len, head_dim = q.shape
@@ -277,11 +299,18 @@ def _fwd_impl(
                 ((iq_i + 1) * block_q - 1 + diag_offset) // block_kv,
                 num_kv_blocks - 1,
             )
-            for ikv_i in range(last_live + 1):
+            first_live = 0
+            if window is not None:
+                # Earliest column any row of this Q block can see.
+                first_live = max(
+                    0, (iq_i * block_q + diag_offset - window + 1) // block_kv
+                )
+            for ikv_i in range(first_live, last_live + 1):
                 iq_list.append(iq_i)
                 ikv_list.append(ikv_i)
                 flag_list.append(
-                    (1 if ikv_i == 0 else 0) | (2 if ikv_i == last_live else 0)
+                    (1 if ikv_i == first_live else 0)
+                    | (2 if ikv_i == last_live else 0)
                 )
         tri_iq = jnp.asarray(iq_list, jnp.int32)
         tri_ikv = jnp.asarray(ikv_list, jnp.int32)
@@ -349,6 +378,9 @@ def _fwd_impl(
             kv_pad=kv_padded != kv_len,
             tri_refs=tri_refs,
             single_step=num_q_blocks == 1 and num_kv_blocks == 1,
+            window=window,
+            softcap_in=None if softcap is None else sm_scale / softcap,
+            softcap_out=None if softcap is None else softcap / sm_scale,
         )
 
     if tri:
@@ -429,21 +461,22 @@ def _fwd_impl(
 # fused Pallas dq / dkv kernels (ops/attention_bwd.py). The reference has no
 # backward at all (SURVEY.md §2) — this is new capability, same numerics
 # contract.
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9, 10))
 def _fa(
     q, k, v, causal, sm_scale, block_sizes, res_block_sizes, bwd_block_sizes,
-    interpret,
+    interpret, window, softcap,
 ):
     return _fwd_impl(
         q, k, v,
         causal=causal, sm_scale=sm_scale, block_sizes=block_sizes,
         save_residuals=False, interpret=interpret,
+        window=window, softcap=softcap,
     )
 
 
 def _fa_fwd(
     q, k, v, causal, sm_scale, block_sizes, res_block_sizes, bwd_block_sizes,
-    interpret,
+    interpret, window, softcap,
 ):
     # Under jax.grad the forward must emit the LSE residual, whose extra fp32
     # output block needs the residuals-tuned dispatch (VMEM headroom). The
@@ -453,16 +486,22 @@ def _fa_fwd(
         q, k, v,
         causal=causal, sm_scale=sm_scale, block_sizes=res_block_sizes,
         save_residuals=True, interpret=interpret,
+        window=window, softcap=softcap,
     )
     return out, (q, k, v, out, lse2)
 
 
 def _fa_bwd(
     causal, sm_scale, block_sizes, res_block_sizes, bwd_block_sizes, interpret,
-    res, g,
+    window, softcap, res, g,
 ):
     from flash_attention_tpu.ops.attention_bwd import flash_attention_bwd
 
+    if window is not None or softcap is not None:
+        raise NotImplementedError(
+            "backward pass with sliding_window / logit_softcap is not "
+            "implemented yet (forward/serving only)"
+        )
     q, k, v, out, lse2 = res
     dq, dk, dv = flash_attention_bwd(
         q, k, v, out, lse2, g,
@@ -484,6 +523,8 @@ _fa.defvjp(_fa_fwd, _fa_bwd)
         "bwd_block_sizes",
         "save_residuals",
         "interpret",
+        "sliding_window",
+        "logit_softcap",
     ),
 )
 def flash_attention(
@@ -497,6 +538,8 @@ def flash_attention(
     bwd_block_sizes: BlockSizes | None = None,
     save_residuals: bool = False,
     interpret: bool | None = None,
+    sliding_window: int | None = None,
+    logit_softcap: float | None = None,
 ):
     """Fused multi-head flash attention (differentiable).
 
@@ -527,6 +570,13 @@ def flash_attention(
         raise ValueError(f"k/v shape mismatch: {k.shape} vs {v.shape}")
     if causal and kv_len < q_len:
         raise ValueError("causal requires kv_seq >= q_seq")
+    if sliding_window is not None:
+        if not causal:
+            raise ValueError("sliding_window requires causal=True")
+        if sliding_window < 1:
+            raise ValueError(f"sliding_window must be >= 1, got {sliding_window}")
+    if logit_softcap is not None and logit_softcap <= 0:
+        raise ValueError(f"logit_softcap must be > 0, got {logit_softcap}")
     if sm_scale is None:
         sm_scale = 1.0 / math.sqrt(head_dim)
     if interpret is None:
@@ -535,9 +585,16 @@ def flash_attention(
         min(q_len, kv_len), causal=causal, head_dim=head_dim, save_residuals=True
     )
     if block_sizes is None:
+        # The window mask's compare tiles and the softcap's tanh temporary,
+        # like the LSE residual output, eat the (1024,1024,h2) configs' last
+        # scraps of VMEM — all take the lower-VMEM dispatch variants.
         block_sizes = select_block_sizes(
             min(q_len, kv_len), causal=causal, head_dim=head_dim,
-            save_residuals=save_residuals,
+            save_residuals=(
+                save_residuals
+                or sliding_window is not None
+                or logit_softcap is not None
+            ),
         )
     elif save_residuals:
         res_block_sizes = block_sizes
@@ -551,8 +608,9 @@ def flash_attention(
             q, k, v,
             causal=causal, sm_scale=sm_scale, block_sizes=block_sizes,
             save_residuals=True, interpret=interpret,
+            window=sliding_window, softcap=logit_softcap,
         )
     return _fa(
         q, k, v, causal, sm_scale, block_sizes, res_block_sizes,
-        bwd_block_sizes, interpret,
+        bwd_block_sizes, interpret, sliding_window, logit_softcap,
     )

@@ -173,6 +173,9 @@ def _paged_decode_kernel(
     scale2: float,
     page_size: int,
     pages_per_slot: int,
+    window: int | None = None,
+    softcap_in: float | None = None,
+    softcap_out: float | None = None,
 ):
     b = pl.program_id(0)
     ip = pl.program_id(2)
@@ -184,15 +187,27 @@ def _paged_decode_kernel(
         l_scr[...] = jnp.zeros_like(l_scr)
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
-    @pl.when(ip * page_size < length)
+    if window is None:
+        live = ip * page_size < length
+    else:
+        live = jnp.logical_and(
+            ip * page_size < length, (ip + 1) * page_size > length - window
+        )
+
+    @pl.when(live)
     def _compute():
         q = q_ref[0, 0]  # [Gp, D]
         k = k_ref[0, 0]  # [page, D]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )  # [Gp, page]
+        if softcap_in is not None:
+            s = jnp.tanh(s * softcap_in) * softcap_out
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ip * page_size
-        s = jnp.where(col < length, s, MASK_VALUE)
+        ok = col < length
+        if window is not None:
+            ok = jnp.logical_and(ok, col >= length - window)
+        s = jnp.where(ok, s, MASK_VALUE)
 
         m_prev = m_scr[...]
         l_prev = l_scr[...]
@@ -223,7 +238,11 @@ def _paged_decode_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("sm_scale", "save_residuals", "interpret")
+    jax.jit,
+    static_argnames=(
+        "sm_scale", "save_residuals", "interpret", "sliding_window",
+        "logit_softcap",
+    ),
 )
 def paged_decode_attention(
     q: jax.Array,
@@ -232,6 +251,8 @@ def paged_decode_attention(
     sm_scale: float | None = None,
     save_residuals: bool = False,
     interpret: bool | None = None,
+    sliding_window: int | None = None,
+    logit_softcap: float | None = None,
 ):
     """Single-token decode over the paged cache.
 
@@ -282,6 +303,9 @@ def paged_decode_attention(
 
     def kv_map(b, h, ip, lengths_ref, table_ref):
         ip_c = jnp.minimum(ip, last_live(b, lengths_ref))
+        if sliding_window is not None:
+            lo = jnp.maximum(lengths_ref[b] - sliding_window, 0) // page_size
+            ip_c = jnp.maximum(ip_c, lo)
         return (h, table_ref[b * pages_per_slot + ip_c], 0, 0)
 
     q_spec = pl.BlockSpec(
@@ -318,6 +342,9 @@ def paged_decode_attention(
             scale2=sm_scale * LOG2E,
             page_size=page_size,
             pages_per_slot=pages_per_slot,
+            window=sliding_window,
+            softcap_in=None if logit_softcap is None else sm_scale / logit_softcap,
+            softcap_out=None if logit_softcap is None else logit_softcap / sm_scale,
         )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(

@@ -29,6 +29,8 @@ def reference_attention(
     sm_scale: float | None = None,
     kv_length: jax.Array | None = None,
     out_dtype=None,
+    sliding_window: int | None = None,
+    logit_softcap: float | None = None,
 ) -> jax.Array:
     """Naive fp32 attention over [batch, heads, seq, head_dim] inputs.
 
@@ -63,6 +65,8 @@ def reference_attention(
     vf = jnp.repeat(v.astype(jnp.float32), group, axis=1)
 
     scores = jnp.einsum("bhqd,bhkd->bhqk", qf, kf, precision=jax.lax.Precision.HIGHEST) * sm_scale
+    if logit_softcap is not None:
+        scores = logit_softcap * jnp.tanh(scores / logit_softcap)
 
     mask = None
     if causal:
@@ -70,6 +74,8 @@ def reference_attention(
         row = jnp.arange(q_len)[:, None] + (kv_len - q_len)
         col = jnp.arange(kv_len)[None, :]
         mask = col <= row  # [Sq, Skv]
+        if sliding_window is not None:
+            mask = mask & (col > row - sliding_window)
         mask = mask[None, None]
     if kv_length is not None:
         len_mask = jnp.arange(kv_len)[None, :] < kv_length[:, None]  # [B, Skv]
