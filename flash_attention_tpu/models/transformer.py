@@ -165,6 +165,7 @@ def init_paged_caches(
             num_pages=num_pages, num_slots=num_slots,
             pages_per_slot=pages_per_slot, kv_heads=cfg.num_kv_heads,
             page_size=page_size, head_dim=cfg.head_dim, dtype=cfg.jnp_dtype,
+            kv_quant=cfg.kv_quant,
         )
         for _ in range(cfg.num_layers)
     ]

@@ -27,7 +27,13 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from flash_attention_tpu.ops.common import LANES, LOG2E, MASK_VALUE, ceil_to
+from flash_attention_tpu.ops.common import (
+    LANES,
+    LOG2E,
+    MASK_VALUE,
+    ceil_to,
+    upcast_kv_payload,
+)
 
 MIN_GROUP_BLOCK = 16  # bf16 sublane tile height
 
@@ -35,7 +41,11 @@ MIN_GROUP_BLOCK = 16  # bf16 sublane tile height
 class PagedKVCache(NamedTuple):
     """Paged KV storage.
 
-    k_pages, v_pages: [num_pages, kv_heads, page_size, head_dim].
+    k_pages, v_pages: [num_pages, kv_heads, page_size, head_dim] — bf16/fp16
+      or quantized int8/fp8 payloads.
+    k_scales, v_scales: None, or [num_pages, kv_heads, 1, page_size] fp32
+      per-token dequant scales (lane-oriented so the kernel's late scaling
+      needs no relayout).
     page_table: [num_slots, pages_per_slot] int32 — physical page id per
       logical page; entries past the sequence's last page are unused (any
       value; the kernel clamps and predicates on ``lengths``).
@@ -46,6 +56,8 @@ class PagedKVCache(NamedTuple):
     v_pages: jax.Array
     page_table: jax.Array
     lengths: jax.Array
+    k_scales: jax.Array | None = None
+    v_scales: jax.Array | None = None
 
     @property
     def page_size(self) -> int:
@@ -54,6 +66,9 @@ class PagedKVCache(NamedTuple):
     @property
     def pages_per_slot(self) -> int:
         return self.page_table.shape[1]
+
+    def quantized(self) -> bool:
+        return self.k_scales is not None
 
 
 def init_paged_cache(
@@ -65,14 +80,40 @@ def init_paged_cache(
     page_size: int = 512,
     head_dim: int = 128,
     dtype=jnp.bfloat16,
+    kv_quant: str = "none",
 ) -> PagedKVCache:
+    if kv_quant == "int8":
+        payload = jnp.int8
+    elif kv_quant == "fp8_e4m3":
+        payload = jnp.float8_e4m3fn
+    elif kv_quant == "fp8_e5m2":
+        payload = jnp.float8_e5m2
+    elif kv_quant == "none":
+        payload = dtype
+    else:
+        raise ValueError(f"unknown kv_quant {kv_quant!r}")
     shape = (num_pages, kv_heads, page_size, head_dim)
+    quant = kv_quant != "none"
+    sshape = (num_pages, kv_heads, 1, page_size)
     return PagedKVCache(
-        k_pages=jnp.zeros(shape, dtype),
-        v_pages=jnp.zeros(shape, dtype),
+        k_pages=jnp.zeros(shape, payload),
+        v_pages=jnp.zeros(shape, payload),
         page_table=jnp.zeros((num_slots, pages_per_slot), jnp.int32),
         lengths=jnp.zeros((num_slots,), jnp.int32),
+        k_scales=jnp.ones(sshape, jnp.float32) if quant else None,
+        v_scales=jnp.ones(sshape, jnp.float32) if quant else None,
     )
+
+
+def _quantize_rows(x, payload_dtype):
+    """Per-token (last-axis) symmetric quantization -> (payload, scales)."""
+    from flash_attention_tpu.ops.quant import quantize_fp8, quantize_int8
+
+    if payload_dtype == jnp.int8:
+        qt = quantize_int8(x)
+    else:
+        qt = quantize_fp8(x, dtype=payload_dtype)
+    return qt.values, qt.scales
 
 
 def paged_write_tokens(
@@ -87,9 +128,10 @@ def paged_write_tokens(
     updated cache (lengths advanced by 1 for the listed slots).
     """
     page_size = cache.page_size
+    quant = cache.quantized()
 
     def write_one(carry, x):
-        k_pages, v_pages, lengths = carry
+        k_pages, v_pages, k_sc, v_sc, lengths = carry
         kt, vt, slot = x
         pos = lengths[slot]
         # Clamp: a slot at capacity (or an inactive slot whose length froze at
@@ -98,21 +140,37 @@ def paged_write_tokens(
         logical = jnp.minimum(pos // page_size, cache.pages_per_slot - 1)
         offset = pos % page_size
         phys = cache.page_table[slot, logical]
+        if quant:
+            kq, ks = _quantize_rows(kt, k_pages.dtype)  # [H, D], [H, 1]
+            vq, vs = _quantize_rows(vt, v_pages.dtype)
+            k_sc = jax.lax.dynamic_update_slice(
+                k_sc, ks[None, :, None, :], (phys, 0, 0, offset)
+            )
+            v_sc = jax.lax.dynamic_update_slice(
+                v_sc, vs[None, :, None, :], (phys, 0, 0, offset)
+            )
+        else:
+            kq, vq = kt, vt
         k_pages = jax.lax.dynamic_update_slice(
-            k_pages, kt[None, :, None, :].astype(k_pages.dtype), (phys, 0, offset, 0)
+            k_pages, kq[None, :, None, :].astype(k_pages.dtype), (phys, 0, offset, 0)
         )
         v_pages = jax.lax.dynamic_update_slice(
-            v_pages, vt[None, :, None, :].astype(v_pages.dtype), (phys, 0, offset, 0)
+            v_pages, vq[None, :, None, :].astype(v_pages.dtype), (phys, 0, offset, 0)
         )
         lengths = lengths.at[slot].add(1)
-        return (k_pages, v_pages, lengths), ()
+        return (k_pages, v_pages, k_sc, v_sc, lengths), ()
 
-    (k_pages, v_pages, lengths), _ = jax.lax.scan(
+    k_sc0 = cache.k_scales if quant else jnp.zeros((), jnp.float32)
+    v_sc0 = cache.v_scales if quant else jnp.zeros((), jnp.float32)
+    (k_pages, v_pages, k_sc, v_sc, lengths), _ = jax.lax.scan(
         write_one,
-        (cache.k_pages, cache.v_pages, cache.lengths),
+        (cache.k_pages, cache.v_pages, k_sc0, v_sc0, cache.lengths),
         (k_new, v_new, slots),
     )
-    return cache._replace(k_pages=k_pages, v_pages=v_pages, lengths=lengths)
+    cache = cache._replace(k_pages=k_pages, v_pages=v_pages, lengths=lengths)
+    if quant:
+        cache = cache._replace(k_scales=k_sc, v_scales=v_sc)
+    return cache
 
 
 def paged_write_prefill(
@@ -129,13 +187,14 @@ def paged_write_prefill(
     slot's valid length.
     """
     page_size = cache.page_size
+    quant = cache.quantized()
     t = k_new.shape[1]
     if t % page_size:
         raise ValueError(f"prefill length {t} not a multiple of page_size {page_size}")
     n_pages = t // page_size
 
     def write_page(carry, i):
-        k_pages, v_pages = carry
+        k_pages, v_pages, k_sc, v_sc = carry
         phys = cache.page_table[slot, i]
         ks = jax.lax.dynamic_slice(
             k_new, (0, i * page_size, 0), (k_new.shape[0], page_size, k_new.shape[2])
@@ -143,19 +202,33 @@ def paged_write_prefill(
         vs = jax.lax.dynamic_slice(
             v_new, (0, i * page_size, 0), (v_new.shape[0], page_size, v_new.shape[2])
         )
+        if quant:
+            ks, kss = _quantize_rows(ks, k_pages.dtype)  # [H, page, D], [H, page, 1]
+            vs, vss = _quantize_rows(vs, v_pages.dtype)
+            k_sc = jax.lax.dynamic_update_slice(
+                k_sc, jnp.swapaxes(kss, 1, 2)[None], (phys, 0, 0, 0)
+            )
+            v_sc = jax.lax.dynamic_update_slice(
+                v_sc, jnp.swapaxes(vss, 1, 2)[None], (phys, 0, 0, 0)
+            )
         k_pages = jax.lax.dynamic_update_slice(
             k_pages, ks[None].astype(k_pages.dtype), (phys, 0, 0, 0)
         )
         v_pages = jax.lax.dynamic_update_slice(
             v_pages, vs[None].astype(v_pages.dtype), (phys, 0, 0, 0)
         )
-        return (k_pages, v_pages), ()
+        return (k_pages, v_pages, k_sc, v_sc), ()
 
-    (k_pages, v_pages), _ = jax.lax.scan(
-        write_page, (cache.k_pages, cache.v_pages), jnp.arange(n_pages)
+    k_sc0 = cache.k_scales if quant else jnp.zeros((), jnp.float32)
+    v_sc0 = cache.v_scales if quant else jnp.zeros((), jnp.float32)
+    (k_pages, v_pages, k_sc, v_sc), _ = jax.lax.scan(
+        write_page, (cache.k_pages, cache.v_pages, k_sc0, v_sc0), jnp.arange(n_pages)
     )
     lengths = cache.lengths.at[slot].set(jnp.asarray(true_len, jnp.int32))
-    return cache._replace(k_pages=k_pages, v_pages=v_pages, lengths=lengths)
+    cache = cache._replace(k_pages=k_pages, v_pages=v_pages, lengths=lengths)
+    if quant:
+        cache = cache._replace(k_scales=k_sc, v_scales=v_sc)
+    return cache
 
 
 def _paged_decode_kernel(
@@ -163,7 +236,9 @@ def _paged_decode_kernel(
     table_ref,  # scalar prefetch: [S * pages_per_slot] int32 (flattened)
     q_ref,  # [1, 1, Gp, D]
     k_ref,  # [1, 1, page, D]  (one physical page, head-sliced)
+    k_scale_ref,  # [1, 1, 1, page] fp32 or None
     v_ref,
+    v_scale_ref,
     o_ref,  # [1, 1, Gp, D]
     lse_ref,  # [1, 1, Gp, LANES] or None
     m_scr,
@@ -199,8 +274,13 @@ def _paged_decode_kernel(
         q = q_ref[0, 0]  # [Gp, D]
         k = k_ref[0, 0]  # [page, D]
         s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            q, upcast_kv_payload(k, q.dtype), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )  # [Gp, page]
+        if k_scale_ref is not None:
+            # Late-scaled fused dequant (see ops/decode.py): per-token scales
+            # commute with the dot, applied to the small score tile.
+            s = s * k_scale_ref[0, 0]
         if softcap_in is not None:
             s = jnp.tanh(s * softcap_in) * softcap_out
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ip * page_size
@@ -219,8 +299,11 @@ def _paged_decode_kernel(
         m_scr[...] = m_next
 
         v = v_ref[0, 0]
+        if v_scale_ref is not None:
+            p = p * v_scale_ref[0, 0]
         pv = jax.lax.dot_general(
-            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            p.astype(q.dtype), upcast_kv_payload(v, q.dtype),
+            (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         acc_scr[...] = acc_scr[...] * alpha[:, :1] + pv
@@ -294,6 +377,10 @@ def paged_decode_attention(
     # is contiguous per grid step.
     k_hp = jnp.swapaxes(k_pages, 0, 1)
     v_hp = jnp.swapaxes(v_pages, 0, 1)
+    quant = cache.quantized()
+    if quant:
+        k_sc_hp = jnp.swapaxes(cache.k_scales, 0, 1)  # [H, P, 1, page]
+        v_sc_hp = jnp.swapaxes(cache.v_scales, 0, 1)
 
     table_flat = cache.page_table.reshape(-1).astype(jnp.int32)
     lengths = cache.lengths.astype(jnp.int32)
@@ -308,10 +395,15 @@ def paged_decode_attention(
             ip_c = jnp.maximum(ip_c, lo)
         return (h, table_ref[b * pages_per_slot + ip_c], 0, 0)
 
+    def sc_map(b, h, ip, lengths_ref, table_ref):
+        hh, phys, _, _ = kv_map(b, h, ip, lengths_ref, table_ref)
+        return (hh, phys, 0, 0)
+
     q_spec = pl.BlockSpec(
         (1, 1, group_pad, d_pad), lambda b, h, ip, L, T: (b, h, 0, 0)
     )
     kv_spec = pl.BlockSpec((1, 1, page_size, d_pad), kv_map)
+    sc_spec = pl.BlockSpec((1, 1, 1, page_size), sc_map)
     out_shapes = [
         jax.ShapeDtypeStruct((num_slots, num_kv_heads, group_pad, d_pad), q.dtype)
     ]
@@ -330,15 +422,21 @@ def paged_decode_attention(
             )
         )
 
-    def wrapped(lengths_ref, table_ref, q_r, k_r, v_r, *rest):
-        if save_residuals:
-            o_r, lse_r = rest[0], rest[1]
-            scr = rest[2:]
-        else:
-            o_r, lse_r = rest[0], None
-            scr = rest[1:]
+    def wrapped(lengths_ref, table_ref, *refs):
+        idx = 0
+        q_r = refs[idx]; idx += 1
+        k_r = refs[idx]; idx += 1
+        k_s = refs[idx] if quant else None
+        idx += int(quant)
+        v_r = refs[idx]; idx += 1
+        v_s = refs[idx] if quant else None
+        idx += int(quant)
+        o_r = refs[idx]; idx += 1
+        lse_r = refs[idx] if save_residuals else None
+        idx += int(save_residuals)
+        scr = refs[idx:]
         _paged_decode_kernel(
-            lengths_ref, table_ref, q_r, k_r, v_r, o_r, lse_r, *scr,
+            lengths_ref, table_ref, q_r, k_r, k_s, v_r, v_s, o_r, lse_r, *scr,
             scale2=sm_scale * LOG2E,
             page_size=page_size,
             pages_per_slot=pages_per_slot,
@@ -347,10 +445,21 @@ def paged_decode_attention(
             softcap_out=None if logit_softcap is None else logit_softcap / sm_scale,
         )
 
+    in_specs = [q_spec, kv_spec]
+    inputs = [qg, k_hp]
+    if quant:
+        in_specs.append(sc_spec)
+        inputs.append(k_sc_hp)
+    in_specs.append(kv_spec)
+    inputs.append(v_hp)
+    if quant:
+        in_specs.append(sc_spec)
+        inputs.append(v_sc_hp)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(num_slots, num_kv_heads, pages_per_slot),
-        in_specs=[q_spec, kv_spec, kv_spec],
+        in_specs=in_specs,
         out_specs=out_specs,
         scratch_shapes=[
             pltpu.VMEM((group_pad, LANES), jnp.float32),
@@ -367,7 +476,7 @@ def paged_decode_attention(
             dimension_semantics=("parallel", "arbitrary", "arbitrary"),
         ),
         interpret=interpret,
-    )(lengths, table_flat, qg, k_hp, v_hp)
+    )(lengths, table_flat, *inputs)
 
     out = results[0][:, :, :group, :head_dim].reshape(
         num_slots, num_q_heads, head_dim

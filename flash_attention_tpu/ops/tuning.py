@@ -124,12 +124,17 @@ def select_bwd_block_sizes(seq: int, *, causal: bool, head_dim: int = 128) -> Bl
     """Block sizes for the backward (dq / dkv) kernels.
 
     The backward holds more live fp32 tiles than the forward (score tile,
-    dP tile, dS tile, two accumulators), so blocks are capped at 512 to stay
-    inside the ~16 MB VMEM budget with double-buffered streaming.
+    dP tile, dS tile, two accumulators), so blocks are capped well below the
+    forward's. v5e sweep (fwd+bwd eff-TF at b=1, h=32, d=128): (256,1024)
+    wins at seq<=2048 (222.8 nc / 122.1 causal), (512,512) at longer
+    (222.3 nc / 172.4 causal at 8K).
     """
     pad_seq = _ceil_to(seq, 128)
-    b = min(512, pad_seq)
-    return BlockSizes(block_q=b, block_kv=b)
+    if pad_seq <= 2048:
+        return BlockSizes(
+            block_q=min(256, pad_seq), block_kv=min(1024, pad_seq)
+        )
+    return BlockSizes(block_q=512, block_kv=512)
 
 
 def select_decode_block_sizes(kv_seq: int, *, head_dim: int = 128) -> DecodeBlockSizes:

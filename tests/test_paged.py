@@ -162,3 +162,48 @@ def test_page_allocator():
     p3 = a.acquire(2)
     assert set(p3) <= set(p1)
     a.close()
+
+
+@pytest.mark.parametrize("mode", ["int8", "fp8_e4m3"])
+def test_paged_quantized_decode_matches_dense(mode):
+    """Quantized paged decode == quantized dense decode on identical content."""
+    import jax.numpy as jnp
+
+    from flash_attention_tpu.ops.decode import decode_attention
+    from flash_attention_tpu.ops.paged import (
+        init_paged_cache,
+        paged_decode_attention,
+        paged_write_prefill,
+        paged_write_tokens,
+    )
+    from flash_attention_tpu.ops.quant import quantize_kv
+
+    kv_heads, pps = 2, 3
+    lengths = np.array([256, 130], np.int32)
+    _, k, v = make_qkv(11, 2, kv_heads, 1, 128, kv_seq=pps * PAGE)
+    cache = init_paged_cache(
+        num_pages=12, num_slots=2, pages_per_slot=pps, kv_heads=kv_heads,
+        page_size=PAGE, kv_quant=mode,
+    )
+    cache = cache._replace(
+        page_table=jnp.asarray([[7, 2, 9], [4, 0, 11]], jnp.int32)
+    )
+    # Prefill to one token short, then append one token (exercises both
+    # quantizing write paths).
+    for s in range(2):
+        pref = ((lengths[s] - 1 + PAGE - 1) // PAGE) * PAGE
+        pref = max(pref, PAGE)
+        cache = paged_write_prefill(
+            cache, k[s][:, :pref], v[s][:, :pref], s, int(lengths[s]) - 1
+        )
+    last = jnp.stack([k[0][:, lengths[0] - 1], k[1][:, lengths[1] - 1]])
+    lastv = jnp.stack([v[0][:, lengths[0] - 1], v[1][:, lengths[1] - 1]])
+    cache = paged_write_tokens(cache, last, lastv, jnp.asarray([0, 1]))
+    assert [int(x) for x in cache.lengths] == list(lengths)
+
+    q, _, _ = make_qkv(12, 2, kv_heads * 2, 1, 128)
+    q = q[:, :, 0, :]
+    got = paged_decode_attention(q, cache)
+    kq, vq = quantize_kv(k, v, mode)
+    want = decode_attention(q, kq, vq, jnp.asarray(lengths), block_kv=PAGE)
+    assert_close(got, want)

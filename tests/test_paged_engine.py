@@ -80,3 +80,19 @@ def test_paged_engine_reuse_across_runs(model):
     got1 = paged.run([Request(id=1, prompt=(7, 8), max_new_tokens=4)])
     got2 = paged.run([Request(id=2, prompt=(7, 8), max_new_tokens=4)])
     assert got1[1].tokens == got2[2].tokens  # same prompt, recycled pages
+
+
+def test_paged_engine_quantized_matches_dense(model):
+    cfg0, _ = model
+    import dataclasses
+
+    cfg = dataclasses.replace(cfg0, kv_quant="int8")
+    params = init_model_params(jax.random.key(2), cfg)
+    dense = ServingEngine(params, cfg, max_slots=2, max_seq=256)
+    want = dense.run(REQS[:3])
+    paged = PagedServingEngine(
+        params, cfg, max_slots=2, num_pages=12, pages_per_slot=2, page_size=128
+    )
+    got = paged.run(REQS[:3])
+    for r in REQS[:3]:
+        assert got[r.id].tokens == want[r.id].tokens, f"request {r.id}"
