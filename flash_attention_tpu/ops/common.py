@@ -13,6 +13,12 @@ import jax.numpy as jnp
 
 LOG2E = 1.4426950408889634
 MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
+# Floor for the running row max: a fully-masked row's max is MASK_VALUE*scale
+# (~-3e37); computing exp2(s*scale - m) there subtracts two ~1e37 values whose
+# fma-fused rounding residual can be +-1e28 — and exp2(+1e28) = inf -> NaN
+# downstream. Clamping m to this floor (far above any masked score, far below
+# any real logit) makes masked rows underflow to exactly 0 instead.
+M_FLOOR = -1e30
 LANES = 128
 
 

@@ -38,7 +38,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from flash_attention_tpu.ops.common import LANES, LOG2E, MASK_VALUE, ceil_to
+from flash_attention_tpu.ops.common import LANES, LOG2E, MASK_VALUE, M_FLOOR, ceil_to
 from flash_attention_tpu.ops.tuning import (
     BlockSizes,
     select_block_sizes,
@@ -127,7 +127,11 @@ def _fwd_kernel(
                 inb = col < kv_len
                 ok = inb if ok is None else jnp.logical_and(ok, inb)
             s = jnp.where(ok[None], s, MASK_VALUE)
-        m = jnp.max(s, axis=-1, keepdims=True) * scale2
+        # M_FLOOR clamp: a fully-masked row's max is ~MASK_VALUE*scale2; the
+        # fma-fused exp2(s*scale2 - m) there has a +-1e28 rounding residual
+        # (exp2 of which can be inf -> NaN downstream). Flooring m makes
+        # masked rows underflow to exactly 0.
+        m = jnp.maximum(jnp.max(s, axis=-1, keepdims=True) * scale2, M_FLOOR)
         p = jnp.exp2(s * scale2 - m)
         l = jnp.sum(p, axis=-1, keepdims=True)
         v = v_ref[...]
@@ -202,7 +206,9 @@ def _fwd_kernel(
         # with max since scale2 > 0) and fused into the exp2 elementwise
         # chain (mul+sub+exp2 lower to one VPU pass) — avoids both a full
         # score-tile multiply and a Q pre-scale HBM pass.
-        m_curr = jnp.max(s, axis=-1, keepdims=True) * scale2  # [hb, block_q, 1]
+        m_curr = jnp.maximum(
+            jnp.max(s, axis=-1, keepdims=True) * scale2, M_FLOOR
+        )  # [hb, block_q, 1]; M_FLOOR: see single-step branch comment.
         m_next = jnp.maximum(m_prev, m_curr)  # [hb, block_q, LANES]
         alpha = jnp.exp2(m_prev - m_next)
         p = jnp.exp2(s * scale2 - m_next[:, :, :1])  # [hb, block_q, block_kv]
