@@ -30,15 +30,17 @@ from flash_attention_tpu.utils.benchmarking import (
 from flash_attention_tpu.utils.testing import make_qkv
 
 # VMEM ceiling ~16MB; score tile f32 + p bf16 + buffers must fit.
+# (block_q, block_kv, block_h) — block_h batches heads per grid step
+# (amortizes per-step fixed costs; see ops/tuning.py).
 CANDIDATES = [
-    (128, 128), (128, 256), (256, 256), (256, 512), (512, 512),
-    (256, 1024), (512, 1024), (1024, 512), (1024, 1024),
-    (512, 2048), (1024, 2048), (2048, 512), (2048, 1024),
+    (256, 256, 1), (256, 512, 1), (512, 512, 1), (512, 512, 2), (512, 512, 4),
+    (512, 1024, 1), (512, 1024, 2), (1024, 1024, 1), (1024, 1024, 2),
+    (768, 768, 2), (768, 768, 4),
 ]
 
 
-def vmem_bytes(bq, bkv, d=128):
-    return (
+def vmem_bytes(bq, bkv, hb=1, d=128):
+    return hb * (
         4 * bq * bkv          # s fp32
         + 2 * bq * bkv        # p bf16
         + 2 * 2 * bkv * d * 2  # K,V double-buffered bf16
@@ -62,37 +64,47 @@ def main():
                 continue
             q, k, v = make_qkv(0, 1, heads, seq, 128)
             best = None
-            for bq, bkv in CANDIDATES:
-                if bq > seq or bkv > seq or vmem_bytes(bq, bkv) > 16.8e6:
+            for bq, bkv, bh in CANDIDATES:
+                if bq > seq or bkv > seq or vmem_bytes(bq, bkv, bh) > 16.8e6:
                     continue
-                if quick and (bq, bkv) not in [
-                    (256, 512), (512, 512), (512, 1024), (1024, 1024),
-                    (512, 2048), (1024, 2048), (2048, 1024),
+                if quick and (bq, bkv, bh) not in [
+                    (512, 512, 2), (512, 1024, 2), (1024, 1024, 1),
+                    (1024, 1024, 2),
                 ]:
                     continue
-                bs = BlockSizes(block_q=bq, block_kv=bkv)
+                bs = BlockSizes(block_q=bq, block_kv=bkv, block_h=bh)
                 fn = lambda q, k, v: flash_attention(q, k, v, causal=causal, block_sizes=bs)
                 try:
-                    t = scan_timer(fn, (q, k, v))
+                    fl_est = attention_flops(1, heads, seq, 128, causal=causal)
+                    t = scan_timer(fn, (q, k, v), est_s=fl_est / (0.3 * peak * 1e12))
                 except Exception as e:  # VMEM OOM etc.
                     print(f"  seq={seq} c={int(causal)} bq={bq} bkv={bkv}: FAIL {type(e).__name__}")
                     continue
                 fl = attention_flops(1, heads, seq, 128, causal=causal)
                 tf = fl / t / 1e12
                 print(
-                    f"  seq={seq} c={int(causal)} bq={bq} bkv={bkv}: "
+                    f"  seq={seq} c={int(causal)} ({bq},{bkv},h{bh}): "
                     f"{t*1e6:9.1f}us {tf:6.1f}TF ({tf/peak*100:4.1f}%)",
                     flush=True,
                 )
                 if best is None or t < best[0]:
-                    best = (t, bq, bkv, tf)
+                    best = (t, bq, bkv, bh, tf)
             if best:
                 winners[(seq, causal)] = best
-                print(f"WINNER seq={seq} causal={int(causal)}: bq={best[1]} bkv={best[2]} {best[3]:.1f}TF", flush=True)
+                print(
+                    f"WINNER seq={seq} causal={int(causal)}: "
+                    f"({best[1]},{best[2]},h{best[3]}) {best[4]:.1f}TF",
+                    flush=True,
+                )
 
     print("\n=== summary ===")
-    for (seq, causal), (t, bq, bkv, tf) in sorted(winners.items(), key=lambda x: (x[0][1], x[0][0])):
-        print(f"seq={seq:6d} causal={int(causal)}: BlockSizes({bq}, {bkv})  {tf:6.1f} TFLOPS ({tf/peak*100:4.1f}%)")
+    for (seq, causal), (t, bq, bkv, bh, tf) in sorted(
+        winners.items(), key=lambda x: (x[0][1], x[0][0])
+    ):
+        print(
+            f"seq={seq:6d} causal={int(causal)}: BlockSizes({bq}, {bkv}, "
+            f"block_h={bh})  {tf:6.1f} TFLOPS ({tf/peak*100:4.1f}%)"
+        )
 
 
 if __name__ == "__main__":
