@@ -68,6 +68,7 @@ def _fwd_kernel(
     kv_pad: bool,
     tri_refs=None,
     single_step: bool = False,
+    kv_repeat: int = 1,
     window: int | None = None,
     softcap_in: float | None = None,
     softcap_out: float | None = None,
@@ -104,6 +105,8 @@ def _fwd_kernel(
         # dominates these shapes.
         q = q_ref[...]
         k = k_ref[...]
+        if kv_repeat > 1:  # GQA: expand kv heads to match the q head batch
+            k = jnp.repeat(k, kv_repeat, axis=0)
         s = jax.lax.dot_general(
             q, k, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
@@ -135,6 +138,8 @@ def _fwd_kernel(
         p = jnp.exp2(s * scale2 - m)
         l = jnp.sum(p, axis=-1, keepdims=True)
         v = v_ref[...]
+        if kv_repeat > 1:
+            v = jnp.repeat(v, kv_repeat, axis=0)
         pv = jax.lax.dot_general(
             p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
@@ -161,7 +166,9 @@ def _fwd_kernel(
         # via MIN_BLOCKS=2, flash_attention.cu:618). Matmuls are batched over
         # it; the VPU softmax ops batch for free.
         q = q_ref[...]  # [hb, block_q, d]
-        k = k_ref[...]  # [hb, block_kv, d]
+        k = k_ref[...]  # [hb_kv, block_kv, d]
+        if kv_repeat > 1:  # GQA: expand kv heads to match the q head batch
+            k = jnp.repeat(k, kv_repeat, axis=0)
         s = jax.lax.dot_general(
             q,
             k,
@@ -216,7 +223,9 @@ def _fwd_kernel(
         m_scr[...] = m_next
         l_scr[...] = l_next
 
-        v = v_ref[...]  # [hb, block_kv, d]
+        v = v_ref[...]  # [hb_kv, block_kv, d]
+        if kv_repeat > 1:
+            v = jnp.repeat(v, kv_repeat, axis=0)
         pv = jax.lax.dot_general(
             p.astype(v.dtype),
             v,
@@ -280,11 +289,20 @@ def _fwd_impl(
     group = num_q_heads // num_kv_heads
     diag_offset = kv_len - q_len
 
-    # Head-batching (block_h heads per grid step): only when the KV mapping
-    # stays a contiguous identity — MHA with block_h dividing batch*heads.
-    hb = block_sizes.block_h
-    if group != 1 or hb < 1 or (batch * num_q_heads) % hb:
+    # Head-batching (block_h heads per grid step). MHA: any block_h dividing
+    # batch*heads. GQA: block_h must span whole KV groups within one batch
+    # element (kv heads expand in-kernel via jnp.repeat — a cheap VPU copy
+    # next to the matmuls it feeds).
+    hb = max(block_sizes.block_h, 1)
+    if group == 1:
+        if (batch * num_q_heads) % hb:
+            hb = 1
+        hb_kv = hb
+    elif hb % group == 0 and num_q_heads % hb == 0:
+        hb_kv = hb // group
+    else:
         hb = 1
+        hb_kv = 1
     num_h_blocks = (batch * num_q_heads) // hb
 
     def kv_head_index(bh):
@@ -327,8 +345,15 @@ def _fwd_impl(
             (hb, block_q, d_pad), lambda bh, t, iq_m, ikv_m, f_m: (bh, iq_m[t], 0)
         )
         k_spec = pl.BlockSpec(
-            (hb, block_kv, d_pad),
-            lambda bh, t, iq_m, ikv_m, f_m: (kv_head_index(bh), ikv_m[t], 0),
+            (hb_kv, block_kv, d_pad),
+            # hb > 1 spans whole KV groups, so block index bh maps 1:1 onto
+            # the hb_kv-blocked KV array; only unbatched GQA needs the
+            # per-head mapping.
+            lambda bh, t, iq_m, ikv_m, f_m: (
+                (bh if hb > 1 or group == 1 else kv_head_index(bh)),
+                ikv_m[t],
+                0,
+            ),
         )
         o_spec = pl.BlockSpec(
             (hb, block_q, d_pad), lambda bh, t, iq_m, ikv_m, f_m: (bh, iq_m[t], 0)
@@ -350,8 +375,12 @@ def _fwd_impl(
 
         q_spec = pl.BlockSpec((hb, block_q, d_pad), lambda bh, iq, ikv: (bh, iq, 0))
         k_spec = pl.BlockSpec(
-            (hb, block_kv, d_pad),
-            lambda bh, iq, ikv: (kv_head_index(bh), kv_block_index(iq, ikv), 0),
+            (hb_kv, block_kv, d_pad),
+            lambda bh, iq, ikv: (
+                (bh if hb > 1 or group == 1 else kv_head_index(bh)),
+                kv_block_index(iq, ikv),
+                0,
+            ),
         )
         o_spec = pl.BlockSpec((hb, block_q, d_pad), lambda bh, iq, ikv: (bh, iq, 0))
         lse_spec = pl.BlockSpec(
@@ -384,6 +413,7 @@ def _fwd_impl(
             kv_pad=kv_padded != kv_len,
             tri_refs=tri_refs,
             single_step=num_q_blocks == 1 and num_kv_blocks == 1,
+            kv_repeat=hb // hb_kv if hb_kv != hb else 1,
             window=window,
             softcap_in=None if softcap is None else sm_scale / softcap,
             softcap_out=None if softcap is None else softcap / sm_scale,
@@ -587,8 +617,10 @@ def flash_attention(
         sm_scale = 1.0 / math.sqrt(head_dim)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    group = num_q_heads // num_kv_heads
     res_block_sizes = select_block_sizes(
-        min(q_len, kv_len), causal=causal, head_dim=head_dim, save_residuals=True
+        min(q_len, kv_len), causal=causal, head_dim=head_dim,
+        save_residuals=True, group=group,
     )
     if block_sizes is None:
         # The window mask's compare tiles and the softcap's tanh temporary,
@@ -601,6 +633,7 @@ def flash_attention(
                 or sliding_window is not None
                 or logit_softcap is not None
             ),
+            group=group,
         )
     elif save_residuals:
         res_block_sizes = block_sizes

@@ -137,3 +137,20 @@ def test_batched():
     got = flash_attention(q, k, v, causal=True, block_sizes=BS)
     want = reference_attention(q, k, v, causal=True)
     assert_close(got, want, msg="batch=4")
+
+
+def test_gqa_head_batching():
+    """block_h spanning whole KV groups (in-kernel KV expansion) matches the
+    oracle across batch elements, including the single-step path."""
+
+    for (b, hq, hkv, hb, seq, causal) in [
+        (2, 8, 2, 4, 256, True),   # hb == group
+        (2, 8, 2, 8, 256, False),  # hb == 2 groups
+        (1, 8, 4, 4, 384, True),   # group 2
+        (2, 8, 2, 4, 128, False),  # single-step path with kv expansion
+    ]:
+        q, k, v = make_qkv(0, b, hq, seq, 128, num_kv_heads=hkv)
+        bs = BlockSizes(block_q=128, block_kv=128, block_h=hb)
+        got = flash_attention(q, k, v, causal=causal, block_sizes=bs)
+        want = reference_attention(q, k, v, causal=causal)
+        assert_close(got, want, msg=f"b={b} hq={hq} hkv={hkv} hb={hb}")
