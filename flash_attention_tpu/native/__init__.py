@@ -40,14 +40,23 @@ def _build() -> pathlib.Path:
     out = _cache_dir() / f"libfat_native_{digest}.so"
     if out.exists():
         return out
-    with tempfile.TemporaryDirectory() as td:
-        tmp = pathlib.Path(td) / out.name
+    # Build into a temp file in the DESTINATION directory so the final
+    # os.replace is same-filesystem (rename across mounts raises EXDEV) and
+    # stays atomic across processes.
+    fd, tmp_name = tempfile.mkstemp(
+        prefix=out.stem + ".", suffix=".tmp.so", dir=out.parent
+    )
+    os.close(fd)
+    tmp = pathlib.Path(tmp_name)
+    try:
         cmd = [
             "g++", "-O2", "-std=c++17", "-shared", "-fPIC",
             *[str(p) for p in srcs], "-o", str(tmp),
         ]
         subprocess.run(cmd, check=True, capture_output=True, text=True)
         os.replace(tmp, out)  # atomic publish; safe across processes
+    finally:
+        tmp.unlink(missing_ok=True)
     return out
 
 

@@ -635,7 +635,11 @@ def flash_attention(
             ),
             group=group,
         )
-    elif save_residuals:
+    else:
+        # An explicit override governs BOTH forward paths: a caller who
+        # overrode block sizes (e.g. to dodge a scoped-VMEM cliff) must get
+        # the same config when the op is differentiated (the residuals
+        # forward), not the auto-selected dispatch.
         res_block_sizes = block_sizes
     if bwd_block_sizes is None:
         bwd_block_sizes = select_bwd_block_sizes(
