@@ -26,6 +26,13 @@ Recurrence (S = scale·QKᵀ, P = softmax(S), O = PV):
 with P recomputed from the forward's base-2 LSE residual:
     P = exp2(S·scale·log2e − lse2)
 which matches the forward's exp2-domain softmax bit-for-bit (ops/common.py).
+
+Sliding-window masks narrow the live KV (dq) / Q (dkv) block ranges exactly as
+in the forward (clamped index maps issue no DMA for dead blocks). Logit
+soft-capping (z → c·tanh(z/c)) folds its derivative into dS:
+    dS_raw = dS_capped ∘ (1 − tanh²(z/c))
+with tanh recomputed from the raw scores (one extra VPU pass; no extra
+residual tensor).
 """
 
 from __future__ import annotations
@@ -60,6 +67,9 @@ def _bwd_dq_kernel(
     block_kv: int,
     num_kv_blocks: int,
     kv_pad: bool,
+    window: int | None = None,
+    softcap_in: float | None = None,
+    cap_out2: float | None = None,
 ):
     iq = pl.program_id(1)
     ikv = pl.program_id(2)
@@ -71,6 +81,13 @@ def _bwd_dq_kernel(
 
     if causal:
         should_run = ikv * block_kv <= (iq + 1) * block_q - 1 + diag_offset
+        if window is not None:
+            # The block's last column must be inside the window of the
+            # block's first row: col > row - window for some (row, col).
+            should_run = jnp.logical_and(
+                should_run,
+                (ikv + 1) * block_kv - 1 > iq * block_q + diag_offset - window,
+            )
     else:
         should_run = True
 
@@ -78,9 +95,14 @@ def _bwd_dq_kernel(
     def _compute():
         q = q_ref[0]
         k = k_ref[0]
-        s2 = jax.lax.dot_general(
+        raw = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale2  # [block_q, block_kv], exp2-domain scores
+        )  # [block_q, block_kv], raw scores
+        if softcap_in is not None:
+            t = jnp.tanh(raw * softcap_in)
+            s2 = t * cap_out2  # exp2-domain capped logits
+        else:
+            s2 = raw * scale2
 
         if causal or kv_pad:
             ok = None
@@ -92,6 +114,8 @@ def _bwd_dq_kernel(
                     + diag_offset
                 )
                 ok = col <= row
+                if window is not None:
+                    ok = jnp.logical_and(ok, col > row - window)
             if kv_pad:
                 inb = col < kv_len
                 ok = inb if ok is None else jnp.logical_and(ok, inb)
@@ -104,6 +128,8 @@ def _bwd_dq_kernel(
             do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )  # [block_q, block_kv]
         ds = p * (dp - delta_ref[0])
+        if softcap_in is not None:
+            ds = ds * (1.0 - t * t)  # tanh' folded into dS (masked rows: p=0)
         acc_scr[...] += jax.lax.dot_general(
             ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -136,6 +162,9 @@ def _bwd_dkv_kernel(
     num_q_blocks: int,
     num_steps: int,
     kv_pad: bool,
+    window: int | None = None,
+    softcap_in: float | None = None,
+    cap_out2: float | None = None,
 ):
     ikv = pl.program_id(1)
     t = pl.program_id(2)
@@ -151,6 +180,13 @@ def _bwd_dkv_kernel(
         # The Q block overlaps the live (col <= row) region iff its LAST row
         # reaches the kv block's first column.
         should_run = (iq + 1) * block_q - 1 + diag_offset >= ikv * block_kv
+        if window is not None:
+            # ... and its FIRST row must be within the window of the kv
+            # block's last column (col > row - window for some pair).
+            should_run = jnp.logical_and(
+                should_run,
+                (ikv + 1) * block_kv - 1 > iq * block_q + diag_offset - window,
+            )
     else:
         should_run = True
 
@@ -160,9 +196,14 @@ def _bwd_dkv_kernel(
         k = k_ref[0]
         # Transposed score tile: kv rows on sublanes, q columns on lanes, so
         # the per-q-row statistics (lse2, delta) broadcast along lanes.
-        s2t = jax.lax.dot_general(
+        rawt = jax.lax.dot_general(
             k, q, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale2  # [block_kv, block_q]
+        )  # [block_kv, block_q]
+        if softcap_in is not None:
+            tt = jnp.tanh(rawt * softcap_in)
+            s2t = tt * cap_out2
+        else:
+            s2t = rawt * scale2
 
         if causal or kv_pad:
             ok = None
@@ -177,6 +218,8 @@ def _bwd_dkv_kernel(
                     + diag_offset
                 )
                 ok = kvpos <= qpos
+                if window is not None:
+                    ok = jnp.logical_and(ok, kvpos > qpos - window)
             if kv_pad:
                 inb = kvpos < kv_len
                 ok = inb if ok is None else jnp.logical_and(ok, inb)
@@ -193,6 +236,8 @@ def _bwd_dkv_kernel(
             v, do, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )  # [block_kv, block_q]
         dst = pt * (dpt - delta_ref[0])
+        if softcap_in is not None:
+            dst = dst * (1.0 - tt * tt)
         dk_scr[...] += jax.lax.dot_general(
             dst.astype(q.dtype), q, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -216,6 +261,8 @@ def flash_attention_bwd(
     sm_scale: float,
     block_sizes: BlockSizes,
     interpret: bool,
+    window: int | None = None,
+    softcap: float | None = None,
 ):
     """Compute (dq, dk, dv) from the forward residuals.
 
@@ -224,6 +271,8 @@ def flash_attention_bwd(
       out: forward output [B, Hq, Sq, D].
       lse2: forward base-2 log-sum-exp residual [B, Hq, Sq], fp32.
       do: output cotangent, same shape/dtype as out.
+      window: sliding-window size (causal only), matching the forward.
+      softcap: logit soft-cap constant, matching the forward.
 
     Returns:
       dq [B, Hq, Sq, D], dk and dv [B, Hkv, Skv, D], in the input dtypes.
@@ -279,12 +328,22 @@ def flash_attention_bwd(
             return bh
         return (bh // num_q_heads) * num_kv_heads + (bh % num_q_heads) // group
 
+    softcap_in = None if softcap is None else sm_scale / softcap
+    cap_out2 = None if softcap is None else softcap * LOG2E
+
     # ---------------- dq ----------------
     def kv_block_index(iq, ikv):
         if not causal:
             return ikv
         last_live = ((iq + 1) * block_q - 1 + diag_offset) // block_kv
-        return jnp.minimum(ikv, last_live)
+        idx = jnp.minimum(ikv, last_live)
+        if window is not None:
+            # Blocks entirely below the window issue no DMA either.
+            first_live = jnp.maximum(
+                (iq * block_q + diag_offset - window + 1) // block_kv, 0
+            )
+            idx = jnp.maximum(idx, first_live)
+        return idx
 
     dq = pl.pallas_call(
         functools.partial(
@@ -298,6 +357,9 @@ def flash_attention_bwd(
             block_kv=block_kv,
             num_kv_blocks=num_kv_blocks,
             kv_pad=kv_padded != kv_len,
+            window=window,
+            softcap_in=softcap_in,
+            cap_out2=cap_out2,
         ),
         grid=(batch * num_q_heads, num_q_blocks, num_kv_blocks),
         in_specs=[
@@ -337,7 +399,17 @@ def flash_attention_bwd(
         if not causal:
             return iq
         first_live = jnp.maximum((ikv * block_kv - diag_offset) // block_q, 0)
-        return jnp.maximum(iq, first_live)
+        iq = jnp.maximum(iq, first_live)
+        if window is not None:
+            # Q rows beyond the window of this kv block's last column are
+            # dead: clamp so their blocks issue no DMA.
+            last_live = jnp.minimum(
+                ((ikv + 1) * block_kv - 1 + window - 1 - diag_offset)
+                // block_q,
+                num_q_blocks - 1,
+            )
+            iq = jnp.minimum(iq, jnp.maximum(last_live, 0))
+        return iq
 
     q_spec = pl.BlockSpec(
         (1, block_q, d_pad),
@@ -362,6 +434,9 @@ def flash_attention_bwd(
             num_q_blocks=num_q_blocks,
             num_steps=num_steps,
             kv_pad=kv_padded != kv_len,
+            window=window,
+            softcap_in=softcap_in,
+            cap_out2=cap_out2,
         ),
         grid=(batch * num_kv_heads, num_kv_blocks, num_steps),
         in_specs=[q_spec, kv_spec, kv_spec, q_spec, stat_spec, stat_spec],

@@ -72,6 +72,7 @@ def _fwd_kernel(
     window: int | None = None,
     softcap_in: float | None = None,
     softcap_out: float | None = None,
+    subtile: int = 0,
 ):
     # Decode/chunked-prefill convention: the last Q row aligns with the last
     # KV row (offset = kv_len - q_len, both true lengths).
@@ -97,6 +98,88 @@ def _fwd_kernel(
             should_run = ikv * block_kv <= (iq + 1) * block_q - 1 + diag_offset
         else:
             should_run = True
+
+    if subtile:
+        # Causal single-superblock sub-tiling: the whole (q, kv) problem is
+        # one block pair, and the kernel unrolls over `subtile`-row Q
+        # sub-blocks. Sub-block i's rows can only see KV columns
+        # [0, diag_offset + (i+1)*subtile), so ONE wide MMA over exactly that
+        # (128-padded) prefix computes all its live scores — masked-region
+        # MXU waste falls from ~50% (full-tile diagonal) to ~1/(n+1), and
+        # each row-block sees its whole KV range at once so plain softmax
+        # applies (no (m, l, acc) scratch, no alpha rescale — the same ~1/3
+        # VPU savings as the single_step branch below). This is the
+        # fine-tiled diagonal the reference could not express: its CTA tiling
+        # fixed BLOCK_N for the whole Q row (flash_attention.cu:620-661).
+        w = subtile
+        q = q_ref[...]  # [hb, block_q, d]
+        k = k_ref[...]  # [hb_kv, block_kv, d]
+        v = v_ref[...]
+        if kv_repeat > 1:  # GQA: expand kv heads to match the q head batch
+            k = jnp.repeat(k, kv_repeat, axis=0)
+            v = jnp.repeat(v, kv_repeat, axis=0)
+        kv_block = k.shape[1]
+        # Fast additive mask: when the diagonal lands on a lane boundary and
+        # the KV length is unpadded, sub-block i's live prefix has width
+        # exactly diag_offset + (i+1)*w, and its causal mask equals the
+        # RIGHT-ALIGNED slice [:, kv_block-width:] of ONE precomputed [w,
+        # kv_block] additive tile: with u = col + (kv_block - width), the
+        # condition col <= row + diag_offset + i*w becomes u <= row +
+        # kv_block - w — independent of i. That turns the per-sub-block
+        # iota+compare+select (3 VPU passes over every computed score) into a
+        # single add.
+        fast_mask = diag_offset % 128 == 0 and not kv_pad
+        if fast_mask:
+            u = jax.lax.broadcasted_iota(jnp.int32, (w, kv_block), 1)
+            r = jax.lax.broadcasted_iota(jnp.int32, (w, kv_block), 0)
+            addmask = jnp.where(
+                u <= r + kv_block - w, 0.0, MASK_VALUE
+            ).astype(jnp.float32)
+        for i in range(block_q // w):
+            qi = jax.lax.slice_in_dim(q, i * w, (i + 1) * w, axis=1)
+            # Live prefix for this sub-block's rows, padded to the lane width.
+            width = min(kv_block, _ceil_to(diag_offset + (i + 1) * w, 128))
+            ki = jax.lax.slice_in_dim(k, 0, width, axis=1)
+            s = jax.lax.dot_general(
+                qi, ki, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )  # [hb, w, width]
+            if softcap_in is not None:
+                s = jnp.tanh(s * softcap_in) * softcap_out
+            if fast_mask:
+                s = s + jax.lax.slice_in_dim(
+                    addmask, kv_block - width, kv_block, axis=1
+                )[None]
+            else:
+                shape2d = (w, width)
+                col = jax.lax.broadcasted_iota(jnp.int32, shape2d, 1)
+                row = (
+                    jax.lax.broadcasted_iota(jnp.int32, shape2d, 0)
+                    + i * w
+                    + diag_offset
+                )
+                ok = col <= row
+                if kv_pad:
+                    ok = jnp.logical_and(ok, col < kv_len)
+                s = jnp.where(ok[None], s, MASK_VALUE)
+            m = jnp.maximum(jnp.max(s, axis=-1, keepdims=True) * scale2, M_FLOOR)
+            p = jnp.exp2(s * scale2 - m)
+            l = jnp.sum(p, axis=-1, keepdims=True)
+            # Normalize BEFORE the PV matmul (see the single_step branch).
+            inv = jnp.where(l == 0.0, 0.0, 1.0 / l)
+            vi = jax.lax.slice_in_dim(v, 0, width, axis=1)
+            pv = jax.lax.dot_general(
+                (p * inv).astype(vi.dtype), vi, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )  # [hb, w, d]
+            o_ref[:, i * w : (i + 1) * w, :] = pv.astype(o_ref.dtype)
+            if lse_ref is not None:
+                safe_l = jnp.where(l == 0.0, 1.0, l)
+                lse2 = jnp.where(l == 0.0, -jnp.inf, m + jnp.log2(safe_l))
+                lse_ref[:, i * w : (i + 1) * w, :] = jnp.broadcast_to(
+                    lse2, (lse2.shape[0], w, lse_ref.shape[-1])
+                )
+        return
 
     if single_step:
         # Exactly one KV step per Q block (short-seq single-tile configs):
@@ -140,12 +223,17 @@ def _fwd_kernel(
         v = v_ref[...]
         if kv_repeat > 1:
             v = jnp.repeat(v, kv_repeat, axis=0)
+        # Normalize p BEFORE the PV matmul: scaling commutes with the dot,
+        # and multiplying the MXU accumulator output afterwards forces a
+        # relayout that costs ~10-14% of the whole step (measured on v5e,
+        # tools/epilogue_probe.py) — the [*, block_kv] pre-scale is free by
+        # comparison.
+        inv = jnp.where(l == 0.0, 0.0, 1.0 / l)
         pv = jax.lax.dot_general(
-            p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
+            (p * inv).astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )
-        inv = jnp.where(l == 0.0, 0.0, 1.0 / l)
-        o_ref[...] = (pv * inv).astype(o_ref.dtype)
+        o_ref[...] = pv.astype(o_ref.dtype)
         if lse_ref is not None:
             safe_l = jnp.where(l == 0.0, 1.0, l)
             lse2 = jnp.where(l == 0.0, -jnp.inf, m + jnp.log2(safe_l))
@@ -295,14 +383,19 @@ def _fwd_impl(
     # next to the matmuls it feeds).
     hb = max(block_sizes.block_h, 1)
     if group == 1:
-        if (batch * num_q_heads) % hb:
-            hb = 1
+        # Step down to the largest power-of-two batch that divides the head
+        # count (small models shouldn't fall straight to unbatched heads).
+        while hb > 1 and (batch * num_q_heads) % hb:
+            hb //= 2
         hb_kv = hb
-    elif hb % group == 0 and num_q_heads % hb == 0:
-        hb_kv = hb // group
     else:
-        hb = 1
-        hb_kv = 1
+        while hb > group and (hb % group or num_q_heads % hb):
+            hb //= 2
+        if hb % group == 0 and num_q_heads % hb == 0:
+            hb_kv = hb // group
+        else:
+            hb = 1
+            hb_kv = 1
     num_h_blocks = (batch * num_q_heads) // hb
 
     def kv_head_index(bh):
@@ -400,6 +493,19 @@ def _fwd_impl(
         )
         out_specs.append(lse_spec)
 
+    single = num_q_blocks == 1 and num_kv_blocks == 1
+    # Causal single-superblock sub-tiling (see _fwd_kernel's subtile branch):
+    # applies when the whole problem is one block pair and the diagonal
+    # decomposes into block_sub-row live-prefix MMAs. Sliding window keeps
+    # the generic masked path (its live range is not a prefix).
+    subtile = 0
+    if (
+        causal and single and window is None
+        and block_sizes.block_sub and block_q > block_sizes.block_sub
+        and block_q % block_sizes.block_sub == 0
+    ):
+        subtile = block_sizes.block_sub
+
     def make_kernel(tri_refs):
         return functools.partial(
             _fwd_kernel,
@@ -412,33 +518,32 @@ def _fwd_impl(
             num_kv_blocks=num_kv_blocks,
             kv_pad=kv_padded != kv_len,
             tri_refs=tri_refs,
-            single_step=num_q_blocks == 1 and num_kv_blocks == 1,
+            single_step=single,
             kv_repeat=hb // hb_kv if hb_kv != hb else 1,
             window=window,
             softcap_in=None if softcap is None else sm_scale / softcap,
             softcap_out=None if softcap is None else softcap / sm_scale,
+            subtile=subtile,
         )
 
-    if tri:
-        if save_residuals:
-            def wrapped(iq_m, ikv_m, f_m, q_r, k_r, v_r, o_r, lse_r, m_s, l_s, a_s):
-                make_kernel((iq_m, ikv_m, f_m))(
-                    q_r, k_r, v_r, o_r, lse_r, m_s, l_s, a_s
-                )
-        else:
-            def wrapped(iq_m, ikv_m, f_m, q_r, k_r, v_r, o_r, m_s, l_s, a_s):
-                make_kernel((iq_m, ikv_m, f_m))(
-                    q_r, k_r, v_r, o_r, None, m_s, l_s, a_s
-                )
-    else:
-        if save_residuals:
-            def wrapped(q_r, k_r, v_r, o_r, lse_r, m_s, l_s, a_s):
-                make_kernel(None)(q_r, k_r, v_r, o_r, lse_r, m_s, l_s, a_s)
-        else:
-            def wrapped(q_r, k_r, v_r, o_r, m_s, l_s, a_s):
-                make_kernel(None)(q_r, k_r, v_r, o_r, None, m_s, l_s, a_s)
+    def make_wrapped(tri_mode: bool, with_lse: bool, with_scratch: bool):
+        def wrapped(*refs):
+            idx = 3 if tri_mode else 0
+            tri_r = refs[:3] if tri_mode else None
+            q_r, k_r, v_r, o_r = refs[idx : idx + 4]
+            idx += 4
+            lse_r = refs[idx] if with_lse else None
+            idx += 1 if with_lse else 0
+            scr = refs[idx : idx + 3] if with_scratch else (None, None, None)
+            make_kernel(tri_r)(q_r, k_r, v_r, o_r, lse_r, *scr)
 
-    scratch_shapes = [
+        return wrapped
+
+    wrapped = make_wrapped(tri, save_residuals, not single)
+
+    # The single-block branches (subtile / single_step) never touch the
+    # online-softmax state; skip allocating it (up to ~3 MB VMEM back).
+    scratch_shapes = [] if single else [
         pltpu.VMEM((hb, block_q, LANES), jnp.float32),  # running max m
         pltpu.VMEM((hb, block_q, LANES), jnp.float32),  # running sum l
         pltpu.VMEM((hb, block_q, d_pad), jnp.float32),  # output accumulator
@@ -533,16 +638,12 @@ def _fa_bwd(
 ):
     from flash_attention_tpu.ops.attention_bwd import flash_attention_bwd
 
-    if window is not None or softcap is not None:
-        raise NotImplementedError(
-            "backward pass with sliding_window / logit_softcap is not "
-            "implemented yet (forward/serving only)"
-        )
     q, k, v, out, lse2 = res
     dq, dk, dv = flash_attention_bwd(
         q, k, v, out, lse2, g,
         causal=causal, sm_scale=sm_scale,
         block_sizes=bwd_block_sizes, interpret=interpret,
+        window=window, softcap=softcap,
     )
     return dq, dk, dv
 

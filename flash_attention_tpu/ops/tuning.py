@@ -14,10 +14,10 @@ heads=32, head_dim=128, bf16, with the triangular causal grid and
 head-batching (block_q, block_kv, block_h):
 
   seq      non-causal                     causal
-  512      (512,512,h4)   129.7 TF        (512,512,h4)    69.4 TF
-  768      (768,768,h4)   138.6 TF        (768,768,h2)    79.1 TF
-  1024     (1024,1024,h2) 143.1 TF        (1024,1024,h2)  80.7 TF
-  2048     (1024,1024,h2) 157.9 TF        (1024,1024,h2)  93.8 TF
+  512      (512,512,h4)   129.7 TF        (512,512,h8,sub128)      82 TF
+  768      (768,768,h4)   138.6 TF        (768,768,h8,sub128)     105 TF
+  1024     (1024,1024,h2) 143.1 TF        (1024,1024,h4,sub128)   116 TF
+  2048     (1024,1024,h2) 157.9 TF        (2048,2048,h2,sub128)   131 TF
   4096     (1024,1024,h2) 160.8 TF        (1024,1024,h2) 125.2 TF
   8192     (1024,1024,h2) 169.9 TF        (1024,1024,h2) 137.7 TF
   16384    (1024,1024,h2) 171.2 TF        (1024,1024,h2) 149.3 TF
@@ -51,17 +51,28 @@ class BlockSizes:
       reference's MIN_BLOCKS=2 short-seq occupancy boost
       (flash_attention.cu:618). Applied only when it divides batch*heads and
       the layout allows (MHA, or GQA when block_h spans whole groups).
+    block_sub: causal single-superblock sub-tiling width (0 = off). When the
+      whole (q, kv) problem fits one block pair, the kernel unrolls over
+      block_sub-row Q sub-blocks, each doing ONE wide MMA over only its live
+      KV prefix — plain per-row-block softmax, no online-softmax scratch, and
+      the masked-region MXU waste drops from ~50% (full-tile diagonal) to
+      ~1/(n+1) for n = block_q / block_sub sub-blocks.
     """
 
     block_q: int = 1024
     block_kv: int = 1024
     block_h: int = 1
+    block_sub: int = 0
 
     def __post_init__(self):
         if self.block_q % 128 or self.block_kv % 128:
             raise ValueError(f"block sizes must be multiples of 128, got {self}")
         if self.block_h < 1:
             raise ValueError(f"block_h must be >= 1, got {self}")
+        if self.block_sub and (self.block_sub % 128 or self.block_q % self.block_sub):
+            raise ValueError(
+                f"block_sub must be a multiple of 128 dividing block_q, got {self}"
+            )
 
 
 @dataclasses.dataclass(frozen=True)
@@ -106,19 +117,49 @@ def select_block_sizes(
         return BlockSizes(block_q=512, block_kv=1024, block_h=group)
     if save_residuals:
         if causal:
-            if pad_seq <= 512:
-                return BlockSizes(block_q=pad_seq, block_kv=pad_seq, block_h=2)
+            # Subtile variants with one head-batch step of VMEM headroom for
+            # the extra fp32 LSE output block (all verified to compile
+            # STANDALONE on v5e — the in-scan benchmark hides ~1 MB).
+            if pad_seq <= 768:
+                return BlockSizes(
+                    block_q=pad_seq, block_kv=pad_seq, block_h=4, block_sub=128
+                )
             if pad_seq <= 1024:
-                return BlockSizes(block_q=pad_seq, block_kv=pad_seq, block_h=1)
+                return BlockSizes(
+                    block_q=pad_seq, block_kv=pad_seq, block_h=4, block_sub=128
+                )
+            if pad_seq <= 2048:
+                return BlockSizes(
+                    block_q=pad_seq, block_kv=pad_seq, block_h=2, block_sub=128
+                )
             return BlockSizes(block_q=512, block_kv=1024, block_h=2)
         if pad_seq <= 768:
             return BlockSizes(block_q=pad_seq, block_kv=pad_seq, block_h=2)
         return BlockSizes(block_q=512, block_kv=min(1024, pad_seq), block_h=2)
     if causal:
-        if pad_seq <= 512:
-            return BlockSizes(block_q=pad_seq, block_kv=pad_seq, block_h=4)
+        # Single-superblock sub-tiled configs (block_sub, v5e sweep
+        # 2026-08-17): per-128-row live-prefix MMAs cut masked-region MXU
+        # waste from ~50% (full-tile diagonal) to ~1/(n+1), and the plain
+        # per-row-block softmax drops the online (m, l, acc) state entirely.
+        # Measured (b=1, h=32, d=128): 512 h8 82 TF (was 69), 768 h8 105
+        # (was 79), 1024 h4 116 (was 81), 2048 h2 131 (was 94). At 4096 the
+        # h1-only single-superblock loses to the tri grid (120 vs 125), and
+        # h8 @ 1024 / h4 @ 2048 exceed scoped VMEM when compiled standalone.
+        # NOTE: 512 causal is HBM-wall-bound at ~105 TF (QKVO bytes are
+        # constant while causal credits half the FLOPs), so ~80 TF is ~78%
+        # of the true ceiling, not 42%.
+        if pad_seq <= 768:
+            return BlockSizes(
+                block_q=pad_seq, block_kv=pad_seq, block_h=8, block_sub=128
+            )
         if pad_seq <= 1024:
-            return BlockSizes(block_q=pad_seq, block_kv=pad_seq, block_h=2)
+            return BlockSizes(
+                block_q=pad_seq, block_kv=pad_seq, block_h=4, block_sub=128
+            )
+        if pad_seq <= 2048:
+            return BlockSizes(
+                block_q=pad_seq, block_kv=pad_seq, block_h=2, block_sub=128
+            )
         return BlockSizes(block_q=1024, block_kv=1024, block_h=2)
     if pad_seq <= 512:
         # h8 measures ~87 TF in-scan but sits at 17.5 MB scoped VMEM when

@@ -154,3 +154,49 @@ def test_gqa_head_batching():
         got = flash_attention(q, k, v, causal=causal, block_sizes=bs)
         want = reference_attention(q, k, v, causal=causal)
         assert_close(got, want, msg=f"b={b} hq={hq} hkv={hkv} hb={hb}")
+
+
+def test_causal_subtile_configs():
+    """Causal single-superblock sub-tiling (block_sub): per-row-block
+    live-prefix MMAs must match the oracle across MHA/GQA, padding, and
+    kv_len > q_len diagonal offsets."""
+    cases = [
+        # (batch, q_heads, kv_heads, q_len, kv_len, bs)
+        (1, 4, 4, 512, 512, BlockSizes(512, 512, 4, 128)),
+        (1, 4, 4, 640, 640, BlockSizes(640, 640, 2, 128)),  # ragged pad
+        (2, 8, 2, 512, 512, BlockSizes(512, 512, 8, 128)),  # GQA in-kernel
+        (1, 2, 2, 256, 512, BlockSizes(256, 512, 2, 128)),  # diag offset
+        (1, 2, 2, 512, 512, BlockSizes(512, 512, 1, 256)),  # wider sub
+    ]
+    for batch, hq, hkv, qs, ks, bs in cases:
+        q, k, v = make_qkv(11, batch, hq, qs, 128, num_kv_heads=hkv, kv_seq=ks)
+        got = flash_attention(q, k, v, causal=True, block_sizes=bs)
+        want = reference_attention(q, k, v, causal=True)
+        assert_close(got, want, msg=f"subtile {bs}")
+
+
+def test_causal_subtile_lse_matches_tiled():
+    """The subtile path's LSE residual must agree with the multi-block
+    online-softmax path (the split/ring merge contract)."""
+    q, k, v = make_qkv(12, 1, 2, 512, 128)
+    out_a, lse_a = flash_attention(
+        q, k, v, causal=True, save_residuals=True,
+        block_sizes=BlockSizes(512, 512, 2, 128),
+    )
+    out_b, lse_b = flash_attention(
+        q, k, v, causal=True, save_residuals=True, block_sizes=BS
+    )
+    assert_close(out_a, out_b)
+    np.testing.assert_allclose(
+        np.asarray(lse_a), np.asarray(lse_b), rtol=1e-3, atol=1e-3
+    )
+
+
+def test_causal_subtile_softcap():
+    q, k, v = make_qkv(13, 1, 2, 512, 128)
+    got = flash_attention(
+        q, k, v, causal=True, logit_softcap=30.0,
+        block_sizes=BlockSizes(512, 512, 2, 128),
+    )
+    want = reference_attention(q, k, v, causal=True, logit_softcap=30.0)
+    assert_close(got, want)

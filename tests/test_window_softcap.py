@@ -98,16 +98,57 @@ def test_decode_window_and_softcap():
         assert_close(got, want[:, :, 0, :], msg=f"window={window} cap={cap}")
 
 
-def test_window_grad_raises():
-    q, k, v = make_qkv(6, 1, 2, 256, 128)
-    with pytest.raises(NotImplementedError, match="sliding_window"):
-        jax.grad(
-            lambda q: jnp.sum(
-                flash_attention(q, k, v, causal=True, sliding_window=64).astype(
-                    jnp.float32
-                )
-            )
-        )(q)
+@pytest.mark.parametrize(
+    "window,cap",
+    [(64, None), (300, None), (None, 1.0), (192, 2.0)],
+)
+def test_window_softcap_grads_match_oracle(window, cap):
+    from tests.test_backward import grads
+
+    q, k, v = make_qkv(6, 1, 2, 512, 128)
+    if cap is not None:
+        # Scale q up so scores exceed the cap (tanh' != 1 somewhere).
+        q = (q.astype(jnp.float32) * 8).astype(q.dtype)
+    bs = BlockSizes(block_q=128, block_kv=128)
+    got = grads(
+        lambda q, k, v: flash_attention(
+            q, k, v, causal=True, sliding_window=window, logit_softcap=cap,
+            block_sizes=bs, bwd_block_sizes=bs,
+        ),
+        q, k, v,
+    )
+    want = grads(
+        lambda q, k, v: reference_attention(
+            q, k, v, causal=True, sliding_window=window, logit_softcap=cap,
+            out_dtype=jnp.float32,
+        ),
+        q, k, v,
+    )
+    for g, w, name in zip(got, want, ("dq", "dk", "dv")):
+        assert_close(g, w, msg=f"{name} (window={window} cap={cap}):")
+
+
+def test_window_grad_chunked_prefill():
+    # kv longer than q (diag offset) + window, through the fused backward.
+    from tests.test_backward import grads
+
+    q, k, v = make_qkv(9, 1, 2, 128, 128, kv_seq=384)
+    bs = BlockSizes(block_q=128, block_kv=128)
+    got = grads(
+        lambda q, k, v: flash_attention(
+            q, k, v, causal=True, sliding_window=200,
+            block_sizes=bs, bwd_block_sizes=bs,
+        ),
+        q, k, v,
+    )
+    want = grads(
+        lambda q, k, v: reference_attention(
+            q, k, v, causal=True, sliding_window=200, out_dtype=jnp.float32
+        ),
+        q, k, v,
+    )
+    for g, w, name in zip(got, want, ("dq", "dk", "dv")):
+        assert_close(g, w, msg=f"{name}:")
 
 
 def test_window_validation():
