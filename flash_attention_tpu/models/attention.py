@@ -153,6 +153,94 @@ def attention_prefill(
     return out.astype(x.dtype), cache
 
 
+def attention_prefill_chunk(
+    params, cfg: AttentionConfig, x: jax.Array, cache: KVCache, slot, start,
+    kv_end: int, *, block_sizes=None,
+):
+    """Prefill ONE CHUNK of one sequence into its slot of a batched cache.
+
+    Chunked prefill (the scheduler-level analog of the reference's streaming
+    KV hot loop, flash_attention.cu:417-453): the chunk's queries attend the
+    slot's whole cache prefix plus the chunk itself, using the kernel's
+    kv_len > q_len diagonal offset. The caller schedules chunks so
+    ``start + T == kv_end`` with kv_end STATIC (chunk boundaries at fixed
+    multiples), which keeps the visible-KV slice shape static per chunk index.
+
+    Args:
+      x: [1, T, model_dim] — the chunk (right-padded on the LAST chunk only;
+        padded rows write garbage K/V past the true length, which no later
+        chunk or decode step can see).
+      cache: the batched [slots, ...] KVCache (updated in place functionally).
+      slot: scalar int32 — which batch row.
+      start: scalar int32 — the chunk's first token position (start+T==kv_end).
+      kv_end: static int — visible KV horizon for this chunk.
+
+    Returns:
+      (output [1, T, model_dim], updated cache).
+    """
+    _, t, _ = x.shape
+    q = jnp.einsum("btm,mhd->bhtd", x, params["wq"]).astype(cfg.jnp_dtype)
+    k = jnp.einsum("btm,mhd->bhtd", x, params["wk"]).astype(cfg.jnp_dtype)
+    v = jnp.einsum("btm,mhd->bhtd", x, params["wv"]).astype(cfg.jnp_dtype)
+    positions = start + jnp.arange(t)[None, None, :]
+    q = apply_rope(q, positions, theta=cfg.rope_theta)
+    k = apply_rope(k, positions, theta=cfg.rope_theta)
+
+    # Write the chunk's K/V into the slot's rows FIRST so the visible slice
+    # [0, kv_end) includes the chunk itself.
+    kq, ks = _quantize_for_cache(cfg, k)
+    vq, vs = _quantize_for_cache(cfg, v)
+    slot = jnp.asarray(slot, jnp.int32)
+    start = jnp.asarray(start, jnp.int32)
+    new_len = (start + t).astype(cache.lengths.dtype)
+    cache = cache._replace(
+        k=jax.lax.dynamic_update_slice(
+            cache.k, kq.astype(cache.k.dtype), (slot, 0, start, 0)
+        ),
+        v=jax.lax.dynamic_update_slice(
+            cache.v, vq.astype(cache.v.dtype), (slot, 0, start, 0)
+        ),
+        lengths=jax.lax.dynamic_update_slice(
+            cache.lengths, new_len[None], (slot,)
+        ),
+    )
+    if cache.k_scales is not None:
+        cache = cache._replace(
+            k_scales=jax.lax.dynamic_update_slice(
+                cache.k_scales, ks, (slot, 0, start, 0)
+            ),
+            v_scales=jax.lax.dynamic_update_slice(
+                cache.v_scales, vs, (slot, 0, start, 0)
+            ),
+        )
+
+    hkv, d = cache.k.shape[1], cache.k.shape[3]
+
+    def visible(buf, scales):
+        vis = jax.lax.dynamic_slice(buf, (slot, 0, 0, 0), (1, hkv, kv_end, d))
+        if scales is None:
+            return vis
+        # Quantized cache: dequantize the visible slice in-graph (one XLA
+        # pass; chunk attention is compute-bound so the widen is cheap
+        # relative to the TxS matmuls it feeds).
+        sc = jax.lax.dynamic_slice(
+            scales, (slot, 0, 0, 0), (1, hkv, kv_end, 1)
+        )
+        return (vis.astype(jnp.float32) * sc).astype(cfg.jnp_dtype)
+
+    k_vis = visible(cache.k, cache.k_scales)
+    v_vis = visible(cache.v, cache.v_scales)
+
+    o = flash_attention(
+        q, k_vis, v_vis, causal=True, block_sizes=block_sizes,
+        sliding_window=cfg.sliding_window, logit_softcap=cfg.logit_softcap,
+    )
+    out = jnp.einsum(
+        "bhtd,hdm->btm", o.astype(jnp.float32), params["wo"].astype(jnp.float32)
+    )
+    return out.astype(x.dtype), cache
+
+
 def attention_prefill_paged(
     params, cfg: AttentionConfig, x: jax.Array, paged_cache, slot, true_len,
     *, block_sizes=None
@@ -180,6 +268,37 @@ def attention_prefill_paged(
         "bhtd,hdm->btm", o.astype(jnp.float32), params["wo"].astype(jnp.float32)
     )
     paged_cache = paged_write_prefill(paged_cache, k[0], v[0], slot, true_len)
+    return out.astype(x.dtype), paged_cache
+
+
+def attention_prefill_chunk_paged(
+    params, cfg: AttentionConfig, x: jax.Array, paged_cache, slot, start,
+    kv_end: int, *, block_sizes=None,
+):
+    """Chunked prefill over a PAGED cache: one chunk ([1, T, model_dim], T a
+    page multiple) of one sequence, attending the slot's pages [0, kv_end)
+    (start + T == kv_end, kv_end static). Returns (output, updated cache)."""
+    from flash_attention_tpu.ops.paged import paged_gather_kv, paged_write_prefill
+
+    _, t, _ = x.shape
+    q = jnp.einsum("btm,mhd->bhtd", x, params["wq"]).astype(cfg.jnp_dtype)
+    k = jnp.einsum("btm,mhd->bhtd", x, params["wk"]).astype(cfg.jnp_dtype)
+    v = jnp.einsum("btm,mhd->bhtd", x, params["wv"]).astype(cfg.jnp_dtype)
+    positions = start + jnp.arange(t)[None, None, :]
+    q = apply_rope(q, positions, theta=cfg.rope_theta)
+    k = apply_rope(k, positions, theta=cfg.rope_theta)
+
+    paged_cache = paged_write_prefill(
+        paged_cache, k[0], v[0], slot, jnp.asarray(start) + t, start=start
+    )
+    k_vis, v_vis = paged_gather_kv(paged_cache, slot, kv_end, dtype=cfg.jnp_dtype)
+    o = flash_attention(
+        q, k_vis, v_vis, causal=True, block_sizes=block_sizes,
+        sliding_window=cfg.sliding_window, logit_softcap=cfg.logit_softcap,
+    )
+    out = jnp.einsum(
+        "bhtd,hdm->btm", o.astype(jnp.float32), params["wo"].astype(jnp.float32)
+    )
     return out.astype(x.dtype), paged_cache
 
 

@@ -20,6 +20,7 @@ from flash_attention_tpu.models.attention import (
     attention_decode,
     attention_decode_paged,
     attention_prefill,
+    attention_prefill_chunk,
     attention_prefill_paged,
     init_attention_params,
     init_kv_cache,
@@ -154,6 +155,41 @@ def prefill(params, cfg: ModelConfig, tokens: jax.Array, caches: list):
     return forward(params, cfg, tokens, caches, decode=False)
 
 
+def prefill_chunk(
+    params, cfg: ModelConfig, tokens: jax.Array, caches: list, slot, start,
+    kv_end: int,
+):
+    """Prefill ONE CHUNK ([1, T] tokens at positions [start, start+T)) of one
+    sequence into its slot of the batched caches (start + T == kv_end, kv_end
+    static). Returns (logits [1, T, vocab], updated caches) — chunked prefill
+    lets long prompts interleave with decode steps instead of stalling them.
+    """
+    acfg = cfg.attention_config()
+    x = params["embed"][tokens].astype(cfg.jnp_dtype)
+    new_caches = []
+    for lp, cache in zip(params["layers"], caches):
+        h = rms_norm(x, lp["attn_norm"], cfg.norm_eps)
+        attn_out, cache = attention_prefill_chunk(
+            lp["attn"], acfg, h, cache, slot, start, kv_end
+        )
+        x = x + attn_out
+        h = rms_norm(x, lp["mlp_norm"], cfg.norm_eps)
+        x = x + swiglu(h, lp["mlp"])
+        new_caches.append(cache)
+    x = rms_norm(x, params["final_norm"], cfg.norm_eps)
+    logits = jnp.einsum(
+        "btm,vm->btv", x, params["embed"], preferred_element_type=jnp.float32
+    )
+    return logits, new_caches
+
+
+def decode_step_logits(params, cfg: ModelConfig, tokens: jax.Array, caches: list):
+    """One decode step returning raw last-position logits [B, vocab] (the
+    sampling layer chooses the token; see serving/sampling.py)."""
+    logits, caches = forward(params, cfg, tokens, caches, decode=True)
+    return logits[:, -1, :], caches
+
+
 def init_paged_caches(
     cfg: ModelConfig, *, num_pages: int, num_slots: int, pages_per_slot: int,
     page_size: int = 128,
@@ -201,6 +237,48 @@ def prefill_paged(params, cfg: ModelConfig, tokens, caches, slot, true_len):
         "btm,vm->btv", x, params["embed"], preferred_element_type=jnp.float32
     )
     return logits, new_caches
+
+
+def prefill_chunk_paged(
+    params, cfg: ModelConfig, tokens, caches, slot, start, kv_end: int
+):
+    """Chunked prefill over paged caches: [1, T] tokens at positions
+    [start, start+T), T a page multiple, start + T == kv_end (static).
+    Returns (logits [1, T, vocab], updated caches)."""
+    from flash_attention_tpu.models.attention import attention_prefill_chunk_paged
+
+    acfg = cfg.attention_config()
+    x = params["embed"][tokens].astype(cfg.jnp_dtype)
+    new_caches = []
+    for lp, cache in zip(params["layers"], caches):
+        h = rms_norm(x, lp["attn_norm"], cfg.norm_eps)
+        attn_out, cache = attention_prefill_chunk_paged(
+            lp["attn"], acfg, h, cache, slot, start, kv_end
+        )
+        x = x + attn_out
+        h = rms_norm(x, lp["mlp_norm"], cfg.norm_eps)
+        x = x + swiglu(h, lp["mlp"])
+        new_caches.append(cache)
+    x = rms_norm(x, params["final_norm"], cfg.norm_eps)
+    logits = jnp.einsum(
+        "btm,vm->btv", x, params["embed"], preferred_element_type=jnp.float32
+    )
+    return logits, new_caches
+
+
+def decode_step_logits_paged(params, cfg: ModelConfig, tokens, caches):
+    """One paged decode step returning raw last-position logits [S, vocab]."""
+    acfg = cfg.attention_config()
+    x = params["embed"][tokens].astype(cfg.jnp_dtype)
+    new_caches = []
+    for lp, cache in zip(params["layers"], caches):
+        x, cache = _paged_layer(lp, acfg, cfg, x, cache, decode=True)
+        new_caches.append(cache)
+    x = rms_norm(x, params["final_norm"], cfg.norm_eps)
+    logits = jnp.einsum(
+        "btm,vm->btv", x, params["embed"], preferred_element_type=jnp.float32
+    )
+    return logits[:, -1, :], new_caches
 
 
 def decode_step_paged(params, cfg: ModelConfig, tokens, caches):

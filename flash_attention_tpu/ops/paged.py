@@ -179,12 +179,15 @@ def paged_write_prefill(
     v_new: jax.Array,
     slot,
     true_len,
+    start=0,
 ) -> PagedKVCache:
     """Write a [kv_heads, T, head_dim] prefill K/V into ``slot``'s pages.
 
     T must be a multiple of the page size (pad the prefill; extra rows land in
     allocated pages and are masked by ``lengths``). ``true_len`` sets the
-    slot's valid length.
+    slot's valid length. ``start`` (a page multiple, default 0) writes the
+    rows at logical positions [start, start+T) — chunked prefill writes each
+    chunk at its offset.
     """
     page_size = cache.page_size
     quant = cache.quantized()
@@ -192,10 +195,11 @@ def paged_write_prefill(
     if t % page_size:
         raise ValueError(f"prefill length {t} not a multiple of page_size {page_size}")
     n_pages = t // page_size
+    start_page = jnp.asarray(start, jnp.int32) // page_size
 
     def write_page(carry, i):
         k_pages, v_pages, k_sc, v_sc = carry
-        phys = cache.page_table[slot, i]
+        phys = cache.page_table[slot, start_page + i]
         ks = jax.lax.dynamic_slice(
             k_new, (0, i * page_size, 0), (k_new.shape[0], page_size, k_new.shape[2])
         )
@@ -229,6 +233,36 @@ def paged_write_prefill(
     if quant:
         cache = cache._replace(k_scales=k_sc, v_scales=v_sc)
     return cache
+
+
+def paged_gather_kv(cache: PagedKVCache, slot, kv_end: int, dtype=None):
+    """Gather ``slot``'s first ``kv_end`` rows (a static page multiple) into
+    dense [1, kv_heads, kv_end, head_dim] K and V, dequantized.
+
+    The dense view feeds the prefill kernel for chunked prefill over a paged
+    cache (chunk attention is compute-bound, so the gather+widen is cheap
+    relative to the T x kv_end matmuls it feeds).
+    """
+    page_size = cache.page_size
+    if kv_end % page_size:
+        raise ValueError(f"kv_end={kv_end} not a multiple of page_size {page_size}")
+    n = kv_end // page_size
+    phys = cache.page_table[slot, :n]  # [n] int32
+    if dtype is None:
+        dtype = jnp.bfloat16 if cache.quantized() else cache.k_pages.dtype
+
+    def densify(pages, scales):
+        x = jnp.take(pages, phys, axis=0)  # [n, H, page, D]
+        if scales is not None:
+            sc = jnp.take(scales, phys, axis=0)  # [n, H, 1, page]
+            x = x.astype(jnp.float32) * jnp.swapaxes(sc, 2, 3)
+        h, d = x.shape[1], x.shape[3]
+        x = jnp.swapaxes(x, 0, 1).reshape(1, h, n * page_size, d)
+        return x.astype(dtype)
+
+    k = densify(cache.k_pages, cache.k_scales)
+    v = densify(cache.v_pages, cache.v_scales)
+    return k, v
 
 
 def _paged_decode_kernel(

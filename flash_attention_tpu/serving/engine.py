@@ -6,12 +6,20 @@ finished slots are refilled from the queue — the C++ scheduler
 (native/src/scheduler.cpp) owns the request lifecycle, this module owns the
 device work:
 
-  * prefill: one request at a time into its slot, prompt padded to a
-    power-of-two bucket (bounds jit cache size), KV written into the slot's
-    rows of the batched cache.
+  * CHUNKED prefill: prompts are split into fixed-size chunks; each engine
+    iteration advances every pending prefill by ONE chunk and then runs ONE
+    decode step for all active slots, so a long prompt no longer stalls the
+    decode batch head-of-line (the scheduler-level analog of the reference's
+    streaming-KV hot loop, flash_attention.cu:417-453). Chunk boundaries are
+    fixed multiples, so the visible-KV horizon is static per chunk index
+    (bounded jit cache: one compile per chunk position, not per prompt).
   * decode: ONE jitted step for all slots — inactive slots compute but their
     cache lengths are frozen, so their (masked) lanes are free riders on the
     batched kernels; this is what makes continuous batching continuous.
+  * sampling: per-request temperature / top-k / top-p (serving/sampling.py),
+    vectorized over slots inside the jitted decode step; temperature 0 is
+    exact greedy. Stateless keys (seed folded with token position) make
+    completions reproducible.
 
 Both steps donate the cache pytree, so the KV cache is updated in place on
 device (no per-step reallocation of the multi-GiB cache).
@@ -29,10 +37,11 @@ import numpy as np
 
 from flash_attention_tpu.models.transformer import (
     ModelConfig,
-    decode_step,
+    decode_step_logits,
     init_caches,
-    prefill,
 )
+from flash_attention_tpu.models.transformer import prefill_chunk as _prefill_chunk_fn
+from flash_attention_tpu.serving.sampling import GREEDY, SamplingParams, sample_tokens
 from flash_attention_tpu.serving.scheduler import ContinuousBatchScheduler
 
 
@@ -41,6 +50,7 @@ class Request:
     id: int
     prompt: tuple[int, ...]
     max_new_tokens: int
+    sampling: SamplingParams = GREEDY
 
 
 @dataclasses.dataclass
@@ -50,15 +60,15 @@ class Completion:
     finished_by_eos: bool
 
 
-def _bucket(n: int, lo: int = 16) -> int:
-    b = lo
-    while b < n:
-        b *= 2
-    return b
+@dataclasses.dataclass
+class _PrefillState:
+    req: Request
+    padded: np.ndarray  # [n_chunks * chunk] int32 prompt, right-padded
+    next_chunk: int = 0
 
 
 class ServingEngine:
-    """Greedy-decoding continuous-batching engine over the transformer stack.
+    """Continuous-batching engine over the transformer stack.
 
     Args:
       params: model params pytree (init_model_params).
@@ -67,6 +77,7 @@ class ServingEngine:
       max_seq: KV capacity per slot; admission requires
         prompt_len + max_new_tokens <= max_seq.
       eos_id: optional end-of-sequence token id.
+      prefill_chunk: tokens per prefill chunk (chunked prefill granularity).
       shard_caches: optional fn applied once to the freshly-initialized cache
         pytree (e.g. device_put with NamedShardings for multi-chip serving);
         the jitted steps then preserve the placement.
@@ -80,6 +91,7 @@ class ServingEngine:
         max_slots: int,
         max_seq: int,
         eos_id: int | None = None,
+        prefill_chunk: int = 256,
         shard_caches: Callable | None = None,
     ):
         self.params = params
@@ -87,78 +99,110 @@ class ServingEngine:
         self.max_slots = max_slots
         self.max_seq = max_seq
         self.eos_id = eos_id
+        self.chunk = min(prefill_chunk, max_seq)
         self.sched = ContinuousBatchScheduler(max_slots, max_seq)
         caches = init_caches(cfg, max_slots, max_seq)
         if shard_caches is not None:
             caches = shard_caches(caches)
         self.caches = caches
         self.last_token = np.zeros((max_slots,), np.int32)
+        # Per-slot sampling parameters (set at admission).
+        self._temps = np.zeros((max_slots,), np.float32)
+        self._topk = np.zeros((max_slots,), np.int32)
+        self._topp = np.ones((max_slots,), np.float32)
+        self._seeds = np.zeros((max_slots,), np.int32)
+        self._prefills: dict[int, _PrefillState] = {}
         self.steps = 0
         self.decode_tokens = 0
+        self.events: list[tuple] = []  # ("chunk", slot) / ("decode", n_active)
 
         model_cfg = cfg
 
-        @functools.partial(jax.jit, static_argnums=(4,), donate_argnums=(2,))
-        def _prefill_into_slot(params, tokens, caches, slot, true_len_bucket):
-            # tokens: [1, bucket]; causal masking makes rows < true_len exact
-            # regardless of right padding.
-            del true_len_bucket
-            small = init_caches(model_cfg, 1, tokens.shape[1])
-            logits, small = prefill(params, model_cfg, tokens, small)
-            return logits, small, caches
-
-        # true_len is traced (one compile per bucket, not per length).
-        @functools.partial(jax.jit, donate_argnums=(1,))
-        def _merge_slot(small_caches, caches, slot, true_len):
-            new = []
-            for big, sm in zip(caches, small_caches):
-                upd = dict(
-                    k=jax.lax.dynamic_update_slice(big.k, sm.k.astype(big.k.dtype), (slot, 0, 0, 0)),
-                    v=jax.lax.dynamic_update_slice(big.v, sm.v.astype(big.v.dtype), (slot, 0, 0, 0)),
-                    lengths=jax.lax.dynamic_update_slice(
-                        big.lengths, true_len[None].astype(big.lengths.dtype), (slot,)
-                    ),
-                )
-                if big.k_scales is not None:
-                    upd["k_scales"] = jax.lax.dynamic_update_slice(
-                        big.k_scales, sm.k_scales, (slot, 0, 0, 0)
-                    )
-                    upd["v_scales"] = jax.lax.dynamic_update_slice(
-                        big.v_scales, sm.v_scales, (slot, 0, 0, 0)
-                    )
-                new.append(big._replace(**upd))
-            return new
+        @functools.partial(jax.jit, static_argnums=(5,), donate_argnums=(2,))
+        def _prefill_chunk_step(params, tokens, caches, slot, start, kv_end):
+            # tokens: [1, chunk]; start + chunk == kv_end (static).
+            return _prefill_chunk_fn(
+                params, model_cfg, tokens, caches, slot, start, kv_end
+            )
 
         @functools.partial(jax.jit, donate_argnums=(2,))
-        def _decode_all(params, tokens, caches, active):
+        def _decode_all(params, tokens, caches, active, temps, topk, topp, seeds):
             old_lengths = [c.lengths for c in caches]
-            next_tok, new_caches = decode_step(params, model_cfg, tokens, caches)
+            positions = old_lengths[0]  # the new token's position per slot
+            logits, new_caches = decode_step_logits(
+                params, model_cfg, tokens, caches
+            )
+            next_tok = sample_tokens(logits, temps, topk, topp, seeds, positions)
             fixed = [
                 c._replace(lengths=jnp.where(active, c.lengths, old))
                 for c, old in zip(new_caches, old_lengths)
             ]
-            return next_tok[:, 0], fixed
+            return next_tok, fixed
 
-        self._prefill_into_slot = _prefill_into_slot
-        self._merge_slot = _merge_slot
+        @jax.jit
+        def _sample_first(logits, temp, topk, topp, seed, position):
+            # logits: [1, vocab] at the prompt's last position.
+            return sample_tokens(
+                logits,
+                temp[None], topk[None], topp[None], seed[None], position[None],
+            )[0]
+
+        self._prefill_chunk_step = _prefill_chunk_step
         self._decode_all = _decode_all
+        self._sample_first = _sample_first
 
     # ------------------------------------------------------------------
     def submit(self, req: Request) -> bool:
         return self.sched.submit(req.id, len(req.prompt), req.max_new_tokens)
 
-    def _run_prefill(self, req: Request, slot: int) -> int:
-        bucket = min(_bucket(len(req.prompt)), self.max_seq)
-        toks = np.zeros((1, bucket), np.int32)
-        toks[0, : len(req.prompt)] = req.prompt
-        logits, small, self.caches = self._prefill_into_slot(
-            self.params, jnp.asarray(toks), self.caches, slot, bucket
+    def _start_prefill(self, req: Request, slot: int) -> None:
+        n_chunks = max(1, -(-len(req.prompt) // self.chunk))
+        padded = np.zeros((n_chunks * self.chunk,), np.int32)
+        padded[: len(req.prompt)] = req.prompt
+        self._prefills[slot] = _PrefillState(req=req, padded=padded)
+        sp = req.sampling
+        self._temps[slot] = sp.temperature
+        self._topk[slot] = sp.top_k
+        self._topp[slot] = sp.top_p
+        self._seeds[slot] = sp.seed
+
+    def _advance_prefill(self, slot: int, out: dict[int, Completion]) -> None:
+        """Run ONE chunk of the pending prefill on `slot`."""
+        st = self._prefills[slot]
+        c = st.next_chunk
+        lo, hi = c * self.chunk, (c + 1) * self.chunk
+        toks = jnp.asarray(st.padded[None, lo:hi])
+        logits, self.caches = self._prefill_chunk_step(
+            self.params, toks, self.caches, jnp.int32(slot), jnp.int32(lo), hi
         )
-        self.caches = self._merge_slot(
-            small, self.caches, jnp.int32(slot), jnp.int32(len(req.prompt))
+        st.next_chunk += 1
+        self.events.append(("chunk", slot))
+        if st.next_chunk * self.chunk < len(st.padded):
+            return
+        # Last chunk done: fix the true length, sample the first token.
+        req = st.req
+        true_len = len(req.prompt)
+        self.caches = _set_slot_length(self.caches, slot, true_len)
+        local_idx = (true_len - 1) - (st.next_chunk - 1) * self.chunk
+        first = int(
+            self._sample_first(
+                logits[:, local_idx],
+                jnp.float32(self._temps[slot]),
+                jnp.int32(self._topk[slot]),
+                jnp.float32(self._topp[slot]),
+                jnp.int32(self._seeds[slot]),
+                jnp.int32(true_len),
+            )
         )
-        first = int(jnp.argmax(logits[0, len(req.prompt) - 1]))
-        return first
+        del self._prefills[slot]
+        self.sched.prefill_done(slot)
+        out.setdefault(req.id, Completion(req.id, [], False))
+        out[req.id].tokens.append(first)
+        self.last_token[slot] = first
+        is_eos = self.eos_id is not None and first == self.eos_id
+        if is_eos:
+            out[req.id].finished_by_eos = True
+        self.sched.record_token(slot, is_eos)
 
     def run(self, requests: list[Request]) -> dict[int, Completion]:
         """Serve a batch of requests to completion; returns {id: Completion}."""
@@ -169,21 +213,19 @@ class ServingEngine:
                 out[r.id] = Completion(r.id, [], finished_by_eos=False)
 
         while True:
-            # Admit + prefill newly-scheduled requests one at a time.
+            # Admit newly-scheduled requests into prefill states.
             for req_id, slot in self.sched.admit():
-                req = by_id[req_id]
-                first = self._run_prefill(req, slot)
-                self.sched.prefill_done(slot)
-                out.setdefault(req_id, Completion(req_id, [], False))
-                out[req_id].tokens.append(first)
-                self.last_token[slot] = first
-                is_eos = self.eos_id is not None and first == self.eos_id
-                if is_eos:
-                    out[req_id].finished_by_eos = True
-                self.sched.record_token(slot, is_eos)
+                self._start_prefill(by_id[req_id], slot)
+
+            # Advance every pending prefill by ONE chunk (interleaved with
+            # the decode step below — no head-of-line blocking).
+            for slot in sorted(self._prefills):
+                self._advance_prefill(slot, out)
 
             active = self.sched.active_slots()
             if not active:
+                if self._prefills:
+                    continue
                 st = self.sched.stats()
                 if st.queued == 0 and st.prefilling == 0 and st.decoding == 0:
                     break
@@ -193,11 +235,14 @@ class ServingEngine:
             active_mask[active] = True
             toks = jnp.asarray(self.last_token[:, None])
             next_tok, self.caches = self._decode_all(
-                self.params, toks, self.caches, jnp.asarray(active_mask)
+                self.params, toks, self.caches, jnp.asarray(active_mask),
+                jnp.asarray(self._temps), jnp.asarray(self._topk),
+                jnp.asarray(self._topp), jnp.asarray(self._seeds),
             )
             next_np = np.asarray(next_tok)
             self.steps += 1
             self.decode_tokens += len(active)
+            self.events.append(("decode", len(active)))
             for slot in active:
                 req_id = self.sched.slot_request(slot)
                 tok = int(next_np[slot])
@@ -209,3 +254,17 @@ class ServingEngine:
                 self.sched.record_token(slot, is_eos)
 
         return out
+
+
+@jax.jit
+def _set_slot_length(caches, slot, true_len):
+    slot = jnp.asarray(slot, jnp.int32)
+    val = jnp.asarray(true_len, jnp.int32)[None]
+    return [
+        c._replace(
+            lengths=jax.lax.dynamic_update_slice(
+                c.lengths, val.astype(c.lengths.dtype), (slot,)
+            )
+        )
+        for c in caches
+    ]

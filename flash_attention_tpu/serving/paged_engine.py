@@ -25,17 +25,18 @@ import numpy as np
 
 from flash_attention_tpu.models.transformer import (
     ModelConfig,
-    decode_step_paged,
+    decode_step_logits_paged,
     init_paged_caches,
-    prefill_paged,
+    prefill_chunk_paged,
 )
 from flash_attention_tpu.serving.allocator import PageAllocator
-from flash_attention_tpu.serving.engine import Completion, Request, _bucket
+from flash_attention_tpu.serving.engine import Completion, Request, _PrefillState
+from flash_attention_tpu.serving.sampling import sample_tokens
 from flash_attention_tpu.serving.scheduler import ContinuousBatchScheduler
 
 
 class PagedServingEngine:
-    """Greedy-decoding continuous batching over paged KV memory.
+    """Continuous batching over paged KV memory (chunked prefill + sampling).
 
     Args:
       params, cfg: the model (init_model_params / ModelConfig).
@@ -44,6 +45,9 @@ class PagedServingEngine:
       pages_per_slot: page-table width = ceil(max supported seq / page_size).
       page_size: tokens per page (a multiple of 128).
       eos_id: optional end-of-sequence token.
+      prefill_chunk: tokens per prefill chunk (rounded up to a page multiple);
+        each engine iteration advances pending prefills one chunk and then
+        decodes, so long prompts don't stall the decode batch.
     """
 
     def __init__(
@@ -56,6 +60,7 @@ class PagedServingEngine:
         pages_per_slot: int,
         page_size: int = 128,
         eos_id: int | None = None,
+        prefill_chunk: int = 256,
     ):
         self.params = params
         self.cfg = cfg
@@ -64,6 +69,8 @@ class PagedServingEngine:
         self.pages_per_slot = pages_per_slot
         self.max_seq = pages_per_slot * page_size
         self.eos_id = eos_id
+        chunk = max(page_size, -(-prefill_chunk // page_size) * page_size)
+        self.chunk = min(chunk, self.max_seq)
         self.sched = ContinuousBatchScheduler(max_slots, self.max_seq)
         # Page 0 is the dump page: burn it out of the pool by acquiring once.
         self.alloc = PageAllocator(num_pages)
@@ -75,8 +82,14 @@ class PagedServingEngine:
         )
         self.slot_pages: dict[int, list[int]] = {}
         self.last_token = np.zeros((max_slots,), np.int32)
+        self._temps = np.zeros((max_slots,), np.float32)
+        self._topk = np.zeros((max_slots,), np.int32)
+        self._topp = np.ones((max_slots,), np.float32)
+        self._seeds = np.zeros((max_slots,), np.int32)
+        self._prefills: dict[int, _PrefillState] = {}
         self.steps = 0
         self.decode_tokens = 0
+        self.events: list[tuple] = []
 
         model_cfg = cfg
 
@@ -92,28 +105,50 @@ class PagedServingEngine:
                 for c in caches
             ]
 
-        @functools.partial(jax.jit, donate_argnums=(2,))
-        def _prefill_slot(params, tokens, caches, slot, true_len):
-            logits, caches = prefill_paged(
-                params, model_cfg, tokens, caches, slot, true_len
+        @functools.partial(jax.jit, static_argnums=(5,), donate_argnums=(2,))
+        def _prefill_chunk_step(params, tokens, caches, slot, start, kv_end):
+            return prefill_chunk_paged(
+                params, model_cfg, tokens, caches, slot, start, kv_end
             )
-            return logits, caches
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def _set_slot_length(caches, slot, true_len):
+            val = jnp.asarray(true_len, jnp.int32)[None]
+            return [
+                c._replace(
+                    lengths=jax.lax.dynamic_update_slice(
+                        c.lengths, val.astype(c.lengths.dtype), (slot,)
+                    )
+                )
+                for c in caches
+            ]
 
         @functools.partial(jax.jit, donate_argnums=(2,))
-        def _decode_all(params, tokens, caches, active):
+        def _decode_all(params, tokens, caches, active, temps, topk, topp, seeds):
             old_lengths = [c.lengths for c in caches]
-            next_tok, new_caches = decode_step_paged(
+            positions = old_lengths[0]
+            logits, new_caches = decode_step_logits_paged(
                 params, model_cfg, tokens, caches
             )
+            next_tok = sample_tokens(logits, temps, topk, topp, seeds, positions)
             fixed = [
                 c._replace(lengths=jnp.where(active, c.lengths, old))
                 for c, old in zip(new_caches, old_lengths)
             ]
-            return next_tok[:, 0], fixed
+            return next_tok, fixed
+
+        @jax.jit
+        def _sample_first(logits, temp, topk, topp, seed, position):
+            return sample_tokens(
+                logits,
+                temp[None], topk[None], topp[None], seed[None], position[None],
+            )[0]
 
         self._set_slot_table = _set_slot_table
-        self._prefill_slot = _prefill_slot
+        self._prefill_chunk_step = _prefill_chunk_step
+        self._set_slot_length_fn = _set_slot_length
         self._decode_all = _decode_all
+        self._sample_first = _sample_first
 
     # ------------------------------------------------------------------
     def _admit_one(self, req: Request, slot: int) -> bool:
@@ -138,15 +173,57 @@ class PagedServingEngine:
             jnp.asarray(row), self.caches, jnp.int32(slot)
         )
 
-    def _run_prefill(self, req: Request, slot: int) -> int:
-        bucket = max(min(_bucket(len(req.prompt)), self.max_seq), self.page_size)
-        toks = np.zeros((1, bucket), np.int32)
-        toks[0, : len(req.prompt)] = req.prompt
-        logits, self.caches = self._prefill_slot(
-            self.params, jnp.asarray(toks), self.caches, jnp.int32(slot),
-            jnp.int32(len(req.prompt)),
+    def _start_prefill(self, req: Request, slot: int) -> None:
+        n_chunks = max(1, -(-len(req.prompt) // self.chunk))
+        padded = np.zeros((n_chunks * self.chunk,), np.int32)
+        padded[: len(req.prompt)] = req.prompt
+        self._prefills[slot] = _PrefillState(req=req, padded=padded)
+        sp = req.sampling
+        self._temps[slot] = sp.temperature
+        self._topk[slot] = sp.top_k
+        self._topp[slot] = sp.top_p
+        self._seeds[slot] = sp.seed
+
+    def _advance_prefill(self, slot: int, out: dict[int, Completion]) -> None:
+        """Run ONE chunk of the pending prefill on `slot`."""
+        st = self._prefills[slot]
+        c = st.next_chunk
+        lo, hi = c * self.chunk, (c + 1) * self.chunk
+        toks = jnp.asarray(st.padded[None, lo:hi])
+        logits, self.caches = self._prefill_chunk_step(
+            self.params, toks, self.caches, jnp.int32(slot), jnp.int32(lo), hi
         )
-        return int(jnp.argmax(logits[0, len(req.prompt) - 1]))
+        st.next_chunk += 1
+        self.events.append(("chunk", slot))
+        if st.next_chunk * self.chunk < len(st.padded):
+            return
+        # Last chunk done: fix the true length, sample the first token.
+        req = st.req
+        true_len = len(req.prompt)
+        self.caches = self._set_slot_length_fn(
+            self.caches, jnp.int32(slot), jnp.int32(true_len)
+        )
+        local_idx = (true_len - 1) - (st.next_chunk - 1) * self.chunk
+        first = int(
+            self._sample_first(
+                logits[:, local_idx],
+                jnp.float32(self._temps[slot]),
+                jnp.int32(self._topk[slot]),
+                jnp.float32(self._topp[slot]),
+                jnp.int32(self._seeds[slot]),
+                jnp.int32(true_len),
+            )
+        )
+        del self._prefills[slot]
+        self.sched.prefill_done(slot)
+        out.setdefault(req.id, Completion(req.id, [], False))
+        out[req.id].tokens.append(first)
+        self.last_token[slot] = first
+        is_eos = self.eos_id is not None and first == self.eos_id
+        if is_eos:
+            out[req.id].finished_by_eos = True
+        if self.sched.record_token(slot, is_eos):
+            self._release(slot)
 
     def run(self, requests: list[Request]) -> dict[int, Completion]:
         """Serve requests to completion; returns {id: Completion}."""
@@ -167,21 +244,19 @@ class PagedServingEngine:
                     continue
                 if (req_id, slot) in deferred:
                     deferred.remove((req_id, slot))
-                first = self._run_prefill(req, slot)
-                self.sched.prefill_done(slot)
-                out.setdefault(req_id, Completion(req_id, [], False))
-                out[req_id].tokens.append(first)
-                self.last_token[slot] = first
-                is_eos = self.eos_id is not None and first == self.eos_id
-                if is_eos:
-                    out[req_id].finished_by_eos = True
-                if self.sched.record_token(slot, is_eos):
-                    self._release(slot)
+                self._start_prefill(req, slot)
+
+            # Advance every pending prefill by ONE chunk (interleaved with
+            # the decode step below — no head-of-line blocking).
+            for slot in sorted(self._prefills):
+                self._advance_prefill(slot, out)
 
             active = self.sched.active_slots()
             if not active:
+                if self._prefills:
+                    continue
                 st = self.sched.stats()
-                if deferred and st.decoding == 0:
+                if deferred and st.decoding == 0 and not self._prefills:
                     # Nothing in flight can ever release pages: the deferred
                     # requests are unserveable with this pool.
                     raise RuntimeError(
@@ -199,10 +274,13 @@ class PagedServingEngine:
                 jnp.asarray(self.last_token[:, None]),
                 self.caches,
                 jnp.asarray(active_mask),
+                jnp.asarray(self._temps), jnp.asarray(self._topk),
+                jnp.asarray(self._topp), jnp.asarray(self._seeds),
             )
             next_np = np.asarray(next_tok)
             self.steps += 1
             self.decode_tokens += len(active)
+            self.events.append(("decode", len(active)))
             for slot in active:
                 req_id = self.sched.slot_request(slot)
                 tok = int(next_np[slot])
