@@ -16,6 +16,19 @@ kernel's own three-tier masking (skip / diagonal / full):
 Communication is point-to-point and overlaps with compute under XLA's
 latency-hiding scheduler (the ppermute for step s+1 is independent of step
 s's attention).
+
+Causal load balance — the ZIGZAG layout (``zigzag=True``): with contiguous
+sharding, shard i computes i+1 live steps, so shard 0 idles through n-1
+lax.cond skips while shard n-1 computes every step (~2x wall-clock waste at
+scale). Zigzag placement gives shard i the global sequence chunks
+{i, 2n-1-i} (2n chunks of S/(2n) each). Per ring step s>0, exactly TWO of
+the four (q-half, kv-half) pairs are live on EVERY shard — the late Q half
+always attends the early KV half, and exactly one of (early-q, early-kv) /
+(late-q, late-kv) is live depending on the step's direction — so every
+shard computes the same 2·(S/2n)² scores per step and the ring is perfectly
+balanced: per-shard work = S²/(2n), the causal optimum. This is the
+cross-chip equivalent of the reference's grid-swap/reversed-Q causal
+balancing (flash_attention.cu:103-111); merge math (merge_two) is unchanged.
 """
 
 from __future__ import annotations
@@ -30,6 +43,32 @@ from flash_attention_tpu.ops.flash_attention import flash_attention
 from flash_attention_tpu.ops.merge import merge_two
 
 
+def zigzag_indices(seq_len: int, n: int):
+    """Global→zigzag gather indices: shard i holds chunks {i, 2n-1-i}.
+
+    Returns an int32 [seq_len] index array ``idx`` such that
+    ``x[..., idx, ...]`` lays the sequence out in zigzag shard order
+    (shard-major: shard 0's [chunk 0 | chunk 2n-1], shard 1's
+    [chunk 1 | chunk 2n-2], ...). seq_len must divide evenly into 2n chunks.
+    """
+    import numpy as np
+
+    if seq_len % (2 * n):
+        raise ValueError(f"seq_len={seq_len} not divisible by 2n={2 * n}")
+    c = seq_len // (2 * n)
+    chunks = np.arange(seq_len, dtype=np.int32).reshape(2 * n, c)
+    order = []
+    for i in range(n):
+        order.append(chunks[i])
+        order.append(chunks[2 * n - 1 - i])
+    return jnp.asarray(np.concatenate(order))
+
+
+def inverse_permutation(idx: jax.Array) -> jax.Array:
+    """Indices that undo a gather by ``idx`` (zigzag → global order)."""
+    return jnp.argsort(idx)
+
+
 def ring_flash_attention(
     q: jax.Array,
     k: jax.Array,
@@ -39,18 +78,30 @@ def ring_flash_attention(
     causal: bool = False,
     sm_scale: float | None = None,
     block_sizes=None,
+    zigzag: bool = False,
 ):
     """Per-shard ring attention body (call inside shard_map).
 
     Args:
       q, k, v: the local shards [B, H, S/N, D] — the sequence axis is sharded
         over `axis_name` in ring order (shard i holds positions
-        [i*S/N, (i+1)*S/N)).
+        [i*S/N, (i+1)*S/N)), or, with ``zigzag=True``, in zigzag order
+        (shard i holds global chunks {i, 2n-1-i} of size S/2N, early chunk
+        first — see :func:`zigzag_indices`).
       axis_name: the mesh context axis forming the ring.
+      zigzag: balanced causal layout (requires causal=True); forward-only,
+        bf16-class KV.
 
     Returns:
-      [B, H, S/N, D] output for the local Q shard.
+      [B, H, S/N, D] output for the local Q shard (in the same layout).
     """
+    if zigzag:
+        if not causal:
+            raise ValueError("zigzag layout only applies to causal attention")
+        return _ring_zigzag(
+            q, k, v, axis_name=axis_name, sm_scale=sm_scale,
+            block_sizes=block_sizes,
+        )
     n = jax.lax.axis_size(axis_name)
     my_idx = jax.lax.axis_index(axis_name)
     perm = [(i, (i + 1) % n) for i in range(n)]
@@ -95,6 +146,87 @@ def ring_flash_attention(
     return o.astype(q.dtype)
 
 
+def _ring_zigzag(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    axis_name: str,
+    sm_scale: float | None,
+    block_sizes,
+):
+    """Balanced causal ring body over the zigzag layout (see module doc).
+
+    The local shard holds [early | late] = global chunks (i, 2n-1-i), each of
+    C rows. Per step s the KV from shard j = (i-s) mod n arrives; liveness:
+      * q_late × kv_early: ALWAYS fully live (kv_early chunk j < n <= late q)
+      * q_early × kv_early (chunk j vs i): live iff j < i (full)
+      * q_late × kv_late (chunk 2n-1-j vs 2n-1-i): live iff j > i (full)
+      * q_early × kv_late: never (kv chunk 2n-1-j >= n > i)
+    Step 0 (j == i) is plain causal attention over the local [early|late]
+    concatenation (in-order global positions, so the triangular mask is
+    exact). For s > 0 exactly one of the two conditionals fires — same
+    compute on every shard, every step.
+    """
+    n = jax.lax.axis_size(axis_name)
+    my_idx = jax.lax.axis_index(axis_name)
+    perm = [(i, (i + 1) % n) for i in range(n)]
+    c = q.shape[2] // 2
+    q_early, q_late = q[:, :, :c], q[:, :, c:]
+
+    def attend(qc, kc, vc, step_causal):
+        return flash_attention(
+            qc, kc, vc,
+            causal=step_causal, sm_scale=sm_scale,
+            block_sizes=block_sizes, save_residuals=True,
+        )
+
+    # Step 0: local causal over the in-order [early | late] concat.
+    o0, lse0 = attend(q, k, v, True)
+    o_early = o0[:, :, :c].astype(jnp.float32)
+    o_late = o0[:, :, c:].astype(jnp.float32)
+    lse_early, lse_late = lse0[:, :, :c], lse0[:, :, c:]
+
+    k_blk, v_blk = k, v
+    for step in range(1, n):
+        k_blk = jax.lax.ppermute(k_blk, axis_name, perm)
+        v_blk = jax.lax.ppermute(v_blk, axis_name, perm)
+        k_e, k_l = k_blk[:, :, :c], k_blk[:, :, c:]
+        v_e, v_l = v_blk[:, :, :c], v_blk[:, :, c:]
+        j = (my_idx - step) % n
+
+        # Always live: late Q against the arriving early KV chunk.
+        o_a, lse_a = attend(q_late, k_e, v_e, False)
+        o_late, lse_late = merge_two(o_late, lse_late, o_a, lse_a)
+
+        # Direction-dependent half: early-q×early-kv when j < i, else
+        # late-q×late-kv. Both branches cost one CxC attention (balanced).
+        early_live = j < my_idx
+
+        def early_case(_):
+            return attend(q_early, k_e, v_e, False)
+
+        def late_case(_):
+            return attend(q_late, k_l, v_l, False)
+
+        o_c, lse_c = jax.lax.cond(early_live, early_case, late_case, None)
+
+        neutral_o = jnp.zeros_like(o_c)
+        neutral_lse = jnp.full_like(lse_c, -jnp.inf)
+        o_early, lse_early = merge_two(
+            o_early, lse_early,
+            jnp.where(early_live, o_c, neutral_o),
+            jnp.where(early_live, lse_c, neutral_lse),
+        )
+        o_late, lse_late = merge_two(
+            o_late, lse_late,
+            jnp.where(early_live, neutral_o, o_c),
+            jnp.where(early_live, neutral_lse, lse_c),
+        )
+
+    return jnp.concatenate([o_early, o_late], axis=2).astype(q.dtype)
+
+
 def make_ring_attention(
     mesh: Mesh,
     *,
@@ -104,10 +236,20 @@ def make_ring_attention(
     model_axis: str = "model",
     data_axis: str = "data",
     block_sizes=None,
+    zigzag: bool = False,
 ):
     """jit-wrapped ring attention over [B, H, S, D] with S sharded on the
-    context axis, H on the model axis, B on the data axis."""
+    context axis, H on the model axis, B on the data axis.
+
+    With ``zigzag=True`` (causal only) the wrapper gathers inputs into the
+    balanced zigzag layout and scatters the output back to global order, so
+    callers see ordinary in-order sequences. Production training loops should
+    instead keep activations permanently in zigzag layout (permute once at
+    the data loader) and call :func:`ring_flash_attention` directly — the
+    wrapper's per-call permutation costs one all-to-all each way.
+    """
     spec = P(data_axis, model_axis, context_axis, None)
+    n_ctx = mesh.shape[context_axis]
 
     body = functools.partial(
         ring_flash_attention,
@@ -115,6 +257,7 @@ def make_ring_attention(
         causal=causal,
         sm_scale=sm_scale,
         block_sizes=block_sizes,
+        zigzag=zigzag,
     )
 
     def _local(q, k, v):
@@ -124,4 +267,14 @@ def make_ring_attention(
         _local, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
         check_vma=False,
     )
-    return jax.jit(fn)
+
+    if not zigzag:
+        return jax.jit(fn)
+
+    def with_permute(q, k, v):
+        idx = zigzag_indices(q.shape[2], n_ctx)
+        inv = inverse_permutation(idx)
+        out = fn(q[:, :, idx], k[:, :, idx], v[:, :, idx])
+        return out[:, :, inv]
+
+    return jax.jit(with_permute)

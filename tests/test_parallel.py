@@ -78,6 +78,40 @@ def test_ring_attention_full_context_axis():
     assert_close(got, want, msg="ring ctx=8 causal")
 
 
+def test_ring_attention_zigzag():
+    """Balanced causal ring: zigzag layout matches the oracle exactly."""
+    mesh = make_mesh(data=1, model=2, context=4)
+    q, k, v = make_qkv(57, 1, 2, 512, 128)
+    fn = make_ring_attention(mesh, causal=True, block_sizes=BS, zigzag=True)
+    got = fn(q, k, v)
+    want = reference_attention(q, k, v, causal=True)
+    assert_close(got, want, msg="zigzag ring causal")
+
+
+def test_ring_attention_zigzag_full_axis():
+    mesh = make_mesh(data=1, model=1, context=8)
+    q, k, v = make_qkv(58, 1, 2, 2048, 128)
+    fn = make_ring_attention(mesh, causal=True, block_sizes=BS, zigzag=True)
+    got = fn(q, k, v)
+    want = reference_attention(q, k, v, causal=True)
+    assert_close(got, want, msg="zigzag ring ctx=8")
+
+
+def test_zigzag_indices_roundtrip():
+    from flash_attention_tpu.parallel.ring import (
+        inverse_permutation,
+        zigzag_indices,
+    )
+
+    idx = zigzag_indices(32, 4)
+    # Shard 0 holds chunks {0, 7}, shard 1 {1, 6}, ...
+    np.testing.assert_array_equal(
+        np.asarray(idx[:8]), np.r_[0:4, 28:32]
+    )
+    inv = inverse_permutation(idx)
+    np.testing.assert_array_equal(np.asarray(idx[inv]), np.arange(32))
+
+
 def test_sharded_decode():
     mesh = make_mesh(data=2, model=4)
     q, k, v = make_qkv(56, 2, 8, 1, 128, kv_seq=256)
