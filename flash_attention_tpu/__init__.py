@@ -27,8 +27,9 @@ from flash_attention_tpu.ops.tuning import (
     select_block_sizes,
     select_bwd_block_sizes,
 )
+from flash_attention_tpu.utils.checkpoint import load_kv_cache, save_kv_cache
 
-__version__ = "0.2.0"
+__version__ = "0.3.0"
 
 __all__ = [
     "reference_attention",
@@ -42,4 +43,6 @@ __all__ = [
     "BlockSizes",
     "select_block_sizes",
     "select_bwd_block_sizes",
+    "save_kv_cache",
+    "load_kv_cache",
 ]
