@@ -70,6 +70,7 @@ def _bwd_dq_kernel(
     window: int | None = None,
     softcap_in: float | None = None,
     cap_out2: float | None = None,
+    seg_refs=None,
 ):
     iq = pl.program_id(1)
     ikv = pl.program_id(2)
@@ -104,7 +105,7 @@ def _bwd_dq_kernel(
         else:
             s2 = raw * scale2
 
-        if causal or kv_pad:
+        if causal or kv_pad or seg_refs is not None:
             ok = None
             col = jax.lax.broadcasted_iota(jnp.int32, s2.shape, 1) + ikv * block_kv
             if causal:
@@ -119,6 +120,10 @@ def _bwd_dq_kernel(
             if kv_pad:
                 inb = col < kv_len
                 ok = inb if ok is None else jnp.logical_and(ok, inb)
+            if seg_refs is not None:
+                sq_ref, skv_ref = seg_refs
+                same = sq_ref[0][:, None] == skv_ref[0][None, :]
+                ok = same if ok is None else jnp.logical_and(ok, same)
             s2 = jnp.where(ok, s2, MASK_VALUE)
 
         p = jnp.exp2(s2 - lse_ref[0])  # [block_q, block_kv]; masked -> 0
@@ -165,6 +170,7 @@ def _bwd_dkv_kernel(
     window: int | None = None,
     softcap_in: float | None = None,
     cap_out2: float | None = None,
+    seg_refs=None,
 ):
     ikv = pl.program_id(1)
     t = pl.program_id(2)
@@ -205,7 +211,7 @@ def _bwd_dkv_kernel(
         else:
             s2t = rawt * scale2
 
-        if causal or kv_pad:
+        if causal or kv_pad or seg_refs is not None:
             ok = None
             kvpos = (
                 jax.lax.broadcasted_iota(jnp.int32, s2t.shape, 0)
@@ -223,6 +229,10 @@ def _bwd_dkv_kernel(
             if kv_pad:
                 inb = kvpos < kv_len
                 ok = inb if ok is None else jnp.logical_and(ok, inb)
+            if seg_refs is not None:
+                sq_ref, skv_ref = seg_refs
+                same = skv_ref[0][:, None] == sq_ref[0][None, :]
+                ok = same if ok is None else jnp.logical_and(ok, same)
             s2t = jnp.where(ok, s2t, MASK_VALUE)
 
         pt = jnp.exp2(s2t - lse_ref[0])  # [block_kv, block_q]
@@ -263,6 +273,7 @@ def flash_attention_bwd(
     interpret: bool,
     window: int | None = None,
     softcap: float | None = None,
+    segments=None,
 ):
     """Compute (dq, dk, dv) from the forward residuals.
 
@@ -273,6 +284,8 @@ def flash_attention_bwd(
       do: output cotangent, same shape/dtype as out.
       window: sliding-window size (causal only), matching the forward.
       softcap: logit soft-cap constant, matching the forward.
+      segments: optional (q_segment_ids [B, Sq], kv_segment_ids [B, Skv])
+        int32 pair (packed sequences), matching the forward.
 
     Returns:
       dq [B, Hq, Sq, D], dk and dv [B, Hkv, Skv, D], in the input dtypes.
@@ -314,6 +327,17 @@ def flash_attention_bwd(
         lse_f = jnp.pad(lse_f, ((0, 0), (0, q_pad - q_len)))
         delta_f = jnp.pad(delta_f, ((0, 0), (0, q_pad - q_len)))
 
+    if segments is not None:
+        seg_q, seg_kv = segments
+        seg_q = jnp.pad(
+            seg_q.astype(jnp.int32), ((0, 0), (0, q_pad - q_len)),
+            constant_values=-1,
+        )
+        seg_kv = jnp.pad(
+            seg_kv.astype(jnp.int32), ((0, 0), (0, kv_padded - kv_len)),
+            constant_values=-2,
+        )
+
     # Sublane-oriented ([bh, Sq, 1]) for the dq kernel, lane-oriented
     # ([bh, 1, Sq]) for the transposed dkv kernel — avoids in-kernel relayouts.
     lse_col = lse_f[:, :, None]
@@ -345,37 +369,62 @@ def flash_attention_bwd(
             idx = jnp.maximum(idx, first_live)
         return idx
 
-    dq = pl.pallas_call(
-        functools.partial(
-            _bwd_dq_kernel,
-            causal=causal,
-            scale=sm_scale,
-            scale2=scale2,
-            q_len=q_len,
-            kv_len=kv_len,
-            block_q=block_q,
-            block_kv=block_kv,
-            num_kv_blocks=num_kv_blocks,
-            kv_pad=kv_padded != kv_len,
-            window=window,
-            softcap_in=softcap_in,
-            cap_out2=cap_out2,
+    dq_base = functools.partial(
+        _bwd_dq_kernel,
+        causal=causal,
+        scale=sm_scale,
+        scale2=scale2,
+        q_len=q_len,
+        kv_len=kv_len,
+        block_q=block_q,
+        block_kv=block_kv,
+        num_kv_blocks=num_kv_blocks,
+        kv_pad=kv_padded != kv_len,
+        window=window,
+        softcap_in=softcap_in,
+        cap_out2=cap_out2,
+    )
+    dq_in_specs = [
+        pl.BlockSpec((1, block_q, d_pad), lambda bh, iq, ikv: (bh, iq, 0)),
+        pl.BlockSpec(
+            (1, block_kv, d_pad),
+            lambda bh, iq, ikv: (kv_head_index(bh), kv_block_index(iq, ikv), 0),
         ),
+        pl.BlockSpec(
+            (1, block_kv, d_pad),
+            lambda bh, iq, ikv: (kv_head_index(bh), kv_block_index(iq, ikv), 0),
+        ),
+        pl.BlockSpec((1, block_q, d_pad), lambda bh, iq, ikv: (bh, iq, 0)),
+        pl.BlockSpec((1, block_q, 1), lambda bh, iq, ikv: (bh, iq, 0)),
+        pl.BlockSpec((1, block_q, 1), lambda bh, iq, ikv: (bh, iq, 0)),
+    ]
+    dq_inputs = [qq, kk, vv, dodo, lse_col, delta_col]
+    if segments is None:
+        dq_kernel = dq_base
+    else:
+        dq_in_specs += [
+            pl.BlockSpec(
+                (1, block_q), lambda bh, iq, ikv: (bh // num_q_heads, iq)
+            ),
+            pl.BlockSpec(
+                (1, block_kv),
+                lambda bh, iq, ikv: (
+                    bh // num_q_heads, kv_block_index(iq, ikv)
+                ),
+            ),
+        ]
+        dq_inputs += [seg_q, seg_kv]
+
+        def dq_kernel(q_r, k_r, v_r, do_r, lse_r, d_r, sq_r, skv_r, dq_r, acc):
+            dq_base(
+                q_r, k_r, v_r, do_r, lse_r, d_r, dq_r, acc,
+                seg_refs=(sq_r, skv_r),
+            )
+
+    dq = pl.pallas_call(
+        dq_kernel,
         grid=(batch * num_q_heads, num_q_blocks, num_kv_blocks),
-        in_specs=[
-            pl.BlockSpec((1, block_q, d_pad), lambda bh, iq, ikv: (bh, iq, 0)),
-            pl.BlockSpec(
-                (1, block_kv, d_pad),
-                lambda bh, iq, ikv: (kv_head_index(bh), kv_block_index(iq, ikv), 0),
-            ),
-            pl.BlockSpec(
-                (1, block_kv, d_pad),
-                lambda bh, iq, ikv: (kv_head_index(bh), kv_block_index(iq, ikv), 0),
-            ),
-            pl.BlockSpec((1, block_q, d_pad), lambda bh, iq, ikv: (bh, iq, 0)),
-            pl.BlockSpec((1, block_q, 1), lambda bh, iq, ikv: (bh, iq, 0)),
-            pl.BlockSpec((1, block_q, 1), lambda bh, iq, ikv: (bh, iq, 0)),
-        ],
+        in_specs=dq_in_specs,
         out_specs=pl.BlockSpec((1, block_q, d_pad), lambda bh, iq, ikv: (bh, iq, 0)),
         out_shape=jax.ShapeDtypeStruct((batch * num_q_heads, q_pad, d_pad), q.dtype),
         scratch_shapes=[pltpu.VMEM((block_q, d_pad), jnp.float32)],
@@ -383,7 +432,7 @@ def flash_attention_bwd(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(qq, kk, vv, dodo, lse_col, delta_col)
+    )(*dq_inputs)
 
     # ---------------- dk / dv ----------------
     num_steps = group * num_q_blocks
@@ -421,25 +470,52 @@ def flash_attention_bwd(
     )
     kv_spec = pl.BlockSpec((1, block_kv, d_pad), lambda bkv, ikv, t: (bkv, ikv, 0))
 
+    dkv_base = functools.partial(
+        _bwd_dkv_kernel,
+        causal=causal,
+        scale=sm_scale,
+        scale2=scale2,
+        q_len=q_len,
+        kv_len=kv_len,
+        block_q=block_q,
+        block_kv=block_kv,
+        num_q_blocks=num_q_blocks,
+        num_steps=num_steps,
+        kv_pad=kv_padded != kv_len,
+        window=window,
+        softcap_in=softcap_in,
+        cap_out2=cap_out2,
+    )
+    dkv_in_specs = [q_spec, kv_spec, kv_spec, q_spec, stat_spec, stat_spec]
+    dkv_inputs = [qq, kk, vv, dodo, lse_row, delta_row]
+    if segments is None:
+        dkv_kernel = dkv_base
+    else:
+        dkv_in_specs += [
+            pl.BlockSpec(
+                (1, block_q),
+                lambda bkv, ikv, t: (
+                    bkv // num_kv_heads, q_block_index(ikv, t)
+                ),
+            ),
+            pl.BlockSpec(
+                (1, block_kv), lambda bkv, ikv, t: (bkv // num_kv_heads, ikv)
+            ),
+        ]
+        dkv_inputs += [seg_q, seg_kv]
+
+        def dkv_kernel(
+            q_r, k_r, v_r, do_r, lse_r, d_r, sq_r, skv_r, dk_r, dv_r, dks, dvs
+        ):
+            dkv_base(
+                q_r, k_r, v_r, do_r, lse_r, d_r, dk_r, dv_r, dks, dvs,
+                seg_refs=(sq_r, skv_r),
+            )
+
     dk, dv = pl.pallas_call(
-        functools.partial(
-            _bwd_dkv_kernel,
-            causal=causal,
-            scale=sm_scale,
-            scale2=scale2,
-            q_len=q_len,
-            kv_len=kv_len,
-            block_q=block_q,
-            block_kv=block_kv,
-            num_q_blocks=num_q_blocks,
-            num_steps=num_steps,
-            kv_pad=kv_padded != kv_len,
-            window=window,
-            softcap_in=softcap_in,
-            cap_out2=cap_out2,
-        ),
+        dkv_kernel,
         grid=(batch * num_kv_heads, num_kv_blocks, num_steps),
-        in_specs=[q_spec, kv_spec, kv_spec, q_spec, stat_spec, stat_spec],
+        in_specs=dkv_in_specs,
         out_specs=[kv_spec, kv_spec],
         out_shape=[
             jax.ShapeDtypeStruct((batch * num_kv_heads, kv_padded, d_pad), k.dtype),
@@ -453,7 +529,7 @@ def flash_attention_bwd(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(qq, kk, vv, dodo, lse_row, delta_row)
+    )(*dkv_inputs)
 
     dq = dq[:, :q_len, :head_dim].reshape(batch, num_q_heads, q_len, head_dim)
     dk = dk[:, :kv_len, :head_dim].reshape(batch, num_kv_heads, kv_len, head_dim)

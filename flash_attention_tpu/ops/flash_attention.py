@@ -52,6 +52,8 @@ def _fwd_kernel(
     q_ref,
     k_ref,
     v_ref,
+    seg_q_ref,  # [1, block_q] int32 or None (packed-sequence segment ids)
+    seg_kv_ref,  # [1, block_kv] int32 or None
     o_ref,
     lse_ref,
     m_scr,
@@ -128,7 +130,7 @@ def _fwd_kernel(
         # kv_block - w — independent of i. That turns the per-sub-block
         # iota+compare+select (3 VPU passes over every computed score) into a
         # single add.
-        fast_mask = diag_offset % 128 == 0 and not kv_pad
+        fast_mask = diag_offset % 128 == 0 and not kv_pad and seg_q_ref is None
         if fast_mask:
             u = jax.lax.broadcasted_iota(jnp.int32, (w, kv_block), 1)
             r = jax.lax.broadcasted_iota(jnp.int32, (w, kv_block), 0)
@@ -161,6 +163,10 @@ def _fwd_kernel(
                 ok = col <= row
                 if kv_pad:
                     ok = jnp.logical_and(ok, col < kv_len)
+                if seg_q_ref is not None:
+                    sq = seg_q_ref[0, i * w : (i + 1) * w]
+                    skv = seg_kv_ref[0, :width]
+                    ok = jnp.logical_and(ok, sq[:, None] == skv[None, :])
                 s = jnp.where(ok[None], s, MASK_VALUE)
             m = jnp.maximum(jnp.max(s, axis=-1, keepdims=True) * scale2, M_FLOOR)
             p = jnp.exp2(s * scale2 - m)
@@ -198,7 +204,7 @@ def _fwd_kernel(
             # Gemma-style logit cap, rescaled so the downstream scale2-folded
             # exp2 path applies unchanged: capped_logits/sm_scale.
             s = jnp.tanh(s * softcap_in) * softcap_out
-        if causal or kv_pad or window is not None:
+        if causal or kv_pad or window is not None or seg_q_ref is not None:
             ok = None
             shape2d = s.shape[1:]
             col = jax.lax.broadcasted_iota(jnp.int32, shape2d, 1)
@@ -212,6 +218,9 @@ def _fwd_kernel(
             if kv_pad:
                 inb = col < kv_len
                 ok = inb if ok is None else jnp.logical_and(ok, inb)
+            if seg_q_ref is not None:
+                same = seg_q_ref[0][:, None] == seg_kv_ref[0][None, :]
+                ok = same if ok is None else jnp.logical_and(ok, same)
             s = jnp.where(ok[None], s, MASK_VALUE)
         # M_FLOOR clamp: a fully-masked row's max is ~MASK_VALUE*scale2; the
         # fma-fused exp2(s*scale2 - m) there has a +-1e28 rounding residual
@@ -273,7 +282,7 @@ def _fwd_kernel(
         # a fully-live tile evaluates to all-true and the select costs ~2%,
         # whereas gating it behind lax.cond costs ~2x on Mosaic (the cond
         # materializes both vector branches and breaks software pipelining).
-        if causal or kv_pad or window is not None:
+        if causal or kv_pad or window is not None or seg_q_ref is not None:
             # The mask is head-independent: build it 2D and broadcast over the
             # head-batch dim (hb x smaller iota/compare tiles in VMEM).
             ok = None
@@ -293,6 +302,9 @@ def _fwd_kernel(
             if kv_pad:
                 inb = col < kv_len
                 ok = inb if ok is None else jnp.logical_and(ok, inb)
+            if seg_q_ref is not None:
+                same = seg_q_ref[0][:, None] == seg_kv_ref[0][None, :]
+                ok = same if ok is None else jnp.logical_and(ok, same)
             s = jnp.where(ok[None], s, MASK_VALUE)
 
         m_prev = m_scr[...]  # [hb, block_q, LANES]
@@ -349,8 +361,13 @@ def _fwd_impl(
     interpret: bool,
     window: int | None = None,
     softcap: float | None = None,
+    segments=None,
 ):
-    """Forward implementation; defaults already resolved by the caller."""
+    """Forward implementation; defaults already resolved by the caller.
+
+    segments: optional (q_segment_ids [B, Sq], kv_segment_ids [B, Skv]) int32
+    pair for packed sequences — scores are masked where ids differ.
+    """
     batch, num_q_heads, q_len, head_dim = q.shape
     _, num_kv_heads, kv_len, _ = k.shape
 
@@ -377,11 +394,28 @@ def _fwd_impl(
     group = num_q_heads // num_kv_heads
     diag_offset = kv_len - q_len
 
+    if segments is not None:
+        seg_q, seg_kv = segments
+        # Distinct pad sentinels: padded rows/cols never match anything.
+        seg_q = jnp.pad(
+            seg_q.astype(jnp.int32), ((0, 0), (0, q_pad - q_len)),
+            constant_values=-1,
+        )
+        seg_kv = jnp.pad(
+            seg_kv.astype(jnp.int32), ((0, 0), (0, kv_padded - kv_len)),
+            constant_values=-2,
+        )
+
     # Head-batching (block_h heads per grid step). MHA: any block_h dividing
     # batch*heads. GQA: block_h must span whole KV groups within one batch
     # element (kv heads expand in-kernel via jnp.repeat — a cheap VPU copy
     # next to the matmuls it feeds).
     hb = max(block_sizes.block_h, 1)
+    if segments is not None:
+        # Segment ids are per BATCH element: a head-block must not straddle
+        # two batch rows (its mask would differ inside the block).
+        while hb > 1 and num_q_heads % hb:
+            hb //= 2
     if group == 1:
         # Step down to the largest power-of-two batch that divides the head
         # count (small models shouldn't fall straight to unbatched heads).
@@ -402,6 +436,11 @@ def _fwd_impl(
         if group == 1:
             return bh
         return (bh // num_q_heads) * num_kv_heads + (bh % num_q_heads) // group
+
+    def batch_index(bh):
+        # Which batch row a head-block belongs to (segments guarantee the
+        # block doesn't straddle rows via the hb step-down above).
+        return (bh * hb) // num_q_heads
 
     # Causal: enumerate only the LIVE (iq, ikv) pairs as the grid's second
     # axis, mapped through scalar-prefetch index arrays. Fully-masked blocks
@@ -454,6 +493,14 @@ def _fwd_impl(
         lse_spec = pl.BlockSpec(
             (hb, block_q, LANES), lambda bh, t, iq_m, ikv_m, f_m: (bh, iq_m[t], 0)
         )
+        seg_q_spec = pl.BlockSpec(
+            (1, block_q),
+            lambda bh, t, iq_m, ikv_m, f_m: (batch_index(bh), iq_m[t]),
+        )
+        seg_kv_spec = pl.BlockSpec(
+            (1, block_kv),
+            lambda bh, t, iq_m, ikv_m, f_m: (batch_index(bh), ikv_m[t]),
+        )
         grid = (num_h_blocks, num_steps)
         dim_semantics = ("parallel", "arbitrary")
     else:
@@ -479,10 +526,22 @@ def _fwd_impl(
         lse_spec = pl.BlockSpec(
             (hb, block_q, LANES), lambda bh, iq, ikv: (bh, iq, 0)
         )
+        seg_q_spec = pl.BlockSpec(
+            (1, block_q), lambda bh, iq, ikv: (batch_index(bh), iq)
+        )
+        seg_kv_spec = pl.BlockSpec(
+            (1, block_kv),
+            lambda bh, iq, ikv: (batch_index(bh), kv_block_index(iq, ikv)),
+        )
         grid = (num_h_blocks, num_q_blocks, num_kv_blocks)
         dim_semantics = ("parallel", "parallel", "arbitrary")
 
     v_spec = k_spec
+    in_specs = [q_spec, k_spec, v_spec]
+    call_inputs = [qq, kk, vv]
+    if segments is not None:
+        in_specs += [seg_q_spec, seg_kv_spec]
+        call_inputs += [seg_q, seg_kv]
     out_shapes = [
         jax.ShapeDtypeStruct((batch * num_q_heads, q_pad, d_pad), q.dtype),
     ]
@@ -493,7 +552,12 @@ def _fwd_impl(
         )
         out_specs.append(lse_spec)
 
-    single = num_q_blocks == 1 and num_kv_blocks == 1
+    # Plain-softmax specialization: with a SINGLE KV block, every grid step
+    # sees its Q rows' whole KV range at once, so the online-softmax state
+    # (m, l, acc scratch + init/epilogue passes) disappears — regardless of
+    # how many Q blocks tile the rows. Causal keeps the one-Q-block
+    # requirement (its in-kernel mask row offset assumes iq == 0).
+    single = num_kv_blocks == 1 and (not causal or num_q_blocks == 1)
     # Causal single-superblock sub-tiling (see _fwd_kernel's subtile branch):
     # applies when the whole problem is one block pair and the diagonal
     # decomposes into block_sub-row live-prefix MMAs. Sliding window keeps
@@ -526,20 +590,29 @@ def _fwd_impl(
             subtile=subtile,
         )
 
-    def make_wrapped(tri_mode: bool, with_lse: bool, with_scratch: bool):
+    def make_wrapped(
+        tri_mode: bool, with_lse: bool, with_scratch: bool, with_segs: bool
+    ):
         def wrapped(*refs):
             idx = 3 if tri_mode else 0
             tri_r = refs[:3] if tri_mode else None
-            q_r, k_r, v_r, o_r = refs[idx : idx + 4]
-            idx += 4
+            q_r, k_r, v_r = refs[idx : idx + 3]
+            idx += 3
+            if with_segs:
+                sq_r, skv_r = refs[idx : idx + 2]
+                idx += 2
+            else:
+                sq_r = skv_r = None
+            o_r = refs[idx]
+            idx += 1
             lse_r = refs[idx] if with_lse else None
             idx += 1 if with_lse else 0
             scr = refs[idx : idx + 3] if with_scratch else (None, None, None)
-            make_kernel(tri_r)(q_r, k_r, v_r, o_r, lse_r, *scr)
+            make_kernel(tri_r)(q_r, k_r, v_r, sq_r, skv_r, o_r, lse_r, *scr)
 
         return wrapped
 
-    wrapped = make_wrapped(tri, save_residuals, not single)
+    wrapped = make_wrapped(tri, save_residuals, not single, segments is not None)
 
     # The single-block branches (subtile / single_step) never touch the
     # online-softmax state; skip allocating it (up to ~3 MB VMEM back).
@@ -565,7 +638,7 @@ def _fwd_impl(
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=3,
                 grid=grid,
-                in_specs=[q_spec, k_spec, v_spec],
+                in_specs=in_specs,
                 out_specs=out_specs,
                 scratch_shapes=scratch_shapes,
             ),
@@ -575,12 +648,12 @@ def _fwd_impl(
             ),
             cost_estimate=cost,
             interpret=interpret,
-        )(tri_iq, tri_ikv, tri_flags, qq, kk, vv)
+        )(tri_iq, tri_ikv, tri_flags, *call_inputs)
     else:
         results = pl.pallas_call(
             wrapped,
             grid=grid,
-            in_specs=[q_spec, k_spec, v_spec],
+            in_specs=in_specs,
             out_specs=out_specs,
             out_shape=out_shapes,
             scratch_shapes=scratch_shapes,
@@ -589,7 +662,7 @@ def _fwd_impl(
             ),
             cost_estimate=cost,
             interpret=interpret,
-        )(qq, kk, vv)
+        )(*call_inputs)
 
     out = results[0][:, :q_len, :head_dim].reshape(batch, num_q_heads, q_len, head_dim)
     if save_residuals:
@@ -602,22 +675,22 @@ def _fwd_impl(
 # fused Pallas dq / dkv kernels (ops/attention_bwd.py). The reference has no
 # backward at all (SURVEY.md §2) — this is new capability, same numerics
 # contract.
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9, 10))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9, 10, 11))
 def _fa(
-    q, k, v, causal, sm_scale, block_sizes, res_block_sizes, bwd_block_sizes,
-    interpret, window, softcap,
+    q, k, v, segments, causal, sm_scale, block_sizes, res_block_sizes,
+    bwd_block_sizes, interpret, window, softcap,
 ):
     return _fwd_impl(
         q, k, v,
         causal=causal, sm_scale=sm_scale, block_sizes=block_sizes,
         save_residuals=False, interpret=interpret,
-        window=window, softcap=softcap,
+        window=window, softcap=softcap, segments=segments,
     )
 
 
 def _fa_fwd(
-    q, k, v, causal, sm_scale, block_sizes, res_block_sizes, bwd_block_sizes,
-    interpret, window, softcap,
+    q, k, v, segments, causal, sm_scale, block_sizes, res_block_sizes,
+    bwd_block_sizes, interpret, window, softcap,
 ):
     # Under jax.grad the forward must emit the LSE residual, whose extra fp32
     # output block needs the residuals-tuned dispatch (VMEM headroom). The
@@ -627,25 +700,31 @@ def _fa_fwd(
         q, k, v,
         causal=causal, sm_scale=sm_scale, block_sizes=res_block_sizes,
         save_residuals=True, interpret=interpret,
-        window=window, softcap=softcap,
+        window=window, softcap=softcap, segments=segments,
     )
-    return out, (q, k, v, out, lse2)
+    return out, (q, k, v, out, lse2, segments)
 
 
 def _fa_bwd(
     causal, sm_scale, block_sizes, res_block_sizes, bwd_block_sizes, interpret,
     window, softcap, res, g,
 ):
+    import numpy as np
+
     from flash_attention_tpu.ops.attention_bwd import flash_attention_bwd
 
-    q, k, v, out, lse2 = res
+    q, k, v, out, lse2, segments = res
     dq, dk, dv = flash_attention_bwd(
         q, k, v, out, lse2, g,
         causal=causal, sm_scale=sm_scale,
         block_sizes=bwd_block_sizes, interpret=interpret,
-        window=window, softcap=softcap,
+        window=window, softcap=softcap, segments=segments,
     )
-    return dq, dk, dv
+    # Integer segment ids carry no gradient: float0 cotangents.
+    dseg = jax.tree_util.tree_map(
+        lambda x: np.zeros(x.shape, jax.dtypes.float0), segments
+    )
+    return dq, dk, dv, dseg
 
 
 _fa.defvjp(_fa_fwd, _fa_bwd)
@@ -677,6 +756,7 @@ def flash_attention(
     interpret: bool | None = None,
     sliding_window: int | None = None,
     logit_softcap: float | None = None,
+    segment_ids=None,
 ):
     """Fused multi-head flash attention (differentiable).
 
@@ -695,6 +775,13 @@ def flash_attention(
         merge (the reference's latent split-K epilogue, flash_attention.cu:
         460-496, folded into one value). This path is not differentiable.
       interpret: force Pallas interpreter mode (defaults to True off-TPU).
+      segment_ids: packed-sequence ids — either one [batch, seq] int32 array
+        (self-attention: used for both Q and KV) or a (q_ids [batch, q_seq],
+        kv_ids [batch, kv_seq]) pair. Positions attend only within their own
+        segment (scores masked where ids differ), composing with causal /
+        sliding_window / logit_softcap; fully differentiable. The reference
+        has no packing support — this serves packed pretraining batches
+        (multiple documents per row without cross-contamination).
 
     Returns:
       [batch, q_heads, q_seq, head_dim] output, plus the LSE if requested.
@@ -714,6 +801,26 @@ def flash_attention(
             raise ValueError(f"sliding_window must be >= 1, got {sliding_window}")
     if logit_softcap is not None and logit_softcap <= 0:
         raise ValueError(f"logit_softcap must be > 0, got {logit_softcap}")
+    segments = None
+    if segment_ids is not None:
+        if isinstance(segment_ids, (tuple, list)):
+            seg_q_ids, seg_kv_ids = segment_ids
+        else:
+            if q_len != kv_len:
+                raise ValueError(
+                    "single segment_ids array requires q_seq == kv_seq; pass "
+                    "a (q_ids, kv_ids) pair for cross-length attention"
+                )
+            seg_q_ids = seg_kv_ids = segment_ids
+        if seg_q_ids.shape != (batch, q_len):
+            raise ValueError(
+                f"q segment_ids shape {seg_q_ids.shape} != {(batch, q_len)}"
+            )
+        if seg_kv_ids.shape != (batch, kv_len):
+            raise ValueError(
+                f"kv segment_ids shape {seg_kv_ids.shape} != {(batch, kv_len)}"
+            )
+        segments = (seg_q_ids, seg_kv_ids)
     if sm_scale is None:
         sm_scale = 1.0 / math.sqrt(head_dim)
     if interpret is None:
@@ -752,9 +859,9 @@ def flash_attention(
             q, k, v,
             causal=causal, sm_scale=sm_scale, block_sizes=block_sizes,
             save_residuals=True, interpret=interpret,
-            window=sliding_window, softcap=logit_softcap,
+            window=sliding_window, softcap=logit_softcap, segments=segments,
         )
     return _fa(
-        q, k, v, causal, sm_scale, block_sizes, res_block_sizes,
+        q, k, v, segments, causal, sm_scale, block_sizes, res_block_sizes,
         bwd_block_sizes, interpret, sliding_window, logit_softcap,
     )

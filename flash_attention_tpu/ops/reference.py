@@ -31,6 +31,7 @@ def reference_attention(
     out_dtype=None,
     sliding_window: int | None = None,
     logit_softcap: float | None = None,
+    segment_ids=None,
 ) -> jax.Array:
     """Naive fp32 attention over [batch, heads, seq, head_dim] inputs.
 
@@ -44,6 +45,9 @@ def reference_attention(
       sm_scale: softmax scale; defaults to 1/sqrt(D) (flash_attention.cu:612).
       kv_length: optional [B] int32 — valid KV prefix length per batch element.
       out_dtype: output dtype; defaults to q.dtype.
+      segment_ids: packed-sequence ids — one [B, S] array (self-attention) or
+        a (q_ids [B, Sq], kv_ids [B, Skv]) pair; attention only within equal
+        ids.
 
     Returns:
       [B, Hq, Sq, D] attention output.
@@ -81,6 +85,13 @@ def reference_attention(
         len_mask = jnp.arange(kv_len)[None, :] < kv_length[:, None]  # [B, Skv]
         len_mask = len_mask[:, None, None, :]
         mask = len_mask if mask is None else (mask & len_mask)
+    if segment_ids is not None:
+        if isinstance(segment_ids, (tuple, list)):
+            sq_ids, skv_ids = segment_ids
+        else:
+            sq_ids = skv_ids = segment_ids
+        seg_mask = (sq_ids[:, :, None] == skv_ids[:, None, :])[:, None]
+        mask = seg_mask if mask is None else (mask & seg_mask)
     if mask is not None:
         scores = jnp.where(mask, scores, DEFAULT_MASK_VALUE)
 
