@@ -41,6 +41,9 @@ def upcast_kv_payload(x, target_dtype):
 
     NaN payloads are not preserved — acceptable for quantized caches (the
     quantizer never emits them).
+
+    See :func:`upcast_kv_payload_expfold` for the cheaper variant used by the
+    decode kernels (requires folding a 2**k factor into the dequant scales).
     """
     import jax.numpy as _jnp
 
@@ -66,3 +69,39 @@ def upcast_kv_payload(x, target_dtype):
         f32 = _pltpu.bitcast(bits, _jnp.float32)
         return f32.astype(target_dtype)
     return x.astype(target_dtype)
+
+
+def upcast_kv_payload_expfold(x, target_dtype):
+    """fp8 widen with the exponent rebias FOLDED OUT: returns (values, 2**k).
+
+    Returns ``(y, factor)`` with ``y == true_value / factor`` elementwise —
+    the caller must multiply ``factor`` into its dequant scales (one VPU op
+    on a tiny scale tile, vs a full-tile add here). Skipping the rebias also
+    removes the denormal select: without the +rebias, an fp8 denormal
+    assembles to an fp32/bf16 denormal, which the TPU either flushes to the
+    exact zero the masked path wants or (if kept) reconstructs the correct
+    tiny value after the scale multiply — both acceptable, no compare+where.
+
+    For non-fp8 payloads this is plain astype with factor 1.
+    """
+    import jax.numpy as _jnp
+
+    if x.dtype == target_dtype:
+        return x, 1.0
+    if x.dtype in (_jnp.float8_e4m3fn, _jnp.float8_e5m2):
+        from jax.experimental.pallas import tpu as _pltpu
+
+        u = _pltpu.bitcast(x, _jnp.uint8).astype(_jnp.int32)
+        sign = (u & 0x80) << 24
+        mag = u & 0x7F
+        if x.dtype == _jnp.float8_e4m3fn:
+            # Raw e4 lands in the fp32 exponent field unrebias'd: the
+            # assembled value is true * 2**-120 (bias 7 vs 127).
+            bits = (mag << 20) | sign
+            factor = 2.0 ** 120
+        else:
+            bits = (mag << 21) | sign
+            factor = 2.0 ** 112
+        f32 = _pltpu.bitcast(bits, _jnp.float32)
+        return f32.astype(target_dtype), factor
+    return x.astype(target_dtype), 1.0

@@ -34,7 +34,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from flash_attention_tpu.ops.common import upcast_kv_payload
+from flash_attention_tpu.ops.common import upcast_kv_payload, upcast_kv_payload_expfold
 from flash_attention_tpu.ops.merge import merge_partial_attention
 from flash_attention_tpu.ops.quant import QuantizedTensor
 from flash_attention_tpu.ops.tuning import select_decode_block_sizes
@@ -94,12 +94,20 @@ def _decode_kernel(
         # so q·(k·s) == (q·k_payload)·s — apply them to the [Gp, block_kv]
         # score tile instead of the [block_kv, D] payload (Gp/D ~= 8x less
         # VPU work, and the payload never materializes in fp32).
+        if k_scale_ref is not None:
+            # Scaled payloads take the exponent-folded fp8 widen: the 2**k
+            # rebias moves off the [block_kv, D] payload tile onto the
+            # [1, block_kv] scale row (and the denorm select disappears).
+            k_up, k_fold = upcast_kv_payload_expfold(k, q.dtype)
+        else:
+            k_up, k_fold = upcast_kv_payload(k, q.dtype), 1.0
         s = jax.lax.dot_general(
-            q, upcast_kv_payload(k, q.dtype), (((1,), (1,)), ((), ())),
+            q, k_up, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # [Gp, block_kv]
         if k_scale_ref is not None:
-            s = s * k_scale_ref[0, 0]  # [1, block_kv] broadcast over rows
+            ks = k_scale_ref[0, 0]  # [1, block_kv] broadcast over rows
+            s = s * (ks * k_fold if k_fold != 1.0 else ks)
         if softcap_in is not None:
             s = jnp.tanh(s * softcap_in) * softcap_out
 
@@ -122,9 +130,13 @@ def _decode_kernel(
         if v_scale_ref is not None:
             # (p·diag(s_v))·v_payload == p·(v_payload·s_v): fold V's per-token
             # scales into the small p tile before the PV matmul.
-            p = p * v_scale_ref[0, 0]
+            v_up, v_fold = upcast_kv_payload_expfold(v, q.dtype)
+            vs = v_scale_ref[0, 0]
+            p = p * (vs * v_fold if v_fold != 1.0 else vs)
+        else:
+            v_up = upcast_kv_payload(v, q.dtype)
         pv = jax.lax.dot_general(
-            p.astype(q.dtype), upcast_kv_payload(v, q.dtype), (((1,), (0,)), ((), ())),
+            p.astype(q.dtype), v_up, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         acc_scr[...] = acc_scr[...] * alpha[:, :1] + pv
@@ -147,11 +159,36 @@ def _split_quant(x):
     return x, None
 
 
+def should_split_decode(
+    batch: int, num_kv_heads: int, max_seq: int, block_kv: int
+) -> int:
+    """Flash-decoding auto-dispatch heuristic: 0 = no split, else num_splits.
+
+    Splitting the KV range multiplies the kernel's batch grid axis — the
+    reference's latent grid.z split-K (flash_attention.cu:174-176). It pays
+    when the (batch x kv_heads) grid is too small to hide per-step latency
+    AND the sequence is long enough that each split still amortizes its
+    prologue: small-batch long-context decode, the flash-decoding regime.
+    Gate measured on v5e (scan slope-fit, bf16 KV, 32q/8kv heads): at
+    b=1/s=16K split4 measures 2.8x the plain kernel and b=2/s=16K 1.16x,
+    while b=4/s=8K is parity (0.98x) and split8 regresses everywhere — so
+    the gate fires only under batch*kv_heads <= 16 with seq >= 8192, and
+    always picks <= 4 splits.
+    """
+    if batch * num_kv_heads > 16 or max_seq < 8192:
+        return 0
+    max_by_len = max(1, max_seq // (2 * block_kv))
+    splits = min(4, max_by_len)
+    while splits > 1 and max_seq % splits:
+        splits -= 1
+    return splits if splits > 1 else 0
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
         "sm_scale", "block_kv", "save_residuals", "interpret",
-        "sliding_window", "logit_softcap",
+        "sliding_window", "logit_softcap", "auto_split",
     ),
 )
 def decode_attention(
@@ -166,6 +203,7 @@ def decode_attention(
     interpret: bool | None = None,
     sliding_window: int | None = None,
     logit_softcap: float | None = None,
+    auto_split: bool = True,
 ):
     """Single-token decode attention over a KV cache.
 
@@ -180,6 +218,9 @@ def decode_attention(
       block_kv: KV rows per grid step.
       save_residuals: also return base-2 LSE [batch, q_heads] for cross-chip
         or split merging.
+      auto_split: small-batch long-context calls auto-dispatch to
+        :func:`decode_attention_split` (flash-decoding) per
+        :func:`should_split_decode`; set False to force the plain kernel.
 
     Returns:
       [batch, q_heads, head_dim] output (q.dtype), plus LSE if requested.
@@ -189,6 +230,19 @@ def decode_attention(
 
     batch, num_q_heads, head_dim = q.shape
     _, num_kv_heads, max_seq, _ = k_vals.shape
+
+    if (
+        auto_split and not save_residuals
+        and sliding_window is None and logit_softcap is None
+    ):
+        probe_kv = block_kv or select_decode_block_sizes(max_seq).block_kv
+        ns = should_split_decode(batch, num_kv_heads, max_seq, probe_kv)
+        if ns:
+            return decode_attention_split(
+                q, k_cache, v_cache, lengths,
+                num_splits=ns, sm_scale=sm_scale, block_kv=block_kv,
+                interpret=interpret,
+            )
     if num_q_heads % num_kv_heads:
         raise ValueError(f"q_heads={num_q_heads} % kv_heads={num_kv_heads} != 0")
     if sm_scale is None:

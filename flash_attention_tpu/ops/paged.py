@@ -33,6 +33,7 @@ from flash_attention_tpu.ops.common import (
     MASK_VALUE,
     ceil_to,
     upcast_kv_payload,
+    upcast_kv_payload_expfold,
 )
 
 MIN_GROUP_BLOCK = 16  # bf16 sublane tile height
@@ -124,53 +125,44 @@ def paged_write_tokens(
 ) -> PagedKVCache:
     """Append ONE token of K/V per listed slot at its current length.
 
-    k_new, v_new: [n, kv_heads, head_dim]; slots: [n] int32. Returns the
+    k_new, v_new: [n, kv_heads, head_dim]; slots: [n] int32, each slot listed
+    at most once per call (one token per slot per decode step). Returns the
     updated cache (lengths advanced by 1 for the listed slots).
     """
     page_size = cache.page_size
     quant = cache.quantized()
 
-    def write_one(carry, x):
-        k_pages, v_pages, k_sc, v_sc, lengths = carry
-        kt, vt, slot = x
-        pos = lengths[slot]
-        # Clamp: a slot at capacity (or an inactive slot whose length froze at
-        # its final value) must not index past its page table — the write
-        # lands in its last page's tail and is masked by ``lengths``.
-        logical = jnp.minimum(pos // page_size, cache.pages_per_slot - 1)
-        offset = pos % page_size
-        phys = cache.page_table[slot, logical]
-        if quant:
-            kq, ks = _quantize_rows(kt, k_pages.dtype)  # [H, D], [H, 1]
-            vq, vs = _quantize_rows(vt, v_pages.dtype)
-            k_sc = jax.lax.dynamic_update_slice(
-                k_sc, ks[None, :, None, :], (phys, 0, 0, offset)
-            )
-            v_sc = jax.lax.dynamic_update_slice(
-                v_sc, vs[None, :, None, :], (phys, 0, 0, offset)
-            )
-        else:
-            kq, vq = kt, vt
-        k_pages = jax.lax.dynamic_update_slice(
-            k_pages, kq[None, :, None, :].astype(k_pages.dtype), (phys, 0, offset, 0)
-        )
-        v_pages = jax.lax.dynamic_update_slice(
-            v_pages, vq[None, :, None, :].astype(v_pages.dtype), (phys, 0, offset, 0)
-        )
-        lengths = lengths.at[slot].add(1)
-        return (k_pages, v_pages, k_sc, v_sc, lengths), ()
+    # ONE vectorized scatter per array instead of a serial scan of chained
+    # dynamic_update_slices: distinct slots write distinct (physical page,
+    # offset) rows, so the scatter indices are unique and XLA lowers this to
+    # a single parallel scatter — at max_slots=256 the chained form was 256
+    # dependent updates per decode step.
+    pos = cache.lengths[slots]  # [n]
+    # Clamp: a slot at capacity (or an inactive slot whose length froze at
+    # its final value) must not index past its page table — the write lands
+    # in its last page's tail and is masked by ``lengths``.
+    logical = jnp.minimum(pos // page_size, cache.pages_per_slot - 1)
+    offset = pos % page_size  # [n]
+    phys = cache.page_table[slots, logical]  # [n]
 
-    k_sc0 = cache.k_scales if quant else jnp.zeros((), jnp.float32)
-    v_sc0 = cache.v_scales if quant else jnp.zeros((), jnp.float32)
-    (k_pages, v_pages, k_sc, v_sc, lengths), _ = jax.lax.scan(
-        write_one,
-        (cache.k_pages, cache.v_pages, k_sc0, v_sc0, cache.lengths),
-        (k_new, v_new, slots),
-    )
-    cache = cache._replace(k_pages=k_pages, v_pages=v_pages, lengths=lengths)
     if quant:
-        cache = cache._replace(k_scales=k_sc, v_scales=v_sc)
-    return cache
+        kq, ks = jax.vmap(lambda x: _quantize_rows(x, cache.k_pages.dtype))(k_new)
+        vq, vs = jax.vmap(lambda x: _quantize_rows(x, cache.v_pages.dtype))(v_new)
+        # ks/vs: [n, H, 1] -> scatter into [pages, H, 1, page_size] lanes.
+        k_scales = cache.k_scales.at[phys, :, 0, offset].set(ks[:, :, 0])
+        v_scales = cache.v_scales.at[phys, :, 0, offset].set(vs[:, :, 0])
+        cache = cache._replace(k_scales=k_scales, v_scales=v_scales)
+    else:
+        kq, vq = k_new, v_new
+
+    k_pages = cache.k_pages.at[phys, :, offset, :].set(
+        kq.astype(cache.k_pages.dtype)
+    )
+    v_pages = cache.v_pages.at[phys, :, offset, :].set(
+        vq.astype(cache.v_pages.dtype)
+    )
+    lengths = cache.lengths.at[slots].add(1)
+    return cache._replace(k_pages=k_pages, v_pages=v_pages, lengths=lengths)
 
 
 def paged_write_prefill(
@@ -307,14 +299,21 @@ def _paged_decode_kernel(
     def _compute():
         q = q_ref[0, 0]  # [Gp, D]
         k = k_ref[0, 0]  # [page, D]
+        if k_scale_ref is not None:
+            # Exponent-folded fp8 widen (ops/common.py): the 2**k rebias
+            # rides the scale row instead of the payload tile.
+            k_up, k_fold = upcast_kv_payload_expfold(k, q.dtype)
+        else:
+            k_up, k_fold = upcast_kv_payload(k, q.dtype), 1.0
         s = jax.lax.dot_general(
-            q, upcast_kv_payload(k, q.dtype), (((1,), (1,)), ((), ())),
+            q, k_up, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # [Gp, page]
         if k_scale_ref is not None:
             # Late-scaled fused dequant (see ops/decode.py): per-token scales
             # commute with the dot, applied to the small score tile.
-            s = s * k_scale_ref[0, 0]
+            ks = k_scale_ref[0, 0]
+            s = s * (ks * k_fold if k_fold != 1.0 else ks)
         if softcap_in is not None:
             s = jnp.tanh(s * softcap_in) * softcap_out
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ip * page_size
@@ -334,9 +333,13 @@ def _paged_decode_kernel(
 
         v = v_ref[0, 0]
         if v_scale_ref is not None:
-            p = p * v_scale_ref[0, 0]
+            v_up, v_fold = upcast_kv_payload_expfold(v, q.dtype)
+            vs = v_scale_ref[0, 0]
+            p = p * (vs * v_fold if v_fold != 1.0 else vs)
+        else:
+            v_up = upcast_kv_payload(v, q.dtype)
         pv = jax.lax.dot_general(
-            p.astype(q.dtype), upcast_kv_payload(v, q.dtype),
+            p.astype(q.dtype), v_up,
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )

@@ -13,14 +13,14 @@ timing, utils/benchmarking.py::scan_timer). Measured winners at batch=1,
 heads=32, head_dim=128, bf16, with the triangular causal grid and
 head-batching (block_q, block_kv, block_h):
 
-  seq      non-causal                     causal
-  512      (512,512,h4)   129.7 TF        (512,512,h8,sub128)      82 TF
-  768      (768,768,h4)   138.6 TF        (768,768,h8,sub128)     105 TF
-  1024     (1024,1024,h2) 143.1 TF        (1024,1024,h4,sub128)   116 TF
-  2048     (1024,1024,h2) 157.9 TF        (2048,2048,h2,sub128)   131 TF
-  4096     (1024,1024,h2) 160.8 TF        (1024,1024,h2) 125.2 TF
-  8192     (1024,1024,h2) 169.9 TF        (1024,1024,h2) 137.7 TF
-  16384    (1024,1024,h2) 171.2 TF        (1024,1024,h2) 149.3 TF
+  seq      non-causal                       causal
+  512      (512,512,h4)    142.1 TF         (512,512,h8,sub128)      82 TF
+  768      (384,768,h4)    154.4 TF         (768,768,h8,sub128)     105 TF
+  1024     (1024,1024,h2)  164.1 TF         (1024,1024,h4,sub128)   116 TF
+  2048     (512,2048,h2)   159.9 TF         (2048,2048,h2,sub128)   131 TF
+  4096     (1024,1024,h2)  160.8 TF         (1024,1024,h2) 125.2 TF
+  8192     (1024,1024,h2)  169.9 TF         (1024,1024,h2) 137.7 TF
+  16384    (1024,1024,h2)  171.2 TF         (1024,1024,h2) 149.3 TF
 
 (v5e bf16 peak 197 TF => non-causal long-seq is ~87% of roofline. The
 single-tile rows use the kernel's single-step specialization — plain softmax
@@ -161,14 +161,22 @@ def select_block_sizes(
                 block_q=pad_seq, block_kv=pad_seq, block_h=2, block_sub=128
             )
         return BlockSizes(block_q=1024, block_kv=1024, block_h=2)
+    # Non-causal (v5e re-sweep 2026-08-17, after the pre-PV normalize and the
+    # no-scratch single-KV-block specialization): 512 (512,512,h4) 142 TF,
+    # 768 (384,768,h4) 154 (the full-tile (768,768,h4) hits a Mosaic layout
+    # pathology at 6 TF — avoid), 1024 (1024,1024,h2) 164, 2048
+    # (512,2048,h2) 160. At 4096+ the single-KV-block form loses to the
+    # online (1024,1024,h2) path (136-139 vs 161-171 TF) — one giant KV
+    # block per head starves the pipeline.
     if pad_seq <= 512:
-        # h8 measures ~87 TF in-scan but sits at 17.5 MB scoped VMEM when
-        # compiled standalone (over the 16 MB limit); h4 is the safe default.
         return BlockSizes(block_q=pad_seq, block_kv=pad_seq, block_h=4)
     if pad_seq <= 768:
-        return BlockSizes(block_q=pad_seq, block_kv=pad_seq, block_h=4)
+        return BlockSizes(block_q=384 if pad_seq == 768 else pad_seq,
+                          block_kv=pad_seq, block_h=4)
     if pad_seq <= 1024:
         return BlockSizes(block_q=pad_seq, block_kv=pad_seq, block_h=2)
+    if pad_seq <= 2048:
+        return BlockSizes(block_q=512, block_kv=pad_seq, block_h=2)
     return BlockSizes(block_q=1024, block_kv=1024, block_h=2)
 
 

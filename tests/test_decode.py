@@ -112,3 +112,32 @@ def test_decode_split_merge_quantized():
     got = decode_attention_split(q, kq, vq, lengths, num_splits=4, block_kv=128)
     want = _decode_oracle(q, k, v, lengths)
     assert_close(got, want, msg="flash-decoding int8")
+
+
+def test_should_split_decode_gate():
+    from flash_attention_tpu.ops.decode import should_split_decode
+
+    # Fires: small batch x kv_heads, long context.
+    assert should_split_decode(1, 8, 16384, 4096) > 1
+    assert should_split_decode(2, 8, 16384, 4096) > 1
+    # Silent: big batch or short context (split regresses there; v5e sweep).
+    assert should_split_decode(32, 8, 8192, 4096) == 0
+    assert should_split_decode(1, 8, 4096, 4096) == 0
+    assert should_split_decode(4, 8, 8192, 4096) == 0  # b*kvh = 32 > 16
+
+
+def test_decode_auto_split_matches_plain():
+    """The auto-dispatched flash-decoding path is numerics-equivalent."""
+    import jax.numpy as jnp
+
+    from flash_attention_tpu.ops.decode import decode_attention
+
+    q, k, v = make_qkv(21, 1, 8, 1, 128, num_kv_heads=2, kv_seq=8192)
+    q = q[:, :, 0, :]
+    lengths = jnp.asarray([7000], jnp.int32)
+    auto = decode_attention(q, k, v, lengths)  # gate fires (1*2 <= 16, 8192)
+    plain = decode_attention(q, k, v, lengths, auto_split=False)
+    np.testing.assert_allclose(
+        np.asarray(auto, np.float32), np.asarray(plain, np.float32),
+        rtol=2e-2, atol=2e-2,
+    )
