@@ -38,6 +38,7 @@ jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 from flash_attention_tpu.ops.decode import decode_attention
 from flash_attention_tpu.ops.flash_attention import flash_attention
 from flash_attention_tpu.ops.quant import quantize_kv
+from flash_attention_tpu.ops.reference import reference_attention
 from flash_attention_tpu.utils.benchmarking import (
     attention_flops,
     detect_mxu_peak_tflops,
@@ -60,6 +61,68 @@ BATCH, HEADS, HEAD_DIM = 1, 32, 128
 
 def log(msg):
     print(msg, file=sys.stderr, flush=True)
+
+
+def smoke_correctness(on_tpu):
+    """On-chip correctness smoke at the REAL dispatch tiers (~60 s).
+
+    Interpreter-mode tests can't catch TPU-only failures (scoped-VMEM
+    cliffs, Mosaic layout bugs — see the reference's cpu_attention gate,
+    flash_attention.cu:757-884); this runs the reference's cases + GQA +
+    decode ON THE CHIP with the production block configs and asserts the
+    <0.1 bar before any timing. A failure aborts the bench loudly.
+    """
+    if not on_tpu:
+        return []
+    cases = [
+        # The reference's four harness cases + its documented gaps.
+        dict(seq=256, heads=4, causal=True),
+        dict(seq=512, heads=32, causal=True),
+        dict(seq=512, heads=32, causal=False),
+        dict(seq=1024, heads=32, causal=False),
+        dict(seq=1024, heads=32, causal=True),
+        dict(seq=2048, heads=32, causal=True),
+        dict(seq=640, heads=8, causal=True),  # ragged/non-pow2 tier
+    ]
+    rows = []
+    for c in cases:
+        q, k, v = make_qkv(17, 1, c["heads"], c["seq"], HEAD_DIM)
+        got = flash_attention(q, k, v, causal=c["causal"])
+        want = reference_attention(q, k, v, causal=c["causal"])
+        err = float(
+            jnp.max(jnp.abs(got.astype(jnp.float32) - want.astype(jnp.float32)))
+        )
+        rows.append(dict(kind="smoke", **c, max_err=err))
+        status = "ok" if err < 0.1 else "FAIL"
+        log(f"smoke fwd {c}: max_err={err:.5f} {status}")
+        if err >= 0.1:
+            raise AssertionError(f"on-TPU smoke failed: {c} max_err={err}")
+    # GQA at dispatch tiers.
+    q, k, v = make_qkv(18, 1, 32, 2048, HEAD_DIM, num_kv_heads=8)
+    got = flash_attention(q, k, v, causal=True)
+    want = reference_attention(q, k, v, causal=True)
+    err = float(jnp.max(jnp.abs(got.astype(jnp.float32) - want)))
+    rows.append(dict(kind="smoke", case="gqa_2048_g4", max_err=err))
+    log(f"smoke gqa 32/8 @2048: max_err={err:.5f} {'ok' if err < 0.1 else 'FAIL'}")
+    if err >= 0.1:
+        raise AssertionError(f"on-TPU GQA smoke failed: max_err={err}")
+    # Decode (bf16 + int8) at the real decode tiers against a dense oracle.
+    batch, qh, kvh, seq = 8, 32, 8, 2048
+    qd, kd, vd = make_qkv(19, batch, qh, 1, HEAD_DIM, num_kv_heads=kvh, kv_seq=seq)
+    qd = qd[:, :, 0, :]
+    lengths = jnp.full((batch,), seq, jnp.int32)
+    want = reference_attention(
+        qd[:, :, None, :], kd, vd, causal=True
+    )[:, :, 0, :]
+    for mode, tol in (("none", 0.1), ("int8", 0.1), ("fp8_e4m3", 0.1)):
+        kq, vq = quantize_kv(kd, vd, mode)
+        got = decode_attention(qd, kq, vq, lengths)
+        err = float(jnp.max(jnp.abs(got.astype(jnp.float32) - want)))
+        rows.append(dict(kind="smoke", case=f"decode_{mode}", max_err=err))
+        log(f"smoke decode kv={mode}: max_err={err:.5f} {'ok' if err < tol else 'FAIL'}")
+        if err >= tol:
+            raise AssertionError(f"on-TPU decode smoke failed ({mode}): {err}")
+    return rows
 
 
 def bench_forward(on_tpu):
@@ -90,6 +153,29 @@ def bench_forward(on_tpu):
                 f"{tf:7.2f} TFLOPS ({tf/peak*100:4.1f}% roofline)"
                 + (f"  vs ref {ref:5.2f} = {tf/ref:4.1f}x" if ref else "")
             )
+    return rows
+
+
+def bench_gqa(on_tpu):
+    """GQA (7B-class 32q/8kv) causal prefill rows — detail only (the headline
+    geomean stays MHA 32/32 to remain comparable with the reference's
+    protocol and earlier rounds)."""
+    rows = []
+    if not on_tpu:
+        return rows
+    peak = detect_mxu_peak_tflops()
+    for seq in (2048, 8192):
+        q, k, v = make_qkv(7, BATCH, HEADS, seq, HEAD_DIM, num_kv_heads=8)
+        fn = lambda q, k, v: flash_attention(q, k, v, causal=True)
+        fl = attention_flops(BATCH, HEADS, seq, HEAD_DIM, causal=True)
+        t = scan_timer(fn, (q, k, v), est_s=fl / (0.3 * peak * 1e12))
+        tf = fl / t / 1e12
+        rows.append(
+            dict(kind="gqa_forward", seq=seq, causal=True, q_heads=HEADS,
+                 kv_heads=8, time_us=t * 1e6, tflops=tf,
+                 roofline_frac=tf / peak)
+        )
+        log(f"gqa 32/8 seq={seq:6d} causal: {t*1e6:9.1f}us {tf:7.2f} TFLOPS")
     return rows
 
 
@@ -139,7 +225,9 @@ def bench_decode(on_tpu):
 def main():
     on_tpu = jax.default_backend() == "tpu"
     log(f"devices: {jax.devices()}  backend={jax.default_backend()}")
+    smoke_rows = smoke_correctness(on_tpu)
     fwd_rows = bench_forward(on_tpu)
+    gqa_rows = bench_gqa(on_tpu)
     dec_rows = bench_decode(on_tpu)
 
     ref_rows = [r for r in fwd_rows if r["reference_tflops"]]
@@ -156,7 +244,9 @@ def main():
     detail = dict(
         device=str(jax.devices()[0]),
         peak_tflops=detect_mxu_peak_tflops(),
+        smoke=smoke_rows,
         forward=fwd_rows,
+        gqa_forward=gqa_rows,
         decode=dec_rows,
         geomean_tflops=geo,
         vs_baseline=vs,
