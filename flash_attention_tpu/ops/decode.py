@@ -162,18 +162,21 @@ def _split_quant(x):
 def should_split_decode(
     batch: int, num_kv_heads: int, max_seq: int, block_kv: int
 ) -> int:
-    """Flash-decoding auto-dispatch heuristic: 0 = no split, else num_splits.
+    """Flash-decoding heuristic for OPT-IN callers: 0 = no split.
 
     Splitting the KV range multiplies the kernel's batch grid axis — the
-    reference's latent grid.z split-K (flash_attention.cu:174-176). It pays
-    when the (batch x kv_heads) grid is too small to hide per-step latency
-    AND the sequence is long enough that each split still amortizes its
-    prologue: small-batch long-context decode, the flash-decoding regime.
-    Gate measured on v5e (scan slope-fit, bf16 KV, 32q/8kv heads): at
-    b=1/s=16K split4 measures 2.8x the plain kernel and b=2/s=16K 1.16x,
-    while b=4/s=8K is parity (0.98x) and split8 regresses everywhere — so
-    the gate fires only under batch*kv_heads <= 16 with seq >= 8192, and
-    always picks <= 4 splits.
+    reference's latent grid.z split-K (flash_attention.cu:174-176). On GPUs
+    it fills idle SMs; on a SINGLE-TensorCore chip (v5e) it cannot: the
+    plain kernel's sequential grid already streams the cache at the HBM wall
+    (measured 730 GB/s at batch=1/seq=16K), and `decode_attention_split`'s
+    resplit materialization costs a full cache copy per step — measured 0.76x
+    the plain kernel under production conditions (loop-variant cache).
+    A naive benchmark shows a phantom 2.8x because XLA pins the loop-
+    invariant resplit copy in physical VMEM (128 MB) — do not trust
+    split timings whose cache is scan-invariant. The heuristic therefore
+    targets multi-core parts and stays OFF by default
+    (decode_attention(..., auto_split=False)); the same split + LSE-merge
+    math is live cross-chip in sequence-parallel serving (parallel/).
     """
     if batch * num_kv_heads > 16 or max_seq < 8192:
         return 0
@@ -203,7 +206,7 @@ def decode_attention(
     interpret: bool | None = None,
     sliding_window: int | None = None,
     logit_softcap: float | None = None,
-    auto_split: bool = True,
+    auto_split: bool = False,
 ):
     """Single-token decode attention over a KV cache.
 
@@ -218,9 +221,10 @@ def decode_attention(
       block_kv: KV rows per grid step.
       save_residuals: also return base-2 LSE [batch, q_heads] for cross-chip
         or split merging.
-      auto_split: small-batch long-context calls auto-dispatch to
-        :func:`decode_attention_split` (flash-decoding) per
-        :func:`should_split_decode`; set False to force the plain kernel.
+      auto_split: opt-in dispatch to :func:`decode_attention_split`
+        (flash-decoding) per :func:`should_split_decode`. Default OFF: on
+        single-core v5e the plain kernel is already HBM-wall-bound and the
+        split's resplit copy is a net loss (see should_split_decode).
 
     Returns:
       [batch, q_heads, head_dim] output (q.dtype), plus LSE if requested.

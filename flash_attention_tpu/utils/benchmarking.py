@@ -173,6 +173,17 @@ def scan_timer(
       algebraically folded: NaN*0 = NaN). Use "add" when the op captures
       large arrays — barrier-in-carry plus multi-hundred-MB operands hangs
       XLA's loop optimizer.
+
+    TWO TRAPS (both observed on v5e, 2026-08-17):
+      * Partial-output DCE: the chain consumes only the FIRST element of the
+        first output leaf. If ``fn`` is a COMPOSITE whose other outputs don't
+        feed that element (e.g. a concat of several kernel calls), XLA
+        dead-code-eliminates the rest and the timing is fiction (>peak
+        TFLOPS). Single pallas_call outputs are safe (the call is atomic).
+      * VMEM pinning: arrays ``fn`` DERIVES from scan-invariant args (e.g. a
+        reshaped KV cache) can be hoisted AND pinned in physical VMEM
+        (128 MB), timing VMEM bandwidth instead of HBM. Perturb such inputs
+        with the chain token when production would recompute them per step.
     """
     import jax.numpy as jnp
 

@@ -135,7 +135,7 @@ def test_decode_auto_split_matches_plain():
     q, k, v = make_qkv(21, 1, 8, 1, 128, num_kv_heads=2, kv_seq=8192)
     q = q[:, :, 0, :]
     lengths = jnp.asarray([7000], jnp.int32)
-    auto = decode_attention(q, k, v, lengths)  # gate fires (1*2 <= 16, 8192)
+    auto = decode_attention(q, k, v, lengths, auto_split=True)  # gate fires
     plain = decode_attention(q, k, v, lengths, auto_split=False)
     np.testing.assert_allclose(
         np.asarray(auto, np.float32), np.asarray(plain, np.float32),
