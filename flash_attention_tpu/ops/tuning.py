@@ -107,11 +107,18 @@ def select_block_sizes(
         return BlockSizes(block_q=min(1024, pad_seq), block_kv=min(1024, pad_seq))
     if group in (2, 4) and pad_seq > 1024:
         # GQA: block_h must span whole KV groups; the generic h2 long-seq
-        # configs don't divide, so use the GQA-swept winner — (512,1024,
-        # h=group) in-kernel KV expansion: 7B-class (32q/8kv) causal prefill
-        # measures 83->102 TF at 2048 and 117->145 TF at 8192 vs h1. The
-        # residuals variant halves block_q: the LSE output block pushes
-        # (512,1024,h4) 876KB over the scoped-VMEM limit.
+        # configs don't divide, so use the GQA-swept winners. At <= 2048 the
+        # causal single-superblock sub-tiled form applies with h = 4 (spans
+        # whole groups; hb_kv = 4/group): 7B-class (32q/8kv) causal 2048
+        # measures 148.6 TF vs 102.8 for the tri grid (v5e, standalone-
+        # compile verified; h8 exceeds scoped VMEM). Longer seqs keep
+        # (512,1024,h=group) in-kernel KV expansion: 117->145 TF at 8192 vs
+        # h1. The residuals variant halves block_q: the LSE output block
+        # pushes (512,1024,h4) 876KB over the scoped-VMEM limit.
+        if causal and pad_seq <= 2048 and not save_residuals and group == 4:
+            return BlockSizes(
+                block_q=pad_seq, block_kv=pad_seq, block_h=4, block_sub=128
+            )
         if save_residuals:
             return BlockSizes(block_q=256, block_kv=1024, block_h=group)
         return BlockSizes(block_q=512, block_kv=1024, block_h=group)
