@@ -153,6 +153,41 @@ def attention_prefill(
     return out.astype(x.dtype), cache
 
 
+def attention_forward(
+    params, cfg: AttentionConfig, x: jax.Array, *, positions=None,
+    segment_ids=None, block_sizes=None,
+):
+    """Training-mode causal self-attention over [B, T, model_dim] (no cache).
+
+    Args:
+      positions: optional [B, T] int32 RoPE positions (packed sequences
+        restart positions per document); defaults to arange(T).
+      segment_ids: optional [B, T] int32 packed-sequence ids, masked in the
+        fused kernel.
+
+    Returns [B, T, model_dim]; differentiable end to end.
+    """
+    _, t, _ = x.shape
+    q = jnp.einsum("btm,mhd->bhtd", x, params["wq"]).astype(cfg.jnp_dtype)
+    k = jnp.einsum("btm,mhd->bhtd", x, params["wk"]).astype(cfg.jnp_dtype)
+    v = jnp.einsum("btm,mhd->bhtd", x, params["wv"]).astype(cfg.jnp_dtype)
+    if positions is None:
+        pos = jnp.arange(t)[None, None, :]
+    else:
+        pos = positions[:, None, :]
+    q = apply_rope(q, pos, theta=cfg.rope_theta)
+    k = apply_rope(k, pos, theta=cfg.rope_theta)
+    o = flash_attention(
+        q, k, v, causal=True, block_sizes=block_sizes,
+        sliding_window=cfg.sliding_window, logit_softcap=cfg.logit_softcap,
+        segment_ids=segment_ids,
+    )
+    out = jnp.einsum(
+        "bhtd,hdm->btm", o.astype(jnp.float32), params["wo"].astype(jnp.float32)
+    )
+    return out.astype(x.dtype)
+
+
 def attention_prefill_chunk(
     params, cfg: AttentionConfig, x: jax.Array, cache: KVCache, slot, start,
     kv_end: int, *, block_sizes=None,

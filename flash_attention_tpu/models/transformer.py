@@ -155,6 +155,50 @@ def prefill(params, cfg: ModelConfig, tokens: jax.Array, caches: list):
     return forward(params, cfg, tokens, caches, decode=False)
 
 
+def segment_positions(segment_ids: jax.Array) -> jax.Array:
+    """Per-document RoPE positions for a packed [B, T] segment-id array:
+    positions restart at 0 at every segment boundary (ids are contiguous
+    runs)."""
+    t = segment_ids.shape[-1]
+    idx = jnp.arange(t)[None, :]
+    is_start = jnp.concatenate(
+        [
+            jnp.ones_like(segment_ids[:, :1], bool),
+            segment_ids[:, 1:] != segment_ids[:, :-1],
+        ],
+        axis=1,
+    )
+    seg_start = jax.lax.cummax(jnp.where(is_start, idx, 0), axis=1)
+    return idx - seg_start
+
+
+def train_forward(
+    params, cfg: ModelConfig, tokens: jax.Array, *, segment_ids=None
+):
+    """Training-mode forward (no KV caches): causal LM logits over [B, T]
+    tokens. With ``segment_ids`` (packed pretraining batches), attention is
+    masked per document and RoPE positions restart at each document start.
+    Returns logits [B, T, vocab]; differentiate with jax.value_and_grad.
+    """
+    from flash_attention_tpu.models.attention import attention_forward
+
+    acfg = cfg.attention_config()
+    positions = None if segment_ids is None else segment_positions(segment_ids)
+    x = params["embed"][tokens].astype(cfg.jnp_dtype)
+    for lp in params["layers"]:
+        h = rms_norm(x, lp["attn_norm"], cfg.norm_eps)
+        attn_out = attention_forward(
+            lp["attn"], acfg, h, positions=positions, segment_ids=segment_ids
+        )
+        x = x + attn_out
+        h = rms_norm(x, lp["mlp_norm"], cfg.norm_eps)
+        x = x + swiglu(h, lp["mlp"])
+    x = rms_norm(x, params["final_norm"], cfg.norm_eps)
+    return jnp.einsum(
+        "btm,vm->btv", x, params["embed"], preferred_element_type=jnp.float32
+    )
+
+
 def prefill_chunk(
     params, cfg: ModelConfig, tokens: jax.Array, caches: list, slot, start,
     kv_end: int,

@@ -122,7 +122,7 @@ def _bwd_dq_kernel(
                 ok = inb if ok is None else jnp.logical_and(ok, inb)
             if seg_refs is not None:
                 sq_ref, skv_ref = seg_refs
-                same = sq_ref[0][:, None] == skv_ref[0][None, :]
+                same = sq_ref[0, 0][:, None] == skv_ref[0, 0][None, :]
                 ok = same if ok is None else jnp.logical_and(ok, same)
             s2 = jnp.where(ok, s2, MASK_VALUE)
 
@@ -231,7 +231,7 @@ def _bwd_dkv_kernel(
                 ok = inb if ok is None else jnp.logical_and(ok, inb)
             if seg_refs is not None:
                 sq_ref, skv_ref = seg_refs
-                same = skv_ref[0][:, None] == sq_ref[0][None, :]
+                same = skv_ref[0, 0][:, None] == sq_ref[0, 0][None, :]
                 ok = same if ok is None else jnp.logical_and(ok, same)
             s2t = jnp.where(ok, s2t, MASK_VALUE)
 
@@ -329,14 +329,15 @@ def flash_attention_bwd(
 
     if segments is not None:
         seg_q, seg_kv = segments
+        # [B, 1, S]: see the forward's Mosaic block-dim note.
         seg_q = jnp.pad(
             seg_q.astype(jnp.int32), ((0, 0), (0, q_pad - q_len)),
             constant_values=-1,
-        )
+        )[:, None, :]
         seg_kv = jnp.pad(
             seg_kv.astype(jnp.int32), ((0, 0), (0, kv_padded - kv_len)),
             constant_values=-2,
-        )
+        )[:, None, :]
 
     # Sublane-oriented ([bh, Sq, 1]) for the dq kernel, lane-oriented
     # ([bh, 1, Sq]) for the transposed dkv kernel — avoids in-kernel relayouts.
@@ -404,12 +405,13 @@ def flash_attention_bwd(
     else:
         dq_in_specs += [
             pl.BlockSpec(
-                (1, block_q), lambda bh, iq, ikv: (bh // num_q_heads, iq)
+                (1, 1, block_q),
+                lambda bh, iq, ikv: (bh // num_q_heads, 0, iq),
             ),
             pl.BlockSpec(
-                (1, block_kv),
+                (1, 1, block_kv),
                 lambda bh, iq, ikv: (
-                    bh // num_q_heads, kv_block_index(iq, ikv)
+                    bh // num_q_heads, 0, kv_block_index(iq, ikv)
                 ),
             ),
         ]
@@ -493,13 +495,14 @@ def flash_attention_bwd(
     else:
         dkv_in_specs += [
             pl.BlockSpec(
-                (1, block_q),
+                (1, 1, block_q),
                 lambda bkv, ikv, t: (
-                    bkv // num_kv_heads, q_block_index(ikv, t)
+                    bkv // num_kv_heads, 0, q_block_index(ikv, t)
                 ),
             ),
             pl.BlockSpec(
-                (1, block_kv), lambda bkv, ikv, t: (bkv // num_kv_heads, ikv)
+                (1, 1, block_kv),
+                lambda bkv, ikv, t: (bkv // num_kv_heads, 0, ikv),
             ),
         ]
         dkv_inputs += [seg_q, seg_kv]

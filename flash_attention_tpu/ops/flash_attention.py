@@ -164,8 +164,8 @@ def _fwd_kernel(
                 if kv_pad:
                     ok = jnp.logical_and(ok, col < kv_len)
                 if seg_q_ref is not None:
-                    sq = seg_q_ref[0, i * w : (i + 1) * w]
-                    skv = seg_kv_ref[0, :width]
+                    sq = seg_q_ref[0, 0, i * w : (i + 1) * w]
+                    skv = seg_kv_ref[0, 0, :width]
                     ok = jnp.logical_and(ok, sq[:, None] == skv[None, :])
                 s = jnp.where(ok[None], s, MASK_VALUE)
             m = jnp.maximum(jnp.max(s, axis=-1, keepdims=True) * scale2, M_FLOOR)
@@ -219,7 +219,7 @@ def _fwd_kernel(
                 inb = col < kv_len
                 ok = inb if ok is None else jnp.logical_and(ok, inb)
             if seg_q_ref is not None:
-                same = seg_q_ref[0][:, None] == seg_kv_ref[0][None, :]
+                same = seg_q_ref[0, 0][:, None] == seg_kv_ref[0, 0][None, :]
                 ok = same if ok is None else jnp.logical_and(ok, same)
             s = jnp.where(ok[None], s, MASK_VALUE)
         # M_FLOOR clamp: a fully-masked row's max is ~MASK_VALUE*scale2; the
@@ -303,7 +303,7 @@ def _fwd_kernel(
                 inb = col < kv_len
                 ok = inb if ok is None else jnp.logical_and(ok, inb)
             if seg_q_ref is not None:
-                same = seg_q_ref[0][:, None] == seg_kv_ref[0][None, :]
+                same = seg_q_ref[0, 0][:, None] == seg_kv_ref[0, 0][None, :]
                 ok = same if ok is None else jnp.logical_and(ok, same)
             s = jnp.where(ok[None], s, MASK_VALUE)
 
@@ -397,14 +397,18 @@ def _fwd_impl(
     if segments is not None:
         seg_q, seg_kv = segments
         # Distinct pad sentinels: padded rows/cols never match anything.
+        # [B, 1, S] with a unit middle dim: Mosaic requires the last two
+        # block dims to divide (8, 128) or EQUAL the array dims — (1, 1,
+        # block) over [B, 1, S] satisfies that where (1, block) over [B, S]
+        # does not (TPU-only lowering constraint).
         seg_q = jnp.pad(
             seg_q.astype(jnp.int32), ((0, 0), (0, q_pad - q_len)),
             constant_values=-1,
-        )
+        )[:, None, :]
         seg_kv = jnp.pad(
             seg_kv.astype(jnp.int32), ((0, 0), (0, kv_padded - kv_len)),
             constant_values=-2,
-        )
+        )[:, None, :]
 
     # Head-batching (block_h heads per grid step). MHA: any block_h dividing
     # batch*heads. GQA: block_h must span whole KV groups within one batch
@@ -494,12 +498,12 @@ def _fwd_impl(
             (hb, block_q, LANES), lambda bh, t, iq_m, ikv_m, f_m: (bh, iq_m[t], 0)
         )
         seg_q_spec = pl.BlockSpec(
-            (1, block_q),
-            lambda bh, t, iq_m, ikv_m, f_m: (batch_index(bh), iq_m[t]),
+            (1, 1, block_q),
+            lambda bh, t, iq_m, ikv_m, f_m: (batch_index(bh), 0, iq_m[t]),
         )
         seg_kv_spec = pl.BlockSpec(
-            (1, block_kv),
-            lambda bh, t, iq_m, ikv_m, f_m: (batch_index(bh), ikv_m[t]),
+            (1, 1, block_kv),
+            lambda bh, t, iq_m, ikv_m, f_m: (batch_index(bh), 0, ikv_m[t]),
         )
         grid = (num_h_blocks, num_steps)
         dim_semantics = ("parallel", "arbitrary")
@@ -527,11 +531,11 @@ def _fwd_impl(
             (hb, block_q, LANES), lambda bh, iq, ikv: (bh, iq, 0)
         )
         seg_q_spec = pl.BlockSpec(
-            (1, block_q), lambda bh, iq, ikv: (batch_index(bh), iq)
+            (1, 1, block_q), lambda bh, iq, ikv: (batch_index(bh), 0, iq)
         )
         seg_kv_spec = pl.BlockSpec(
-            (1, block_kv),
-            lambda bh, iq, ikv: (batch_index(bh), kv_block_index(iq, ikv)),
+            (1, 1, block_kv),
+            lambda bh, iq, ikv: (batch_index(bh), 0, kv_block_index(iq, ikv)),
         )
         grid = (num_h_blocks, num_q_blocks, num_kv_blocks)
         dim_semantics = ("parallel", "parallel", "arbitrary")
