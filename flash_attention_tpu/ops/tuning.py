@@ -16,8 +16,8 @@ head-batching (block_q, block_kv, block_h):
   seq      non-causal                       causal
   512      (512,512,h4)    142.1 TF         (512,512,h8,sub128)      82 TF
   768      (384,768,h4)    154.4 TF         (768,768,h8,sub128)     105 TF
-  1024     (1024,1024,h2)  164.1 TF         (1024,1024,h4,sub128)   116 TF
-  2048     (512,2048,h2)   159.9 TF         (2048,2048,h2,sub128)   131 TF
+  1024     (1024,1024,h2)  164.1 TF         (1024,1024,h4,sub256)   119 TF
+  2048     (512,2048,h2)   161.4 TF         (2048,2048,h2,sub256)   137 TF
   4096     (1024,1024,h2)  160.8 TF         (1024,1024,h2) 125.2 TF
   8192     (1024,1024,h2)  169.9 TF         (1024,1024,h2) 137.7 TF
   16384    (1024,1024,h2)  171.2 TF         (1024,1024,h2) 149.3 TF
@@ -136,8 +136,9 @@ def select_block_sizes(
                     block_q=pad_seq, block_kv=pad_seq, block_h=4, block_sub=128
                 )
             if pad_seq <= 2048:
+                sub = 256 if pad_seq % 256 == 0 else 128
                 return BlockSizes(
-                    block_q=pad_seq, block_kv=pad_seq, block_h=2, block_sub=128
+                    block_q=pad_seq, block_kv=pad_seq, block_h=2, block_sub=sub
                 )
             return BlockSizes(block_q=512, block_kv=1024, block_h=2)
         if pad_seq <= 768:
@@ -160,12 +161,14 @@ def select_block_sizes(
                 block_q=pad_seq, block_kv=pad_seq, block_h=8, block_sub=128
             )
         if pad_seq <= 1024:
+            sub = 256 if pad_seq % 256 == 0 else 128
             return BlockSizes(
-                block_q=pad_seq, block_kv=pad_seq, block_h=4, block_sub=128
+                block_q=pad_seq, block_kv=pad_seq, block_h=4, block_sub=sub
             )
         if pad_seq <= 2048:
+            sub = 256 if pad_seq % 256 == 0 else 128
             return BlockSizes(
-                block_q=pad_seq, block_kv=pad_seq, block_h=2, block_sub=128
+                block_q=pad_seq, block_kv=pad_seq, block_h=2, block_sub=sub
             )
         return BlockSizes(block_q=1024, block_kv=1024, block_h=2)
     # Non-causal (v5e re-sweep 2026-08-17, after the pre-PV normalize and the
