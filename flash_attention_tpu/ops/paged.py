@@ -14,6 +14,13 @@ Relation to the reference: the reference has no serving layer at all
 cu:169-180) to production cache management. Numerics are the shared contract
 (ops/common.py): fp32 accumulators, exp2-domain online softmax, base-2 LSE
 residuals compatible with ops/merge.py.
+
+Throughput guidance (v5e, b=32, s=8192, bf16, dense cache = 754 GB/s): the
+decode kernel fetches multiple pages per grid step (fanout targets ~2048
+rows), which lifts page_size=512 from 423 to 507 GB/s; the remaining gap is
+per-page DMA granularity, so SERVING CONFIGS SHOULD PREFER page_size >= 1024
+(716 GB/s) — 2048 reaches dense parity (765 GB/s). Small pages trade
+bandwidth for allocator granularity.
 """
 
 from __future__ import annotations
@@ -261,10 +268,10 @@ def _paged_decode_kernel(
     lengths_ref,  # scalar prefetch: [S] int32
     table_ref,  # scalar prefetch: [S * pages_per_slot] int32 (flattened)
     q_ref,  # [1, 1, Gp, D]
-    k_ref,  # [1, 1, page, D]  (one physical page, head-sliced)
-    k_scale_ref,  # [1, 1, 1, page] fp32 or None
-    v_ref,
-    v_scale_ref,
+    k_refs,  # fanout x [1, 1, page, D] (one physical page each, head-sliced)
+    k_scale_refs,  # fanout x [1, 1, 1, page] fp32, or None
+    v_refs,
+    v_scale_refs,
     o_ref,  # [1, 1, Gp, D]
     lse_ref,  # [1, 1, Gp, LANES] or None
     m_scr,
@@ -274,10 +281,19 @@ def _paged_decode_kernel(
     scale2: float,
     page_size: int,
     pages_per_slot: int,
+    num_steps: int,
+    fanout: int,
     window: int | None = None,
     softcap_in: float | None = None,
     softcap_out: float | None = None,
 ):
+    """One grid step processes ``fanout`` logical pages (ip*fanout + j).
+
+    A page is one DMA regardless (pages are non-contiguous in HBM), but the
+    per-grid-step fixed cost (~0.6us on v5e) amortizes over fanout pages —
+    the paged analog of the dense decode kernel's big-block rule
+    (ops/tuning.py select_decode_block_sizes).
+    """
     b = pl.program_id(0)
     ip = pl.program_id(2)
     length = lengths_ref[b]
@@ -288,64 +304,74 @@ def _paged_decode_kernel(
         l_scr[...] = jnp.zeros_like(l_scr)
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
-    if window is None:
-        live = ip * page_size < length
-    else:
-        live = jnp.logical_and(
-            ip * page_size < length, (ip + 1) * page_size > length - window
-        )
-
-    @pl.when(live)
-    def _compute():
-        q = q_ref[0, 0]  # [Gp, D]
-        k = k_ref[0, 0]  # [page, D]
-        if k_scale_ref is not None:
-            # Exponent-folded fp8 widen (ops/common.py): the 2**k rebias
-            # rides the scale row instead of the payload tile.
-            k_up, k_fold = upcast_kv_payload_expfold(k, q.dtype)
+    q = q_ref[0, 0]  # [Gp, D]
+    for j in range(fanout):
+        pj = ip * fanout + j  # logical page index
+        if window is None:
+            live = pj * page_size < length
         else:
-            k_up, k_fold = upcast_kv_payload(k, q.dtype), 1.0
-        s = jax.lax.dot_general(
-            q, k_up, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [Gp, page]
-        if k_scale_ref is not None:
-            # Late-scaled fused dequant (see ops/decode.py): per-token scales
-            # commute with the dot, applied to the small score tile.
-            ks = k_scale_ref[0, 0]
-            s = s * (ks * k_fold if k_fold != 1.0 else ks)
-        if softcap_in is not None:
-            s = jnp.tanh(s * softcap_in) * softcap_out
-        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ip * page_size
-        ok = col < length
-        if window is not None:
-            ok = jnp.logical_and(ok, col >= length - window)
-        s = jnp.where(ok, s, MASK_VALUE)
+            live = jnp.logical_and(
+                pj * page_size < length,
+                (pj + 1) * page_size > length - window,
+            )
+        if pages_per_slot % fanout:
+            live = jnp.logical_and(live, pj < pages_per_slot)
 
-        m_prev = m_scr[...]
-        l_prev = l_scr[...]
-        m_curr = jnp.max(s, axis=-1, keepdims=True) * scale2
-        m_next = jnp.maximum(m_prev, m_curr)
-        alpha = jnp.exp2(m_prev - m_next)
-        p = jnp.exp2(s * scale2 - m_next[:, :1])
-        l_scr[...] = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
-        m_scr[...] = m_next
+        @pl.when(live)
+        def _compute(j=j, pj=pj):
+            k = k_refs[j][0, 0]  # [page, D]
+            k_scale_ref = None if k_scale_refs is None else k_scale_refs[j]
+            v_scale_ref = None if v_scale_refs is None else v_scale_refs[j]
+            if k_scale_ref is not None:
+                # Exponent-folded fp8 widen (ops/common.py): the 2**k rebias
+                # rides the scale row instead of the payload tile.
+                k_up, k_fold = upcast_kv_payload_expfold(k, q.dtype)
+            else:
+                k_up, k_fold = upcast_kv_payload(k, q.dtype), 1.0
+            s = jax.lax.dot_general(
+                q, k_up, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [Gp, page]
+            if k_scale_ref is not None:
+                # Late-scaled fused dequant (see ops/decode.py): per-token
+                # scales commute with the dot, applied to the score tile.
+                ks = k_scale_ref[0, 0]
+                s = s * (ks * k_fold if k_fold != 1.0 else ks)
+            if softcap_in is not None:
+                s = jnp.tanh(s * softcap_in) * softcap_out
+            col = (
+                jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+                + pj * page_size
+            )
+            ok = col < length
+            if window is not None:
+                ok = jnp.logical_and(ok, col >= length - window)
+            s = jnp.where(ok, s, MASK_VALUE)
 
-        v = v_ref[0, 0]
-        if v_scale_ref is not None:
-            v_up, v_fold = upcast_kv_payload_expfold(v, q.dtype)
-            vs = v_scale_ref[0, 0]
-            p = p * (vs * v_fold if v_fold != 1.0 else vs)
-        else:
-            v_up = upcast_kv_payload(v, q.dtype)
-        pv = jax.lax.dot_general(
-            p.astype(q.dtype), v_up,
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        acc_scr[...] = acc_scr[...] * alpha[:, :1] + pv
+            m_prev = m_scr[...]
+            l_prev = l_scr[...]
+            m_curr = jnp.max(s, axis=-1, keepdims=True) * scale2
+            m_next = jnp.maximum(m_prev, m_curr)
+            alpha = jnp.exp2(m_prev - m_next)
+            p = jnp.exp2(s * scale2 - m_next[:, :1])
+            l_scr[...] = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+            m_scr[...] = m_next
 
-    @pl.when(ip == pages_per_slot - 1)
+            v = v_refs[j][0, 0]
+            if v_scale_ref is not None:
+                v_up, v_fold = upcast_kv_payload_expfold(v, q.dtype)
+                vs = v_scale_ref[0, 0]
+                p = p * (vs * v_fold if v_fold != 1.0 else vs)
+            else:
+                v_up = upcast_kv_payload(v, q.dtype)
+            pv = jax.lax.dot_general(
+                p.astype(q.dtype), v_up,
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            acc_scr[...] = acc_scr[...] * alpha[:, :1] + pv
+
+    @pl.when(ip == num_steps - 1)
     def _epilogue():
         l = l_scr[...][:, :1]
         inv = jnp.where(l == 0.0, 0.0, 1.0 / l)
@@ -422,25 +448,47 @@ def paged_decode_attention(
     table_flat = cache.page_table.reshape(-1).astype(jnp.int32)
     lengths = cache.lengths.astype(jnp.int32)
 
+    # Multi-page fanout: each grid step fetches `fanout` logical pages
+    # through separate index-mapped inputs (pages are non-contiguous, so one
+    # DMA each regardless) — amortizing the ~0.6us/step grid floor that made
+    # small pages read at half bandwidth. Target ~2048 rows per step.
+    fanout = max(1, min(pages_per_slot, 2048 // page_size))
+    num_steps = -(-pages_per_slot // fanout)
+
     def last_live(b, lengths_ref):
         return jnp.maximum(pl.cdiv(lengths_ref[b], page_size) - 1, 0)
 
-    def kv_map(b, h, ip, lengths_ref, table_ref):
-        ip_c = jnp.minimum(ip, last_live(b, lengths_ref))
-        if sliding_window is not None:
-            lo = jnp.maximum(lengths_ref[b] - sliding_window, 0) // page_size
-            ip_c = jnp.maximum(ip_c, lo)
-        return (h, table_ref[b * pages_per_slot + ip_c], 0, 0)
+    def make_kv_map(j):
+        def kv_map(b, h, ip, lengths_ref, table_ref):
+            pj = jnp.minimum(ip * fanout + j, pages_per_slot - 1)
+            ip_c = jnp.minimum(pj, last_live(b, lengths_ref))
+            if sliding_window is not None:
+                lo = jnp.maximum(lengths_ref[b] - sliding_window, 0) // page_size
+                ip_c = jnp.maximum(ip_c, lo)
+            return (h, table_ref[b * pages_per_slot + ip_c], 0, 0)
 
-    def sc_map(b, h, ip, lengths_ref, table_ref):
-        hh, phys, _, _ = kv_map(b, h, ip, lengths_ref, table_ref)
-        return (hh, phys, 0, 0)
+        return kv_map
+
+    def make_sc_map(j):
+        kv_map = make_kv_map(j)
+
+        def sc_map(b, h, ip, lengths_ref, table_ref):
+            hh, phys, _, _ = kv_map(b, h, ip, lengths_ref, table_ref)
+            return (hh, phys, 0, 0)
+
+        return sc_map
 
     q_spec = pl.BlockSpec(
         (1, 1, group_pad, d_pad), lambda b, h, ip, L, T: (b, h, 0, 0)
     )
-    kv_spec = pl.BlockSpec((1, 1, page_size, d_pad), kv_map)
-    sc_spec = pl.BlockSpec((1, 1, 1, page_size), sc_map)
+    kv_specs = [
+        pl.BlockSpec((1, 1, page_size, d_pad), make_kv_map(j))
+        for j in range(fanout)
+    ]
+    sc_specs = [
+        pl.BlockSpec((1, 1, 1, page_size), make_sc_map(j))
+        for j in range(fanout)
+    ]
     out_shapes = [
         jax.ShapeDtypeStruct((num_slots, num_kv_heads, group_pad, d_pad), q.dtype)
     ]
@@ -462,40 +510,43 @@ def paged_decode_attention(
     def wrapped(lengths_ref, table_ref, *refs):
         idx = 0
         q_r = refs[idx]; idx += 1
-        k_r = refs[idx]; idx += 1
-        k_s = refs[idx] if quant else None
-        idx += int(quant)
-        v_r = refs[idx]; idx += 1
-        v_s = refs[idx] if quant else None
-        idx += int(quant)
+        k_rs = refs[idx : idx + fanout]; idx += fanout
+        k_ss = refs[idx : idx + fanout] if quant else None
+        idx += fanout if quant else 0
+        v_rs = refs[idx : idx + fanout]; idx += fanout
+        v_ss = refs[idx : idx + fanout] if quant else None
+        idx += fanout if quant else 0
         o_r = refs[idx]; idx += 1
         lse_r = refs[idx] if save_residuals else None
         idx += int(save_residuals)
         scr = refs[idx:]
         _paged_decode_kernel(
-            lengths_ref, table_ref, q_r, k_r, k_s, v_r, v_s, o_r, lse_r, *scr,
+            lengths_ref, table_ref, q_r, k_rs, k_ss, v_rs, v_ss, o_r, lse_r,
+            *scr,
             scale2=sm_scale * LOG2E,
             page_size=page_size,
             pages_per_slot=pages_per_slot,
+            num_steps=num_steps,
+            fanout=fanout,
             window=sliding_window,
             softcap_in=None if logit_softcap is None else sm_scale / logit_softcap,
             softcap_out=None if logit_softcap is None else logit_softcap / sm_scale,
         )
 
-    in_specs = [q_spec, kv_spec]
-    inputs = [qg, k_hp]
+    in_specs = [q_spec] + list(kv_specs)
+    inputs = [qg] + [k_hp] * fanout
     if quant:
-        in_specs.append(sc_spec)
-        inputs.append(k_sc_hp)
-    in_specs.append(kv_spec)
-    inputs.append(v_hp)
+        in_specs += list(sc_specs)
+        inputs += [k_sc_hp] * fanout
+    in_specs += list(kv_specs)
+    inputs += [v_hp] * fanout
     if quant:
-        in_specs.append(sc_spec)
-        inputs.append(v_sc_hp)
+        in_specs += list(sc_specs)
+        inputs += [v_sc_hp] * fanout
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(num_slots, num_kv_heads, pages_per_slot),
+        grid=(num_slots, num_kv_heads, num_steps),
         in_specs=in_specs,
         out_specs=out_specs,
         scratch_shapes=[
