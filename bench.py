@@ -179,6 +179,53 @@ def bench_gqa(on_tpu):
     return rows
 
 
+def bench_training(on_tpu):
+    """Training rows: forward + backward through the custom VJP.
+
+    Effective TFLOPS uses the standard flash-attention accounting of
+    1x forward + 2.5x backward = 3.5x the forward FLOPs (dq recomputes the
+    score matmul and runs two more; dkv likewise), over the measured
+    value_and_grad time.
+    """
+    rows = []
+    if not on_tpu:
+        return rows
+    peak = detect_mxu_peak_tflops()
+    for seq, causal in ((2048, True), (8192, False), (8192, True)):
+        q, k, v = make_qkv(5, BATCH, HEADS, seq, HEAD_DIM)
+
+        def fwd_bwd(q, k, v):
+            def f(q, k, v):
+                return jnp.sum(
+                    flash_attention(q, k, v, causal=causal).astype(jnp.float32)
+                )
+
+            dq, dk, dv = jax.grad(f, argnums=(0, 1, 2))(q, k, v)
+            # Tie dk/dv into the timed chain's probe element: scan_timer
+            # consumes only the first output leaf's first element, and the
+            # dkv pallas call would otherwise be dead-code-eliminated
+            # (see scan_timer's trap notes).
+            probe = (
+                dk[0, 0, 0, 0].astype(jnp.float32)
+                + dv[0, 0, 0, 0].astype(jnp.float32)
+            ) * 0.0
+            return dq.at[0, 0, 0, 0].add(probe.astype(dq.dtype))
+
+        fl = attention_flops(BATCH, HEADS, seq, HEAD_DIM, causal=causal)
+        eff_fl = 3.5 * fl
+        t = scan_timer(fwd_bwd, (q, k, v), est_s=eff_fl / (0.25 * peak * 1e12))
+        tf = eff_fl / t / 1e12
+        rows.append(
+            dict(kind="train", seq=seq, causal=causal, time_us=t * 1e6,
+                 eff_tflops=tf, roofline_frac=tf / peak)
+        )
+        log(
+            f"train seq={seq:6d} causal={int(causal)}: {t*1e6:9.1f}us "
+            f"{tf:7.2f} eff-TFLOPS ({tf/peak*100:4.1f}% roofline)"
+        )
+    return rows
+
+
 def bench_decode(on_tpu):
     """Decode tokens/s/chip: seq=8192 batch=32 (BASELINE.json config)."""
     rows = []
@@ -228,6 +275,7 @@ def main():
     smoke_rows = smoke_correctness(on_tpu)
     fwd_rows = bench_forward(on_tpu)
     gqa_rows = bench_gqa(on_tpu)
+    train_rows = bench_training(on_tpu)
     dec_rows = bench_decode(on_tpu)
 
     ref_rows = [r for r in fwd_rows if r["reference_tflops"]]
@@ -247,6 +295,7 @@ def main():
         smoke=smoke_rows,
         forward=fwd_rows,
         gqa_forward=gqa_rows,
+        train=train_rows,
         decode=dec_rows,
         geomean_tflops=geo,
         vs_baseline=vs,

@@ -71,10 +71,74 @@ def _bwd_dq_kernel(
     softcap_in: float | None = None,
     cap_out2: float | None = None,
     seg_refs=None,
+    subtile: int = 0,
 ):
     iq = pl.program_id(1)
     ikv = pl.program_id(2)
     diag_offset = kv_len - q_len
+
+    if subtile:
+        # Causal single-superblock sub-tiling (the backward twin of the
+        # forward's block_sub path): the whole (q, kv) problem is one block
+        # pair; unroll over `subtile`-row Q sub-blocks, each doing its three
+        # MMAs (scores, dP, dS·K) over exactly its live KV prefix. No
+        # accumulator scratch at all — each sub-block's dq rows are complete
+        # after one pass. Masked-region MXU waste drops from the tri grid's
+        # ~25-50% to ~1/(n+1).
+        w = subtile
+        q = q_ref[0]
+        k = k_ref[0]
+        v = v_ref[0]
+        do = do_ref[0]
+        kv_block = k.shape[0]
+        for i in range(block_q // w):
+            qi = jax.lax.slice_in_dim(q, i * w, (i + 1) * w, axis=0)
+            doi = jax.lax.slice_in_dim(do, i * w, (i + 1) * w, axis=0)
+            lse_i = lse_ref[0, i * w : (i + 1) * w]
+            delta_i = delta_ref[0, i * w : (i + 1) * w]
+            width = min(kv_block, -(-(diag_offset + (i + 1) * w) // 128) * 128)
+            ki = jax.lax.slice_in_dim(k, 0, width, axis=0)
+            vi = jax.lax.slice_in_dim(v, 0, width, axis=0)
+            raw = jax.lax.dot_general(
+                qi, ki, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [w, width]
+            if softcap_in is not None:
+                t = jnp.tanh(raw * softcap_in)
+                s2 = t * cap_out2
+            else:
+                s2 = raw * scale2
+            col = jax.lax.broadcasted_iota(jnp.int32, s2.shape, 1)
+            row = (
+                jax.lax.broadcasted_iota(jnp.int32, s2.shape, 0)
+                + i * w
+                + diag_offset
+            )
+            ok = col <= row
+            if kv_pad:
+                ok = jnp.logical_and(ok, col < kv_len)
+            if seg_refs is not None:
+                sq_ref, skv_ref = seg_refs
+                sq = sq_ref[0, 0, i * w : (i + 1) * w]
+                skv = skv_ref[0, 0, :width]
+                ok = jnp.logical_and(ok, sq[:, None] == skv[None, :])
+            s2 = jnp.where(ok, s2, MASK_VALUE)
+            p = jnp.exp2(s2 - lse_i)
+            dp = jax.lax.dot_general(
+                doi, vi, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            ds = p * (dp - delta_i)
+            if softcap_in is not None:
+                ds = ds * (1.0 - t * t)
+            dq_i = jax.lax.dot_general(
+                ds.astype(k.dtype), ki, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dq_ref[0, i * w : (i + 1) * w, :] = (dq_i * scale).astype(
+                dq_ref.dtype
+            )
+        return
 
     @pl.when(ikv == 0)
     def _init():
@@ -171,6 +235,7 @@ def _bwd_dkv_kernel(
     softcap_in: float | None = None,
     cap_out2: float | None = None,
     seg_refs=None,
+    subtile: int = 0,
 ):
     ikv = pl.program_id(1)
     t = pl.program_id(2)
@@ -181,6 +246,81 @@ def _bwd_dkv_kernel(
     def _init():
         dk_scr[...] = jnp.zeros_like(dk_scr)
         dv_scr[...] = jnp.zeros_like(dv_scr)
+
+    if subtile:
+        # Causal single-superblock sub-tiling, transposed: unroll over
+        # `subtile`-row KV sub-blocks, each doing its three MMAs over
+        # exactly its live Q SUFFIX (rows at/after the sub-block's diagonal).
+        # The grid's step axis walks the GQA group; dk/dv accumulate in the
+        # full-size scratch as before.
+        w = subtile
+        q = q_ref[0]
+        k = k_ref[0]
+        v = v_ref[0]
+        do = do_ref[0]
+        q_block = q.shape[0]
+        for j in range(block_kv // w):
+            # First live q row for kv rows [jw, (j+1)w): qpos >= jw, i.e.
+            # col >= jw - diag_offset; floor to the sublane boundary.
+            start = max(0, ((j * w - diag_offset) // 128) * 128)
+            L = q_block - start
+            ksub = jax.lax.slice_in_dim(k, j * w, (j + 1) * w, axis=0)
+            vsub = jax.lax.slice_in_dim(v, j * w, (j + 1) * w, axis=0)
+            qs = jax.lax.slice_in_dim(q, start, q_block, axis=0)
+            dos = jax.lax.slice_in_dim(do, start, q_block, axis=0)
+            lse_s = lse_ref[0, :, start:q_block]  # [1, L] lane-oriented
+            delta_s = delta_ref[0, :, start:q_block]
+            rawt = jax.lax.dot_general(
+                ksub, qs, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [w, L]
+            if softcap_in is not None:
+                tt = jnp.tanh(rawt * softcap_in)
+                s2t = tt * cap_out2
+            else:
+                s2t = rawt * scale2
+            kvpos = (
+                jax.lax.broadcasted_iota(jnp.int32, s2t.shape, 0) + j * w
+            )
+            qpos = (
+                jax.lax.broadcasted_iota(jnp.int32, s2t.shape, 1)
+                + start
+                + diag_offset
+            )
+            ok = kvpos <= qpos
+            if kv_pad:
+                ok = jnp.logical_and(ok, kvpos < kv_len)
+            if seg_refs is not None:
+                sq_ref, skv_ref = seg_refs
+                skv = skv_ref[0, 0, j * w : (j + 1) * w]
+                sq = sq_ref[0, 0, start:q_block]
+                ok = jnp.logical_and(ok, skv[:, None] == sq[None, :])
+            s2t = jnp.where(ok, s2t, MASK_VALUE)
+            pt = jnp.exp2(s2t - lse_s)
+            dv_j = jax.lax.dot_general(
+                pt.astype(do.dtype), dos, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dpt = jax.lax.dot_general(
+                vsub, dos, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [w, L]
+            dst = pt * (dpt - delta_s)
+            if softcap_in is not None:
+                dst = dst * (1.0 - tt * tt)
+            dk_j = jax.lax.dot_general(
+                dst.astype(q.dtype), qs, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dk_scr[j * w : (j + 1) * w, :] += dk_j
+            dv_scr[j * w : (j + 1) * w, :] += dv_j
+
+        @pl.when(t == num_steps - 1)
+        def _sub_epilogue():
+            dk_ref[0] = (dk_scr[...] * scale).astype(dk_ref.dtype)
+            dv_ref[0] = dv_scr[...].astype(dv_ref.dtype)
+
+        return
 
     if causal:
         # The Q block overlaps the live (col <= row) region iff its LAST row
@@ -356,6 +496,18 @@ def flash_attention_bwd(
     softcap_in = None if softcap is None else sm_scale / softcap
     cap_out2 = None if softcap is None else softcap * LOG2E
 
+    # Causal single-superblock sub-tiling (mirrors the forward's block_sub):
+    # applies when the whole problem is one (q, kv) block pair.
+    subtile = 0
+    if (
+        causal and window is None
+        and block_sizes.block_sub and num_q_blocks == 1
+        and num_kv_blocks == 1 and block_q > block_sizes.block_sub
+        and block_q % block_sizes.block_sub == 0
+        and block_kv % block_sizes.block_sub == 0
+    ):
+        subtile = block_sizes.block_sub
+
     # ---------------- dq ----------------
     def kv_block_index(iq, ikv):
         if not causal:
@@ -384,6 +536,7 @@ def flash_attention_bwd(
         window=window,
         softcap_in=softcap_in,
         cap_out2=cap_out2,
+        subtile=subtile,
     )
     dq_in_specs = [
         pl.BlockSpec((1, block_q, d_pad), lambda bh, iq, ikv: (bh, iq, 0)),
@@ -487,6 +640,7 @@ def flash_attention_bwd(
         window=window,
         softcap_in=softcap_in,
         cap_out2=cap_out2,
+        subtile=subtile,
     )
     dkv_in_specs = [q_spec, kv_spec, kv_spec, q_spec, stat_spec, stat_spec]
     dkv_inputs = [qq, kk, vv, dodo, lse_row, delta_row]

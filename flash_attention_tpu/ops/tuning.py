@@ -196,10 +196,17 @@ def select_bwd_block_sizes(seq: int, *, causal: bool, head_dim: int = 128) -> Bl
     The backward holds more live fp32 tiles than the forward (score tile,
     dP tile, dS tile, two accumulators), so blocks are capped well below the
     forward's. v5e sweep (fwd+bwd eff-TF at b=1, h=32, d=128): (256,1024)
-    wins at seq<=2048 (222.8 nc / 122.1 causal), (512,512) at longer
-    (222.3 nc / 172.4 causal at 8K).
+    wins at seq<=2048 non-causal (222.8 eff-TF), (512,512) at longer
+    (222.3 nc / 172.4 causal at 8K). Causal <= 2048 uses the
+    single-superblock sub-tiled form (block_sub, the forward's trick
+    applied to both bwd kernels: live-prefix MMAs for dq, live-suffix for
+    dkv).
     """
     pad_seq = _ceil_to(seq, 128)
+    if causal and 128 < pad_seq <= 2048 and pad_seq % 128 == 0:
+        return BlockSizes(
+            block_q=pad_seq, block_kv=pad_seq, block_h=1, block_sub=128
+        )
     if pad_seq <= 2048:
         return BlockSizes(
             block_q=min(256, pad_seq), block_kv=min(1024, pad_seq)
