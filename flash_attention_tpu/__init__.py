@@ -28,8 +28,13 @@ from flash_attention_tpu.ops.tuning import (
     select_bwd_block_sizes,
 )
 from flash_attention_tpu.utils.checkpoint import load_kv_cache, save_kv_cache
+from flash_attention_tpu.utils.distributed import (
+    StepWatchdog,
+    fail_fast,
+    initialize_distributed,
+)
 
-__version__ = "0.3.0"
+__version__ = "0.4.0"
 
 __all__ = [
     "reference_attention",
@@ -45,4 +50,7 @@ __all__ = [
     "select_bwd_block_sizes",
     "save_kv_cache",
     "load_kv_cache",
+    "initialize_distributed",
+    "fail_fast",
+    "StepWatchdog",
 ]
