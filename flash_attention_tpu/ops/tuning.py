@@ -207,6 +207,18 @@ def select_bwd_block_sizes(seq: int, *, causal: bool, head_dim: int = 128) -> Bl
         return BlockSizes(
             block_q=pad_seq, block_kv=pad_seq, block_h=1, block_sub=128
         )
+    if not causal:
+        # Single-KV-block forms win the non-causal backward everywhere the
+        # KV block fits (v5e fwd+bwd eff-TF, b=1/h=32: 512 (512,512) 101 vs
+        # 85, 1024 (1024,1024) 120 vs 106, 2048 (512,2048) 128 vs 113,
+        # 4096 (256,4096) 134 vs 122): the whole KV range per grid step
+        # keeps K/V resident and streams Q/dO.
+        if pad_seq <= 1024:
+            return BlockSizes(block_q=pad_seq, block_kv=pad_seq)
+        if pad_seq <= 2048:
+            return BlockSizes(block_q=512, block_kv=pad_seq)
+        if pad_seq <= 4096:
+            return BlockSizes(block_q=256, block_kv=pad_seq)
     if pad_seq <= 2048:
         return BlockSizes(
             block_q=min(256, pad_seq), block_kv=min(1024, pad_seq)
