@@ -164,7 +164,7 @@ def test_page_allocator():
     a.close()
 
 
-@pytest.mark.parametrize("mode", ["int8", "fp8_e4m3"])
+@pytest.mark.parametrize("mode", ["int8", "fp8_e4m3", "fp8_e5m2"])
 def test_paged_quantized_decode_matches_dense(mode):
     """Quantized paged decode == quantized dense decode on identical content."""
     import jax.numpy as jnp
