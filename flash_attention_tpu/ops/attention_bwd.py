@@ -5,16 +5,22 @@ flash_attention.cu); a complete attention engine needs training gradients, so
 this module supplies the standard flash-attention-2 backward recurrence as two
 Pallas kernels, re-derived for the TPU memory model:
 
-  * ``dq`` kernel: grid (batch·q_heads, q_blocks, kv_blocks) — mirrors the
+  * ``dq`` kernel: grid (head_blocks, q_blocks, kv_blocks) — mirrors the
     forward's layout (Q block resident in VMEM across the KV axis) and reuses
     the forward's causal KV-block clamping so fully-masked blocks issue no
     DMA and no FLOPs.
-  * ``dkv`` kernel: grid (batch·kv_heads, kv_blocks, group·q_blocks) — the
+  * ``dkv`` kernel: grid (kv_head_blocks, kv_blocks, group·q_blocks) — the
     K/V blocks stay resident while Q/dO stream; the innermost axis also walks
     the GQA group so dK/dV accumulate the head-group sum in VMEM instead of
     materializing per-q-head partials in HBM. Score tiles are computed
     *transposed* ([block_kv, block_q]) so the per-row softmax statistics
     (LSE, delta) broadcast along lanes with no relayout.
+
+Both kernels head-batch (``block_h``, MHA only): blocks carry a leading
+head dim and every matmul runs batched over it, halving/quartering the
+per-grid-step fixed costs exactly as the forward's block_h does
+(ops/tuning.py). GQA and packed-sequence (segment) paths run unbatched —
+their per-head index maps don't commute with head blocking.
 
 Recurrence (S = scale·QKᵀ, P = softmax(S), O = PV):
     delta = rowsum(dO ∘ O)            (precomputed in-graph, fp32)
@@ -26,6 +32,14 @@ Recurrence (S = scale·QKᵀ, P = softmax(S), O = PV):
 with P recomputed from the forward's base-2 LSE residual:
     P = exp2(S·scale·log2e − lse2)
 which matches the forward's exp2-domain softmax bit-for-bit (ops/common.py).
+
+Causal masked-work elimination mirrors the forward's three tiers:
+  * whole-superblock sub-tiling (``block_sub``, one (q, kv) block pair):
+    live-prefix MMAs for dq, live-suffix for dkv, no accumulator scratch;
+  * multi-block diagonal sub-tiling (``block_sub`` with block_q == block_kv
+    < seq): the diagonal block runs sub-MMAs over exactly its live range,
+    interior blocks run completely mask-free;
+  * clamped index maps so fully-masked blocks issue no DMA.
 
 Sliding-window masks narrow the live KV (dq) / Q (dkv) block ranges exactly as
 in the forward (clamped index maps issue no DMA for dead blocks). Logit
@@ -49,14 +63,14 @@ from flash_attention_tpu.ops.tuning import BlockSizes
 
 
 def _bwd_dq_kernel(
-    q_ref,      # [1, block_q, d]
-    k_ref,      # [1, block_kv, d]
-    v_ref,      # [1, block_kv, d]
-    do_ref,     # [1, block_q, d]
-    lse_ref,    # [1, block_q, 1]
-    delta_ref,  # [1, block_q, 1]
-    dq_ref,     # [1, block_q, d]
-    acc_scr,    # [block_q, d] fp32
+    q_ref,      # [hb, block_q, d]
+    k_ref,      # [hb, block_kv, d]
+    v_ref,      # [hb, block_kv, d]
+    do_ref,     # [hb, block_q, d]
+    lse_ref,    # [hb, block_q, 1]
+    delta_ref,  # [hb, block_q, 1]
+    dq_ref,     # [hb, block_q, d]
+    acc_scr,    # [hb, block_q, d] fp32 (None for the superblock subtile)
     *,
     causal: bool,
     scale: float,
@@ -72,6 +86,7 @@ def _bwd_dq_kernel(
     cap_out2: float | None = None,
     seg_refs=None,
     subtile: int = 0,
+    diag_subtile: int = 0,
 ):
     iq = pl.program_id(1)
     ikv = pl.program_id(2)
@@ -86,31 +101,32 @@ def _bwd_dq_kernel(
         # after one pass. Masked-region MXU waste drops from the tri grid's
         # ~25-50% to ~1/(n+1).
         w = subtile
-        q = q_ref[0]
-        k = k_ref[0]
-        v = v_ref[0]
-        do = do_ref[0]
-        kv_block = k.shape[0]
+        q = q_ref[...]
+        k = k_ref[...]
+        v = v_ref[...]
+        do = do_ref[...]
+        kv_block = k.shape[1]
         for i in range(block_q // w):
-            qi = jax.lax.slice_in_dim(q, i * w, (i + 1) * w, axis=0)
-            doi = jax.lax.slice_in_dim(do, i * w, (i + 1) * w, axis=0)
-            lse_i = lse_ref[0, i * w : (i + 1) * w]
-            delta_i = delta_ref[0, i * w : (i + 1) * w]
+            qi = jax.lax.slice_in_dim(q, i * w, (i + 1) * w, axis=1)
+            doi = jax.lax.slice_in_dim(do, i * w, (i + 1) * w, axis=1)
+            lse_i = lse_ref[:, i * w : (i + 1) * w]
+            delta_i = delta_ref[:, i * w : (i + 1) * w]
             width = min(kv_block, -(-(diag_offset + (i + 1) * w) // 128) * 128)
-            ki = jax.lax.slice_in_dim(k, 0, width, axis=0)
-            vi = jax.lax.slice_in_dim(v, 0, width, axis=0)
+            ki = jax.lax.slice_in_dim(k, 0, width, axis=1)
+            vi = jax.lax.slice_in_dim(v, 0, width, axis=1)
             raw = jax.lax.dot_general(
-                qi, ki, (((1,), (1,)), ((), ())),
+                qi, ki, (((2,), (2,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
-            )  # [w, width]
+            )  # [hb, w, width]
             if softcap_in is not None:
                 t = jnp.tanh(raw * softcap_in)
                 s2 = t * cap_out2
             else:
                 s2 = raw * scale2
-            col = jax.lax.broadcasted_iota(jnp.int32, s2.shape, 1)
+            shape2d = s2.shape[1:]
+            col = jax.lax.broadcasted_iota(jnp.int32, shape2d, 1)
             row = (
-                jax.lax.broadcasted_iota(jnp.int32, s2.shape, 0)
+                jax.lax.broadcasted_iota(jnp.int32, shape2d, 0)
                 + i * w
                 + diag_offset
             )
@@ -122,20 +138,20 @@ def _bwd_dq_kernel(
                 sq = sq_ref[0, 0, i * w : (i + 1) * w]
                 skv = skv_ref[0, 0, :width]
                 ok = jnp.logical_and(ok, sq[:, None] == skv[None, :])
-            s2 = jnp.where(ok, s2, MASK_VALUE)
+            s2 = jnp.where(ok[None], s2, MASK_VALUE)
             p = jnp.exp2(s2 - lse_i)
             dp = jax.lax.dot_general(
-                doi, vi, (((1,), (1,)), ((), ())),
+                doi, vi, (((2,), (2,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
             )
             ds = p * (dp - delta_i)
             if softcap_in is not None:
                 ds = ds * (1.0 - t * t)
             dq_i = jax.lax.dot_general(
-                ds.astype(k.dtype), ki, (((1,), (0,)), ((), ())),
+                ds.astype(k.dtype), ki, (((2,), (1,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
             )
-            dq_ref[0, i * w : (i + 1) * w, :] = (dq_i * scale).astype(
+            dq_ref[:, i * w : (i + 1) * w, :] = (dq_i * scale).astype(
                 dq_ref.dtype
             )
         return
@@ -156,25 +172,29 @@ def _bwd_dq_kernel(
     else:
         should_run = True
 
-    @pl.when(should_run)
-    def _compute():
-        q = q_ref[0]
-        k = k_ref[0]
+    def _dq_body(masked: bool):
+        q = q_ref[...]
+        k = k_ref[...]
         raw = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )  # [block_q, block_kv], raw scores
+            q, k, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # [hb, block_q, block_kv], raw scores
         if softcap_in is not None:
-            t = jnp.tanh(raw * softcap_in)
-            s2 = t * cap_out2  # exp2-domain capped logits
+            t_c = jnp.tanh(raw * softcap_in)
+            s2 = t_c * cap_out2  # exp2-domain capped logits
         else:
             s2 = raw * scale2
 
-        if causal or kv_pad or seg_refs is not None:
+        if masked and (causal or kv_pad or seg_refs is not None):
             ok = None
-            col = jax.lax.broadcasted_iota(jnp.int32, s2.shape, 1) + ikv * block_kv
+            shape2d = s2.shape[1:]
+            col = (
+                jax.lax.broadcasted_iota(jnp.int32, shape2d, 1)
+                + ikv * block_kv
+            )
             if causal:
                 row = (
-                    jax.lax.broadcasted_iota(jnp.int32, s2.shape, 0)
+                    jax.lax.broadcasted_iota(jnp.int32, shape2d, 0)
                     + iq * block_q
                     + diag_offset
                 )
@@ -188,38 +208,104 @@ def _bwd_dq_kernel(
                 sq_ref, skv_ref = seg_refs
                 same = sq_ref[0, 0][:, None] == skv_ref[0, 0][None, :]
                 ok = same if ok is None else jnp.logical_and(ok, same)
-            s2 = jnp.where(ok, s2, MASK_VALUE)
+            s2 = jnp.where(ok[None], s2, MASK_VALUE)
 
-        p = jnp.exp2(s2 - lse_ref[0])  # [block_q, block_kv]; masked -> 0
-        do = do_ref[0]
-        v = v_ref[0]
+        p = jnp.exp2(s2 - lse_ref[...])  # [hb, block_q, block_kv]; masked -> 0
+        do = do_ref[...]
+        v = v_ref[...]
         dp = jax.lax.dot_general(
-            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )  # [block_q, block_kv]
-        ds = p * (dp - delta_ref[0])
+            do, v, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # [hb, block_q, block_kv]
+        ds = p * (dp - delta_ref[...])
         if softcap_in is not None:
-            ds = ds * (1.0 - t * t)  # tanh' folded into dS (masked rows: p=0)
+            ds = ds * (1.0 - t_c * t_c)  # tanh' folded into dS (masked: p=0)
         acc_scr[...] += jax.lax.dot_general(
-            ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+            ds.astype(k.dtype), k, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )
 
+    if diag_subtile:
+        # Multi-block causal diag sub-tiling (the forward's diag_subtile
+        # twin): the diagonal KV block runs live-prefix sub-MMAs accumulated
+        # into acc_scr; strictly-interior blocks are provably fully live
+        # (enable conditions in flash_attention_bwd) and skip masking;
+        # above-diagonal blocks do nothing.
+        last_live = ((iq + 1) * block_q - 1 + diag_offset) // block_kv
+
+        @pl.when(ikv < last_live)
+        def _interior():
+            _dq_body(masked=False)
+
+        @pl.when(ikv == last_live)
+        def _diag():
+            w = diag_subtile
+            q = q_ref[...]
+            k = k_ref[...]
+            v = v_ref[...]
+            do = do_ref[...]
+            kv_block = block_kv
+            # Right-aligned additive causal mask: enable conditions put the
+            # diagonal at the block's local origin, so sub-block i's live
+            # prefix is exactly (i+1)*w columns and its mask is the
+            # [:, kv_block-width:] slice of ONE precomputed tile.
+            u = jax.lax.broadcasted_iota(jnp.int32, (w, kv_block), 1)
+            r = jax.lax.broadcasted_iota(jnp.int32, (w, kv_block), 0)
+            addmask = jnp.where(
+                u <= r + kv_block - w, 0.0, MASK_VALUE
+            ).astype(jnp.float32)
+            for i in range(block_q // w):
+                width = (i + 1) * w
+                rows = slice(i * w, (i + 1) * w)
+                qi = jax.lax.slice_in_dim(q, i * w, (i + 1) * w, axis=1)
+                doi = jax.lax.slice_in_dim(do, i * w, (i + 1) * w, axis=1)
+                ki = jax.lax.slice_in_dim(k, 0, width, axis=1)
+                vi = jax.lax.slice_in_dim(v, 0, width, axis=1)
+                raw = jax.lax.dot_general(
+                    qi, ki, (((2,), (2,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                )  # [hb, w, width]
+                if softcap_in is not None:
+                    t_c = jnp.tanh(raw * softcap_in)
+                    s2 = t_c * cap_out2
+                else:
+                    s2 = raw * scale2
+                s2 = s2 + jax.lax.slice_in_dim(
+                    addmask, kv_block - width, kv_block, axis=1
+                )[None]
+                p = jnp.exp2(s2 - lse_ref[:, rows])
+                dp = jax.lax.dot_general(
+                    doi, vi, (((2,), (2,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                )
+                ds = p * (dp - delta_ref[:, rows])
+                if softcap_in is not None:
+                    ds = ds * (1.0 - t_c * t_c)
+                acc_scr[:, rows, :] += jax.lax.dot_general(
+                    ds.astype(k.dtype), ki, (((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                )
+    else:
+        @pl.when(should_run)
+        def _compute():
+            _dq_body(masked=True)
+
     @pl.when(ikv == num_kv_blocks - 1)
     def _epilogue():
-        dq_ref[0] = (acc_scr[...] * scale).astype(dq_ref.dtype)
+        dq_ref[...] = (acc_scr[...] * scale).astype(dq_ref.dtype)
 
 
 def _bwd_dkv_kernel(
-    q_ref,      # [1, block_q, d]
-    k_ref,      # [1, block_kv, d]
-    v_ref,      # [1, block_kv, d]
-    do_ref,     # [1, block_q, d]
-    lse_ref,    # [1, 1, block_q]  (lane-oriented)
-    delta_ref,  # [1, 1, block_q]
-    dk_ref,     # [1, block_kv, d]
-    dv_ref,     # [1, block_kv, d]
-    dk_scr,     # [block_kv, d] fp32
-    dv_scr,     # [block_kv, d] fp32
+    q_ref,      # [hb_q, block_q, d]
+    k_ref,      # [hb, block_kv, d]
+    v_ref,      # [hb, block_kv, d]
+    do_ref,     # [hb_q, block_q, d]
+    lse_ref,    # [hb_q, 1, block_q]  (lane-oriented)
+    delta_ref,  # [hb_q, 1, block_q]
+    dk_ref,     # [hb, block_kv, d]
+    dv_ref,     # [hb, block_kv, d]
+    dk_scr,     # [hb, block_kv, d] fp32
+    dv_scr,     # [hb, block_kv, d] fp32
     *,
     causal: bool,
     scale: float,
@@ -236,6 +322,7 @@ def _bwd_dkv_kernel(
     cap_out2: float | None = None,
     seg_refs=None,
     subtile: int = 0,
+    diag_subtile: int = 0,
 ):
     ikv = pl.program_id(1)
     t = pl.program_id(2)
@@ -254,36 +341,35 @@ def _bwd_dkv_kernel(
         # The grid's step axis walks the GQA group; dk/dv accumulate in the
         # full-size scratch as before.
         w = subtile
-        q = q_ref[0]
-        k = k_ref[0]
-        v = v_ref[0]
-        do = do_ref[0]
-        q_block = q.shape[0]
+        q = q_ref[...]
+        k = k_ref[...]
+        v = v_ref[...]
+        do = do_ref[...]
+        q_block = q.shape[1]
         for j in range(block_kv // w):
             # First live q row for kv rows [jw, (j+1)w): qpos >= jw, i.e.
             # col >= jw - diag_offset; floor to the sublane boundary.
             start = max(0, ((j * w - diag_offset) // 128) * 128)
             L = q_block - start
-            ksub = jax.lax.slice_in_dim(k, j * w, (j + 1) * w, axis=0)
-            vsub = jax.lax.slice_in_dim(v, j * w, (j + 1) * w, axis=0)
-            qs = jax.lax.slice_in_dim(q, start, q_block, axis=0)
-            dos = jax.lax.slice_in_dim(do, start, q_block, axis=0)
-            lse_s = lse_ref[0, :, start:q_block]  # [1, L] lane-oriented
-            delta_s = delta_ref[0, :, start:q_block]
+            ksub = jax.lax.slice_in_dim(k, j * w, (j + 1) * w, axis=1)
+            vsub = jax.lax.slice_in_dim(v, j * w, (j + 1) * w, axis=1)
+            qs = jax.lax.slice_in_dim(q, start, q_block, axis=1)
+            dos = jax.lax.slice_in_dim(do, start, q_block, axis=1)
+            lse_s = lse_ref[:, :, start:q_block]  # [hb_q, 1, L] lane-oriented
+            delta_s = delta_ref[:, :, start:q_block]
             rawt = jax.lax.dot_general(
-                ksub, qs, (((1,), (1,)), ((), ())),
+                ksub, qs, (((2,), (2,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
-            )  # [w, L]
+            )  # [hb, w, L]
             if softcap_in is not None:
                 tt = jnp.tanh(rawt * softcap_in)
                 s2t = tt * cap_out2
             else:
                 s2t = rawt * scale2
-            kvpos = (
-                jax.lax.broadcasted_iota(jnp.int32, s2t.shape, 0) + j * w
-            )
+            shape2d = s2t.shape[1:]
+            kvpos = jax.lax.broadcasted_iota(jnp.int32, shape2d, 0) + j * w
             qpos = (
-                jax.lax.broadcasted_iota(jnp.int32, s2t.shape, 1)
+                jax.lax.broadcasted_iota(jnp.int32, shape2d, 1)
                 + start
                 + diag_offset
             )
@@ -295,30 +381,30 @@ def _bwd_dkv_kernel(
                 skv = skv_ref[0, 0, j * w : (j + 1) * w]
                 sq = sq_ref[0, 0, start:q_block]
                 ok = jnp.logical_and(ok, skv[:, None] == sq[None, :])
-            s2t = jnp.where(ok, s2t, MASK_VALUE)
+            s2t = jnp.where(ok[None], s2t, MASK_VALUE)
             pt = jnp.exp2(s2t - lse_s)
             dv_j = jax.lax.dot_general(
-                pt.astype(do.dtype), dos, (((1,), (0,)), ((), ())),
+                pt.astype(do.dtype), dos, (((2,), (1,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
             )
             dpt = jax.lax.dot_general(
-                vsub, dos, (((1,), (1,)), ((), ())),
+                vsub, dos, (((2,), (2,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
-            )  # [w, L]
+            )  # [hb, w, L]
             dst = pt * (dpt - delta_s)
             if softcap_in is not None:
                 dst = dst * (1.0 - tt * tt)
             dk_j = jax.lax.dot_general(
-                dst.astype(q.dtype), qs, (((1,), (0,)), ((), ())),
+                dst.astype(q.dtype), qs, (((2,), (1,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
             )
-            dk_scr[j * w : (j + 1) * w, :] += dk_j
-            dv_scr[j * w : (j + 1) * w, :] += dv_j
+            dk_scr[:, j * w : (j + 1) * w, :] += dk_j
+            dv_scr[:, j * w : (j + 1) * w, :] += dv_j
 
         @pl.when(t == num_steps - 1)
         def _sub_epilogue():
-            dk_ref[0] = (dk_scr[...] * scale).astype(dk_ref.dtype)
-            dv_ref[0] = dv_scr[...].astype(dv_ref.dtype)
+            dk_ref[...] = (dk_scr[...] * scale).astype(dk_ref.dtype)
+            dv_ref[...] = dv_scr[...].astype(dv_ref.dtype)
 
         return
 
@@ -336,30 +422,31 @@ def _bwd_dkv_kernel(
     else:
         should_run = True
 
-    @pl.when(should_run)
-    def _compute():
-        q = q_ref[0]
-        k = k_ref[0]
+    def _dkv_body(masked: bool):
+        q = q_ref[...]
+        k = k_ref[...]
         # Transposed score tile: kv rows on sublanes, q columns on lanes, so
         # the per-q-row statistics (lse2, delta) broadcast along lanes.
         rawt = jax.lax.dot_general(
-            k, q, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )  # [block_kv, block_q]
+            k, q, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # [hb, block_kv, block_q]
         if softcap_in is not None:
             tt = jnp.tanh(rawt * softcap_in)
             s2t = tt * cap_out2
         else:
             s2t = rawt * scale2
 
-        if causal or kv_pad or seg_refs is not None:
+        if masked and (causal or kv_pad or seg_refs is not None):
             ok = None
+            shape2d = s2t.shape[1:]
             kvpos = (
-                jax.lax.broadcasted_iota(jnp.int32, s2t.shape, 0)
+                jax.lax.broadcasted_iota(jnp.int32, shape2d, 0)
                 + ikv * block_kv
             )
             if causal:
                 qpos = (
-                    jax.lax.broadcasted_iota(jnp.int32, s2t.shape, 1)
+                    jax.lax.broadcasted_iota(jnp.int32, shape2d, 1)
                     + iq * block_q
                     + diag_offset
                 )
@@ -373,30 +460,100 @@ def _bwd_dkv_kernel(
                 sq_ref, skv_ref = seg_refs
                 same = skv_ref[0, 0][:, None] == sq_ref[0, 0][None, :]
                 ok = same if ok is None else jnp.logical_and(ok, same)
-            s2t = jnp.where(ok, s2t, MASK_VALUE)
+            s2t = jnp.where(ok[None], s2t, MASK_VALUE)
 
-        pt = jnp.exp2(s2t - lse_ref[0])  # [block_kv, block_q]
-        do = do_ref[0]
+        pt = jnp.exp2(s2t - lse_ref[...])  # [hb, block_kv, block_q]
+        do = do_ref[...]
         dv_scr[...] += jax.lax.dot_general(
-            pt.astype(do.dtype), do, (((1,), (0,)), ((), ())),
+            pt.astype(do.dtype), do, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )
-        v = v_ref[0]
+        v = v_ref[...]
         dpt = jax.lax.dot_general(
-            v, do, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )  # [block_kv, block_q]
-        dst = pt * (dpt - delta_ref[0])
+            v, do, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # [hb, block_kv, block_q]
+        dst = pt * (dpt - delta_ref[...])
         if softcap_in is not None:
             dst = dst * (1.0 - tt * tt)
         dk_scr[...] += jax.lax.dot_general(
-            dst.astype(q.dtype), q, (((1,), (0,)), ((), ())),
+            dst.astype(q.dtype), q, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )
 
+    if diag_subtile:
+        # Multi-block causal diag sub-tiling, transposed: the diagonal Q
+        # block runs live-SUFFIX sub-MMAs per KV sub-block; Q blocks strictly
+        # below the diagonal are fully live and skip masking; Q blocks above
+        # do nothing. Enable conditions (flash_attention_bwd) put the
+        # diagonal at the block pair's local origin.
+        first_live = (ikv * block_kv - diag_offset) // block_q
+
+        @pl.when(iq > first_live)
+        def _interior():
+            _dkv_body(masked=False)
+
+        @pl.when(iq == first_live)
+        def _diag():
+            w = diag_subtile
+            q = q_ref[...]
+            k = k_ref[...]
+            v = v_ref[...]
+            do = do_ref[...]
+            q_block = block_q
+            # Left-aligned additive mask: kv sub-block j's live q suffix
+            # starts at local column j*w, and relative to that origin the
+            # mask (kv row r live for suffix col c iff r <= c) is the
+            # [:, :L] slice of ONE precomputed tile — independent of j.
+            r = jax.lax.broadcasted_iota(jnp.int32, (w, q_block), 0)
+            c = jax.lax.broadcasted_iota(jnp.int32, (w, q_block), 1)
+            addmask = jnp.where(r <= c, 0.0, MASK_VALUE).astype(jnp.float32)
+            for j in range(block_kv // w):
+                start = j * w
+                L = q_block - start
+                ksub = jax.lax.slice_in_dim(k, j * w, (j + 1) * w, axis=1)
+                vsub = jax.lax.slice_in_dim(v, j * w, (j + 1) * w, axis=1)
+                qs = jax.lax.slice_in_dim(q, start, q_block, axis=1)
+                dos = jax.lax.slice_in_dim(do, start, q_block, axis=1)
+                lse_s = lse_ref[:, :, start:q_block]  # [hb_q, 1, L]
+                delta_s = delta_ref[:, :, start:q_block]
+                rawt = jax.lax.dot_general(
+                    ksub, qs, (((2,), (2,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                )  # [hb, w, L]
+                if softcap_in is not None:
+                    tt = jnp.tanh(rawt * softcap_in)
+                    s2t = tt * cap_out2
+                else:
+                    s2t = rawt * scale2
+                s2t = s2t + jax.lax.slice_in_dim(addmask, 0, L, axis=1)[None]
+                pt = jnp.exp2(s2t - lse_s)
+                dv_j = jax.lax.dot_general(
+                    pt.astype(do.dtype), dos, (((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                )
+                dpt = jax.lax.dot_general(
+                    vsub, dos, (((2,), (2,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                )  # [hb, w, L]
+                dst = pt * (dpt - delta_s)
+                if softcap_in is not None:
+                    dst = dst * (1.0 - tt * tt)
+                dk_j = jax.lax.dot_general(
+                    dst.astype(q.dtype), qs, (((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                )
+                dk_scr[:, j * w : (j + 1) * w, :] += dk_j
+                dv_scr[:, j * w : (j + 1) * w, :] += dv_j
+    else:
+        @pl.when(should_run)
+        def _compute():
+            _dkv_body(masked=True)
+
     @pl.when(t == num_steps - 1)
     def _epilogue():
-        dk_ref[0] = (dk_scr[...] * scale).astype(dk_ref.dtype)
-        dv_ref[0] = dv_scr[...].astype(dv_ref.dtype)
+        dk_ref[...] = (dk_scr[...] * scale).astype(dk_ref.dtype)
+        dv_ref[...] = dv_scr[...].astype(dv_ref.dtype)
 
 
 def flash_attention_bwd(
@@ -442,6 +599,15 @@ def flash_attention_bwd(
     num_q_blocks = q_pad // block_q
     num_kv_blocks = kv_padded // block_kv
     diag_offset = kv_len - q_len
+
+    # Head-batching (MHA only): the dq grid batches q heads, the dkv grid kv
+    # heads 1:1. GQA's per-head maps (kv_head_index / q_index walking the
+    # group) and the per-batch segment maps don't commute with head blocks.
+    hb = max(block_sizes.block_h, 1)
+    if group > 1 or segments is not None:
+        hb = 1
+    while hb > 1 and (batch * num_q_heads) % hb:
+        hb //= 2
 
     # delta = rowsum(dO ∘ O), fp32 — one fused elementwise+reduce pass in XLA.
     delta = jnp.sum(
@@ -489,6 +655,7 @@ def flash_attention_bwd(
     scale2 = sm_scale * LOG2E
 
     def kv_head_index(bh):
+        # Only used when hb == 1 (GQA forces hb = 1 above).
         if group == 1:
             return bh
         return (bh // num_q_heads) * num_kv_heads + (bh % num_q_heads) // group
@@ -507,6 +674,24 @@ def flash_attention_bwd(
         and block_kv % block_sizes.block_sub == 0
     ):
         subtile = block_sizes.block_sub
+    # Multi-block causal diag sub-tiling (the forward's diag_subtile twin,
+    # see _fwd_impl): conditions prove every diagonal block's live region is
+    # a local-origin-aligned prefix (dq) / suffix (dkv) of static width, and
+    # every interior block is fully live (mask-free).
+    diag_subtile = 0
+    if (
+        causal and not subtile and block_sizes.block_sub
+        and window is None and segments is None
+        and kv_padded == kv_len and q_pad == q_len
+        and block_q == block_kv and diag_offset % block_kv == 0
+        and block_q > block_sizes.block_sub
+        and block_q % block_sizes.block_sub == 0
+        # VMEM gate mirroring the forward's (see _fwd_impl): diag sub-tiles
+        # coexist with the full interior tiles; hb*block_q > 2048 rows
+        # exceeds scoped VMEM.
+        and hb * block_q <= 2048
+    ):
+        diag_subtile = block_sizes.block_sub
 
     # ---------------- dq ----------------
     def kv_block_index(iq, ikv):
@@ -537,20 +722,29 @@ def flash_attention_bwd(
         softcap_in=softcap_in,
         cap_out2=cap_out2,
         subtile=subtile,
+        diag_subtile=diag_subtile,
     )
     dq_in_specs = [
-        pl.BlockSpec((1, block_q, d_pad), lambda bh, iq, ikv: (bh, iq, 0)),
+        pl.BlockSpec((hb, block_q, d_pad), lambda bh, iq, ikv: (bh, iq, 0)),
         pl.BlockSpec(
-            (1, block_kv, d_pad),
-            lambda bh, iq, ikv: (kv_head_index(bh), kv_block_index(iq, ikv), 0),
+            (hb, block_kv, d_pad),
+            lambda bh, iq, ikv: (
+                (bh if hb > 1 else kv_head_index(bh)),
+                kv_block_index(iq, ikv),
+                0,
+            ),
         ),
         pl.BlockSpec(
-            (1, block_kv, d_pad),
-            lambda bh, iq, ikv: (kv_head_index(bh), kv_block_index(iq, ikv), 0),
+            (hb, block_kv, d_pad),
+            lambda bh, iq, ikv: (
+                (bh if hb > 1 else kv_head_index(bh)),
+                kv_block_index(iq, ikv),
+                0,
+            ),
         ),
-        pl.BlockSpec((1, block_q, d_pad), lambda bh, iq, ikv: (bh, iq, 0)),
-        pl.BlockSpec((1, block_q, 1), lambda bh, iq, ikv: (bh, iq, 0)),
-        pl.BlockSpec((1, block_q, 1), lambda bh, iq, ikv: (bh, iq, 0)),
+        pl.BlockSpec((hb, block_q, d_pad), lambda bh, iq, ikv: (bh, iq, 0)),
+        pl.BlockSpec((hb, block_q, 1), lambda bh, iq, ikv: (bh, iq, 0)),
+        pl.BlockSpec((hb, block_q, 1), lambda bh, iq, ikv: (bh, iq, 0)),
     ]
     dq_inputs = [qq, kk, vv, dodo, lse_col, delta_col]
     if segments is None:
@@ -578,11 +772,13 @@ def flash_attention_bwd(
 
     dq = pl.pallas_call(
         dq_kernel,
-        grid=(batch * num_q_heads, num_q_blocks, num_kv_blocks),
+        grid=(batch * num_q_heads // hb, num_q_blocks, num_kv_blocks),
         in_specs=dq_in_specs,
-        out_specs=pl.BlockSpec((1, block_q, d_pad), lambda bh, iq, ikv: (bh, iq, 0)),
+        out_specs=pl.BlockSpec(
+            (hb, block_q, d_pad), lambda bh, iq, ikv: (bh, iq, 0)
+        ),
         out_shape=jax.ShapeDtypeStruct((batch * num_q_heads, q_pad, d_pad), q.dtype),
-        scratch_shapes=[pltpu.VMEM((block_q, d_pad), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((hb, block_q, d_pad), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
@@ -593,6 +789,10 @@ def flash_attention_bwd(
     num_steps = group * num_q_blocks
 
     def q_index(bkv, t):
+        # hb > 1 implies group == 1, where q-head blocks match kv-head
+        # blocks 1:1; the general walk applies only unbatched.
+        if hb > 1:
+            return bkv
         b = bkv // num_kv_heads
         h = bkv % num_kv_heads
         g = t // num_q_blocks
@@ -616,14 +816,16 @@ def flash_attention_bwd(
         return iq
 
     q_spec = pl.BlockSpec(
-        (1, block_q, d_pad),
+        (hb, block_q, d_pad),
         lambda bkv, ikv, t: (q_index(bkv, t), q_block_index(ikv, t), 0),
     )
     stat_spec = pl.BlockSpec(
-        (1, 1, block_q),
+        (hb, 1, block_q),
         lambda bkv, ikv, t: (q_index(bkv, t), 0, q_block_index(ikv, t)),
     )
-    kv_spec = pl.BlockSpec((1, block_kv, d_pad), lambda bkv, ikv, t: (bkv, ikv, 0))
+    kv_spec = pl.BlockSpec(
+        (hb, block_kv, d_pad), lambda bkv, ikv, t: (bkv, ikv, 0)
+    )
 
     dkv_base = functools.partial(
         _bwd_dkv_kernel,
@@ -641,6 +843,7 @@ def flash_attention_bwd(
         softcap_in=softcap_in,
         cap_out2=cap_out2,
         subtile=subtile,
+        diag_subtile=diag_subtile,
     )
     dkv_in_specs = [q_spec, kv_spec, kv_spec, q_spec, stat_spec, stat_spec]
     dkv_inputs = [qq, kk, vv, dodo, lse_row, delta_row]
@@ -671,7 +874,7 @@ def flash_attention_bwd(
 
     dk, dv = pl.pallas_call(
         dkv_kernel,
-        grid=(batch * num_kv_heads, num_kv_blocks, num_steps),
+        grid=(batch * num_kv_heads // hb, num_kv_blocks, num_steps),
         in_specs=dkv_in_specs,
         out_specs=[kv_spec, kv_spec],
         out_shape=[
@@ -679,8 +882,8 @@ def flash_attention_bwd(
             jax.ShapeDtypeStruct((batch * num_kv_heads, kv_padded, d_pad), v.dtype),
         ],
         scratch_shapes=[
-            pltpu.VMEM((block_kv, d_pad), jnp.float32),
-            pltpu.VMEM((block_kv, d_pad), jnp.float32),
+            pltpu.VMEM((hb, block_kv, d_pad), jnp.float32),
+            pltpu.VMEM((hb, block_kv, d_pad), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),

@@ -75,6 +75,7 @@ def _fwd_kernel(
     softcap_in: float | None = None,
     softcap_out: float | None = None,
     subtile: int = 0,
+    diag_subtile: int = 0,
 ):
     # Decode/chunked-prefill convention: the last Q row aligns with the last
     # KV row (offset = kv_len - q_len, both true lengths).
@@ -89,6 +90,7 @@ def _fwd_kernel(
         flags = flags_ref[t]
         is_first = (flags & 1) != 0
         is_last = (flags & 2) != 0
+        is_diag = (flags & 4) != 0
         should_run = True
     else:
         iq = pl.program_id(1)
@@ -255,8 +257,7 @@ def _fwd_kernel(
         l_scr[...] = jnp.zeros_like(l_scr)
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
-    @pl.when(should_run)
-    def _compute():
+    def _online_body(masked: bool):
         # Blocks carry a leading head-batch dim (block_h heads per grid step,
         # usually 1; >1 at short seq to amortize per-step fixed costs — the
         # TPU analog of the reference packing more CTAs per SM at short seq
@@ -265,13 +266,20 @@ def _fwd_kernel(
         q = q_ref[...]  # [hb, block_q, d]
         k = k_ref[...]  # [hb_kv, block_kv, d]
         if kv_repeat > 1:  # GQA: expand kv heads to match the q head batch
+            # NOTE (measured, v5e 2026-08-17): this repeat is effectively
+            # FREE — Mosaic folds the head broadcast into the batched
+            # matmuls. The "commute the sum" alternative (reshape q to
+            # [hb_kv, group*block_q, d] against un-expanded KV, as the
+            # decode kernel does) measured 15-25% SLOWER at 8K GQA
+            # (154->117 TF causal, 179->156 nc): the in-kernel q reshape is
+            # not layout-free at prefill widths. Don't re-attempt.
             k = jnp.repeat(k, kv_repeat, axis=0)
         s = jax.lax.dot_general(
             q,
             k,
             (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-        )  # [hb, block_q, block_kv] raw scores; scale applied below.
+        )  # [hb(_kv), M, block_kv] raw scores; scale applied below.
 
         if softcap_in is not None:
             # Gemma-style logit cap, rescaled so the downstream scale2-folded
@@ -282,11 +290,15 @@ def _fwd_kernel(
         # a fully-live tile evaluates to all-true and the select costs ~2%,
         # whereas gating it behind lax.cond costs ~2x on Mosaic (the cond
         # materializes both vector branches and breaks software pipelining).
-        if causal or kv_pad or window is not None or seg_q_ref is not None:
-            # The mask is head-independent: build it 2D and broadcast over the
-            # head-batch dim (hb x smaller iota/compare tiles in VMEM).
+        # (With diag sub-tiling, interior steps are provably fully live and
+        # call this body with masked=False — no iota/compare/select at all.)
+        if masked and (
+            causal or kv_pad or window is not None or seg_q_ref is not None
+        ):
+            # The mask is head-independent: build it 2D and broadcast over
+            # the head-batch dim (hb x smaller iota/compare tiles in VMEM).
             ok = None
-            shape2d = s.shape[1:]
+            shape2d = (block_q, s.shape[-1])
             col = jax.lax.broadcasted_iota(jnp.int32, shape2d, 1) + ikv * block_kv
             if causal or window is not None:
                 row = (
@@ -331,8 +343,81 @@ def _fwd_kernel(
             v,
             (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-        )  # [hb, block_q, d]
+        )  # [hb(_kv), M, d]
         acc_scr[...] = acc_scr[...] * alpha[:, :, :1] + pv
+
+    if diag_subtile:
+        # Multi-block causal diag sub-tiling: the tri grid's diagonal
+        # (partially-masked) step runs `diag_subtile`-row live-prefix MMAs
+        # merged into the online (m, l, acc) state, instead of one full-tile
+        # MMA that throws ~half its MXU work away; interior steps run the
+        # online body completely mask-free (enable conditions in _fwd_impl
+        # prove them fully live). Diagonal MXU waste drops from ~50% to
+        # ~1/(2n) for n = block_q / diag_subtile sub-blocks — the fix for
+        # the reference-style full-tile diagonal cost its fixed-BLOCK_N CTA
+        # tiling could never avoid (flash_attention.cu:620-661).
+        @pl.when(jnp.logical_not(is_diag))
+        def _interior():
+            _online_body(masked=False)
+
+        @pl.when(is_diag)
+        def _diag():
+            w = diag_subtile
+            q = q_ref[...]  # [hb, block_q, d]
+            k = k_ref[...]
+            v = v_ref[...]
+            if kv_repeat > 1:
+                k = jnp.repeat(k, kv_repeat, axis=0)
+                v = jnp.repeat(v, kv_repeat, axis=0)
+            kv_block = k.shape[1]
+            # Right-aligned additive mask (see the superblock subtile branch
+            # above): enable conditions force the diagonal to land on the
+            # block's local origin, so sub-block i's live prefix is exactly
+            # (i+1)*w columns and its mask is the [:, kv_block-width:] slice
+            # of ONE precomputed tile.
+            u = jax.lax.broadcasted_iota(jnp.int32, (w, kv_block), 1)
+            r = jax.lax.broadcasted_iota(jnp.int32, (w, kv_block), 0)
+            addmask = jnp.where(
+                u <= r + kv_block - w, 0.0, MASK_VALUE
+            ).astype(jnp.float32)
+            for i in range(block_q // w):
+                rows = slice(i * w, (i + 1) * w)
+                width = (i + 1) * w
+                qi = jax.lax.slice_in_dim(q, i * w, (i + 1) * w, axis=1)
+                ki = jax.lax.slice_in_dim(k, 0, width, axis=1)
+                s = jax.lax.dot_general(
+                    qi, ki, (((2,), (2,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                )  # [hb, w, width]
+                if softcap_in is not None:
+                    s = jnp.tanh(s * softcap_in) * softcap_out
+                s = s + jax.lax.slice_in_dim(
+                    addmask, kv_block - width, kv_block, axis=1
+                )[None]
+                m_i = jnp.maximum(
+                    jnp.max(s, axis=-1, keepdims=True) * scale2, M_FLOOR
+                )  # [hb, w, 1]
+                m_prev = m_scr[:, rows, :]  # [hb, w, LANES]
+                m_next = jnp.maximum(m_prev, m_i)
+                alpha = jnp.exp2(m_prev - m_next)
+                p = jnp.exp2(s * scale2 - m_next[:, :, :1])
+                l_next = alpha * l_scr[:, rows, :] + jnp.sum(
+                    p, axis=-1, keepdims=True
+                )
+                m_scr[:, rows, :] = m_next
+                l_scr[:, rows, :] = l_next
+                vi = jax.lax.slice_in_dim(v, 0, width, axis=1)
+                pv = jax.lax.dot_general(
+                    p.astype(vi.dtype), vi, (((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                )  # [hb, w, d]
+                acc_scr[:, rows, :] = (
+                    acc_scr[:, rows, :] * alpha[:, :, :1] + pv
+                )
+    else:
+        @pl.when(should_run)
+        def _compute():
+            _online_body(masked=True)
 
     @pl.when(is_last)
     def _epilogue():
@@ -468,9 +553,15 @@ def _fwd_impl(
             for ikv_i in range(first_live, last_live + 1):
                 iq_list.append(iq_i)
                 ikv_list.append(ikv_i)
+                # Bit 4: the block straddles the diagonal (some entries
+                # masked) — the diag-subtile kernel branches on it.
+                partial = (
+                    (ikv_i + 1) * block_kv - 1 > iq_i * block_q + diag_offset
+                )
                 flag_list.append(
                     (1 if ikv_i == first_live else 0)
                     | (2 if ikv_i == last_live else 0)
+                    | (4 if partial else 0)
                 )
         tri_iq = jnp.asarray(iq_list, jnp.int32)
         tri_ikv = jnp.asarray(ikv_list, jnp.int32)
@@ -573,6 +664,33 @@ def _fwd_impl(
         and block_q % block_sizes.block_sub == 0
     ):
         subtile = block_sizes.block_sub
+    # Multi-block causal diag sub-tiling (see _fwd_kernel's diag_subtile
+    # branch). Enable conditions prove two static facts the kernel relies on:
+    # (a) every diagonal block's live region is a local-origin-aligned prefix
+    # of static width (block_q == block_kv and a block-aligned diag offset
+    # put the diagonal at local offset 0), and (b) every non-diagonal tri
+    # step is fully live (no kv padding / window / segments), so interior
+    # steps skip masking entirely.
+    diag_subtile = 0
+    if (
+        causal and not single and not subtile
+        and block_sizes.block_sub
+        and window is None and segments is None
+        and kv_padded == kv_len and q_pad == q_len
+        and block_q == block_kv and diag_offset % block_kv == 0
+        and block_q > block_sizes.block_sub
+        and block_q % block_sizes.block_sub == 0
+        # VMEM gate: the diag branch's sub-tiles live alongside the interior
+        # branch's full score tile and the hb-scaled (m, l, acc) scratch;
+        # hb*block_q rows beyond 2048 exceed scoped VMEM (measured: h2@1024
+        # and h4@512 compile standalone, h8@512 OOMs by 3.7M — a shape the
+        # short-seq superblock configs reach via chunked prefill, where
+        # min(q_len, kv_len) keys the dispatch but kv spans many blocks).
+        and hb * block_q <= 2048
+    ):
+        diag_subtile = block_sizes.block_sub
+
+    kv_repeat = hb // hb_kv if hb_kv != hb else 1
 
     def make_kernel(tri_refs):
         return functools.partial(
@@ -587,11 +705,12 @@ def _fwd_impl(
             kv_pad=kv_padded != kv_len,
             tri_refs=tri_refs,
             single_step=single,
-            kv_repeat=hb // hb_kv if hb_kv != hb else 1,
+            kv_repeat=kv_repeat,
             window=window,
             softcap_in=None if softcap is None else sm_scale / softcap,
             softcap_out=None if softcap is None else softcap / sm_scale,
             subtile=subtile,
+            diag_subtile=diag_subtile,
         )
 
     def make_wrapped(
@@ -832,7 +951,7 @@ def flash_attention(
     group = num_q_heads // num_kv_heads
     res_block_sizes = select_block_sizes(
         min(q_len, kv_len), causal=causal, head_dim=head_dim,
-        save_residuals=True, group=group,
+        save_residuals=True, group=group, kv_seq=kv_len,
     )
     if block_sizes is None:
         # The window mask's compare tiles and the softcap's tanh temporary,
@@ -845,7 +964,7 @@ def flash_attention(
                 or sliding_window is not None
                 or logit_softcap is not None
             ),
-            group=group,
+            group=group, kv_seq=kv_len,
         )
     else:
         # An explicit override governs BOTH forward paths: a caller who

@@ -88,7 +88,7 @@ def _ceil_to(x: int, m: int) -> int:
 
 def select_block_sizes(
     seq: int, *, causal: bool, head_dim: int = 128, save_residuals: bool = False,
-    group: int = 1,
+    group: int = 1, kv_seq: int | None = None,
 ) -> BlockSizes:
     """Pick forward block sizes for a (seq, causal, residuals) config.
 
@@ -105,6 +105,19 @@ def select_block_sizes(
         # Tuned at head_dim=128; larger heads scale the VMEM accumulators, so
         # fall back to unbatched heads rather than risk scoped-VMEM OOM.
         return BlockSizes(block_q=min(1024, pad_seq), block_kv=min(1024, pad_seq))
+    if kv_seq is not None and _ceil_to(kv_seq, 128) > 2 * pad_seq:
+        # Chunked prefill / cross attention: kv much longer than q, so the
+        # short-seq single-superblock configs keyed on min(q, kv) don't
+        # apply — the grid is multi-KV-block and their large head batches
+        # blow scoped VMEM (measured: (512,512,h8) against kv=4096 OOMs by
+        # ~3.8M on v5e — caught driving ServingEngine chunked prefill on
+        # chip). Stream KV in 1024-row blocks with the q chunk resident,
+        # h2, as in the long-seq residuals config (same VMEM envelope).
+        return BlockSizes(
+            block_q=min(512, pad_seq),
+            block_kv=min(1024, _ceil_to(kv_seq, 128)),
+            block_h=2,
+        )
     if group in (2, 4) and pad_seq > 1024:
         # GQA: block_h must span whole KV groups; the generic h2 long-seq
         # configs don't divide, so use the GQA-swept winners. At <= 2048 the
@@ -170,7 +183,16 @@ def select_block_sizes(
             return BlockSizes(
                 block_q=pad_seq, block_kv=pad_seq, block_h=2, block_sub=sub
             )
-        return BlockSizes(block_q=1024, block_kv=1024, block_h=2)
+        # Multi-block tri grid with DIAG sub-tiling (v5e sweep 2026-08-17):
+        # the diagonal step runs live-prefix sub-MMAs merged into the online
+        # state, interior steps are mask-free. 4096: 121.2 -> 134.2 TF;
+        # 8192: 142.0 -> 149.8; 16384: 150.6 -> 157.4. (The ~7 min "slow
+        # compiles" observed at 4096 during the sweep were the remote
+        # compile helper's cold start — the first big Mosaic compile of a
+        # session pays it regardless of config; warm compiles run ~3-16 s.)
+        return BlockSizes(
+            block_q=1024, block_kv=1024, block_h=2, block_sub=256
+        )
     # Non-causal (v5e re-sweep 2026-08-17, after the pre-PV normalize and the
     # no-scratch single-KV-block specialization): 512 (512,512,h4) 142 TF,
     # 768 (384,768,h4) 154 (the full-tile (768,768,h4) hits a Mosaic layout
@@ -195,35 +217,39 @@ def select_bwd_block_sizes(seq: int, *, causal: bool, head_dim: int = 128) -> Bl
 
     The backward holds more live fp32 tiles than the forward (score tile,
     dP tile, dS tile, two accumulators), so blocks are capped well below the
-    forward's. v5e sweep (fwd+bwd eff-TF at b=1, h=32, d=128): (256,1024)
-    wins at seq<=2048 non-causal (222.8 eff-TF), (512,512) at longer
-    (222.3 nc / 172.4 causal at 8K). Causal <= 2048 uses the
-    single-superblock sub-tiled form (block_sub, the forward's trick
-    applied to both bwd kernels: live-prefix MMAs for dq, live-suffix for
-    dkv).
+    forward's. v5e sweeps (fwd+bwd eff-TF at b=1, h=32, d=128):
+
+      * causal <= 2048: single-superblock sub-tiled form (block_sub — the
+        forward's trick in both bwd kernels: live-prefix MMAs for dq,
+        live-suffix for dkv), now head-batched: (2048,2048,h2,sub128) 113.9
+        vs 112.7 at h1. (h4 superblocks exceed scoped VMEM.)
+      * causal > 2048: tri grid with DIAG sub-tiling + head batching —
+        (512,512,h4,sub128) 114.3 eff-TF @8K vs 96.1 for the round-2
+        (512,512,h1) masked tri. ((1024,1024) diag blocks OOM at h2; h1
+        measures 113.5.)
+      * non-causal long: head batching alone — (512,512,h4) 134.2 @8K vs
+        122.9 at h1.
+      * non-causal <= 4096 keeps the single-KV-block forms (whole KV range
+        resident per step, Q/dO streaming).
     """
     pad_seq = _ceil_to(seq, 128)
     if causal and 128 < pad_seq <= 2048 and pad_seq % 128 == 0:
         return BlockSizes(
-            block_q=pad_seq, block_kv=pad_seq, block_h=1, block_sub=128
+            block_q=pad_seq, block_kv=pad_seq, block_h=2, block_sub=128
         )
     if not causal:
-        # Single-KV-block forms win the non-causal backward everywhere the
-        # KV block fits (v5e fwd+bwd eff-TF, b=1/h=32: 512 (512,512) 101 vs
-        # 85, 1024 (1024,1024) 120 vs 106, 2048 (512,2048) 128 vs 113,
-        # 4096 (256,4096) 134 vs 122): the whole KV range per grid step
-        # keeps K/V resident and streams Q/dO.
         if pad_seq <= 1024:
             return BlockSizes(block_q=pad_seq, block_kv=pad_seq)
         if pad_seq <= 2048:
             return BlockSizes(block_q=512, block_kv=pad_seq)
         if pad_seq <= 4096:
             return BlockSizes(block_q=256, block_kv=pad_seq)
+        return BlockSizes(block_q=512, block_kv=512, block_h=4)
     if pad_seq <= 2048:
         return BlockSizes(
             block_q=min(256, pad_seq), block_kv=min(1024, pad_seq)
         )
-    return BlockSizes(block_q=512, block_kv=512)
+    return BlockSizes(block_q=512, block_kv=512, block_h=4, block_sub=128)
 
 
 def select_decode_block_sizes(kv_seq: int, *, head_dim: int = 128) -> DecodeBlockSizes:

@@ -106,3 +106,49 @@ def test_value_and_grad_consistent_with_fwd_only():
         lambda q, k, v: flash_attention(q, k, v, causal=True), q, k, v
     )
     assert jnp.array_equal(out_plain, out_vjp)
+
+
+def test_bwd_diag_subtile():
+    """Multi-block causal diag sub-tiling in both bwd kernels (block_q ==
+    block_kv < seq with block_sub): diagonal blocks run live-prefix (dq) /
+    live-suffix (dkv) sub-MMAs; interior blocks are mask-free."""
+    cases = [
+        # (batch, hq, hkv, seq, bs)
+        (1, 2, 2, 512, BlockSizes(256, 256, 1, 128)),
+        (1, 2, 2, 768, BlockSizes(256, 256, 1, 128)),
+        (2, 4, 1, 512, BlockSizes(256, 256, 1, 128)),  # GQA group walk
+        (1, 2, 2, 1024, BlockSizes(512, 512, 1, 256)),
+    ]
+    for batch, hq, hkv, seq, bs in cases:
+        q, k, v = make_qkv(23, batch, hq, seq, 128, num_kv_heads=hkv)
+        got = grads(
+            lambda q, k, v: flash_attention(
+                q, k, v, causal=True, block_sizes=bs, bwd_block_sizes=bs
+            ),
+            q, k, v,
+        )
+        want = grads(
+            lambda q, k, v: reference_attention(q, k, v, causal=True), q, k, v
+        )
+        for g, w, name in zip(got, want, "qkv"):
+            assert_close(g, w, msg=f"seq={seq} {bs} d{name}")
+
+
+def test_bwd_diag_subtile_softcap():
+    q, k, v = make_qkv(24, 1, 2, 512, 128)
+    bs = BlockSizes(256, 256, 1, 128)
+    got = grads(
+        lambda q, k, v: flash_attention(
+            q, k, v, causal=True, block_sizes=bs, bwd_block_sizes=bs,
+            logit_softcap=20.0,
+        ),
+        q, k, v,
+    )
+    want = grads(
+        lambda q, k, v: reference_attention(
+            q, k, v, causal=True, logit_softcap=20.0
+        ),
+        q, k, v,
+    )
+    for g, w, name in zip(got, want, "qkv"):
+        assert_close(g, w, msg=f"softcap d{name}")

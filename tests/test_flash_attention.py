@@ -200,3 +200,73 @@ def test_causal_subtile_softcap():
     )
     want = reference_attention(q, k, v, causal=True, logit_softcap=30.0)
     assert_close(got, want)
+
+
+def test_causal_diag_subtile_configs():
+    """Multi-block causal diag sub-tiling (block_q == block_kv < seq with
+    block_sub): diagonal steps run live-prefix sub-MMAs merged into the
+    online state; interior steps are mask-free. Must match the oracle across
+    MHA/GQA, head batching, sub widths, and aligned chunked-prefill offsets."""
+    cases = [
+        # (batch, q_heads, kv_heads, q_len, kv_len, bs)
+        (1, 2, 2, 512, 512, BlockSizes(128, 128, 1, 128)),  # sub==bq: inert
+        (1, 2, 2, 512, 512, BlockSizes(256, 256, 1, 128)),
+        (1, 2, 2, 768, 768, BlockSizes(256, 256, 2, 128)),
+        (2, 4, 4, 512, 512, BlockSizes(256, 256, 4, 128)),
+        (1, 8, 2, 512, 512, BlockSizes(256, 256, 4, 128)),  # GQA spans groups
+        (1, 2, 2, 1024, 1024, BlockSizes(512, 512, 1, 256)),
+        # aligned chunked-prefill: q_len < kv_len, offset % block_kv == 0
+        (1, 2, 2, 256, 512, BlockSizes(256, 256, 1, 128)),
+    ]
+    for batch, hq, hkv, qs, ks, bs in cases:
+        q, k, v = make_qkv(17, batch, hq, qs, 128, num_kv_heads=hkv, kv_seq=ks)
+        got = flash_attention(q, k, v, causal=True, block_sizes=bs)
+        want = reference_attention(q, k, v, causal=True)
+        assert_close(got, want, msg=f"diag subtile {qs}/{ks} {bs}")
+
+
+def test_causal_diag_subtile_lse_and_grad():
+    """Diag-subtile LSE must match the plain tri grid's, and the backward
+    (which consumes the residuals forward) must stay correct."""
+    import jax
+
+    q, k, v = make_qkv(18, 1, 2, 768, 128)
+    bs = BlockSizes(256, 256, 2, 128)
+    out_a, lse_a = flash_attention(
+        q, k, v, causal=True, save_residuals=True, block_sizes=bs
+    )
+    out_b, lse_b = flash_attention(
+        q, k, v, causal=True, save_residuals=True, block_sizes=BS
+    )
+    assert_close(out_a, out_b)
+    np.testing.assert_allclose(
+        np.asarray(lse_a), np.asarray(lse_b), rtol=1e-3, atol=1e-3
+    )
+
+    def loss(q, k, v):
+        return jnp.sum(
+            flash_attention(q, k, v, causal=True, block_sizes=bs).astype(
+                jnp.float32
+            )
+            ** 2
+        )
+
+    def loss_ref(q, k, v):
+        return jnp.sum(
+            reference_attention(q, k, v, causal=True).astype(jnp.float32) ** 2
+        )
+
+    got = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    want = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for g, w, name in zip(got, want, "qkv"):
+        assert_close(g, w, msg=f"d{name}")
+
+
+def test_causal_diag_subtile_softcap():
+    q, k, v = make_qkv(19, 1, 2, 512, 128)
+    got = flash_attention(
+        q, k, v, causal=True, logit_softcap=30.0,
+        block_sizes=BlockSizes(256, 256, 1, 128),
+    )
+    want = reference_attention(q, k, v, causal=True, logit_softcap=30.0)
+    assert_close(got, want)

@@ -48,8 +48,16 @@ def seq_candidates(seq: int, causal: bool):
         # block pair; VMEM estimate differs — s/p tiles are [hb, sub, seq]).
         for bh in (1, 2, 4, 8):
             for sub in (128, 256):
-                if seq % sub == 0 and seq > sub:
+                if seq % sub == 0 and seq > sub and seq <= 2048:
                     cands.append((seq, seq, bh, sub))
+        # Multi-block tri-grid diag-subtile configs (block_q == block_kv <
+        # seq; the diagonal step runs live-prefix sub-MMAs, interior steps
+        # are mask-free full tiles).
+        for bq in (512, 1024):
+            for bh in (1, 2, 4):
+                for sub in (128, 256):
+                    if seq > bq and bq % sub == 0 and bq > sub:
+                        cands.append((bq, bq, bh, sub))
     elif seq <= 4096:
         # Single-KV-block plain-softmax forms (bq splits the rows). Gated to
         # seq <= 4096: giant single-KV tiles at 8K+ compile for tens of
@@ -67,8 +75,8 @@ def seq_candidates(seq: int, causal: bool):
     ]
 
 
-def vmem_bytes(bq, bkv, hb=1, d=128, sub=0):
-    if sub:
+def vmem_bytes(bq, bkv, hb=1, d=128, sub=0, multiblock=False):
+    if sub and not multiblock:
         # Subtiled single superblock: q/k/v/o whole blocks (double-buffered
         # across head steps) + [hb, sub, bkv] fp32 s and p + the additive
         # mask tile.
@@ -77,6 +85,10 @@ def vmem_bytes(bq, bkv, hb=1, d=128, sub=0):
             + 2 * 4 * hb * sub * bkv                 # s, p fp32
             + 4 * sub * bkv                          # addmask fp32
         )
+    if sub:
+        # Multi-block diag subtile: interior branch dominates (full online
+        # estimate) plus the diag branch's addmask + sub-tiles.
+        return vmem_bytes(bq, bkv, hb, d) + 4 * sub * bkv + 2 * 4 * hb * sub * bkv
     return hb * (
         4 * bq * bkv          # s fp32
         + 2 * bq * bkv        # p bf16
@@ -91,10 +103,19 @@ def main():
     quick = "--quick" in sys.argv
     peak = detect_mxu_peak_tflops()
     seqs = [512, 1024, 2048, 8192] if quick else [512, 768, 1024, 2048, 4096, 8192, 16384]
+    for a in sys.argv[1:]:
+        if a.startswith("--seqs="):
+            seqs = [int(s) for s in a.split("=", 1)[1].split(",")]
+    modes = (False, True)
+    if "--causal-only" in sys.argv:
+        modes = (True,)
+    if "--noncausal-only" in sys.argv:
+        modes = (False,)
+    only_sub = "--sub-only" in sys.argv  # sweep only block_sub > 0 configs
     heads = 32
     print(f"devices: {jax.devices()}  peak={peak} TFLOPS")
     winners = {}
-    for causal in (False, True):
+    for causal in modes:
         for seq in seqs:
             kv_bytes = 2 * heads * seq * 128 * 2 * 2
             if kv_bytes > 12e9:
@@ -102,7 +123,11 @@ def main():
             q, k, v = make_qkv(0, 1, heads, seq, 128)
             best = None
             for bq, bkv, bh, sub in seq_candidates(seq, causal):
-                if bq > seq or bkv > seq or vmem_bytes(bq, bkv, bh, sub=sub) > 16.8e6:
+                if only_sub and not sub:
+                    continue
+                if bq > seq or bkv > seq or vmem_bytes(
+                    bq, bkv, bh, sub=sub, multiblock=bq < seq
+                ) > 16.8e6:
                     continue
                 if quick and (bq, bkv, bh) not in [
                     (512, 512, 2), (512, 1024, 2), (1024, 1024, 1),
