@@ -41,6 +41,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from flash_attention_tpu.ops.flash_attention import flash_attention
 from flash_attention_tpu.ops.merge import merge_two
+from flash_attention_tpu.ops.tuning import select_bwd_block_sizes
 
 
 def zigzag_indices(seq_len: int, n: int):
@@ -80,7 +81,7 @@ def ring_flash_attention(
     block_sizes=None,
     zigzag: bool = False,
 ):
-    """Per-shard ring attention body (call inside shard_map).
+    """Per-shard ring attention body (call inside shard_map). Differentiable.
 
     Args:
       q, k, v: the local shards [B, H, S/N, D] — the sequence axis is sharded
@@ -89,15 +90,62 @@ def ring_flash_attention(
         (shard i holds global chunks {i, 2n-1-i} of size S/2N, early chunk
         first — see :func:`zigzag_indices`).
       axis_name: the mesh context axis forming the ring.
-      zigzag: balanced causal layout (requires causal=True); forward-only,
-        bf16-class KV.
+      zigzag: balanced causal layout (requires causal=True).
 
     Returns:
       [B, H, S/N, D] output for the local Q shard (in the same layout).
+
+    Differentiation runs a SECOND KV rotation (see :func:`_ring_bwd`):
+    fp32 dK/dV accumulators travel with each KV chunk around the ring, each
+    (Q-shard, KV-chunk) pair reuses the fused backward kernels
+    (ops/attention_bwd.py) with the ring-combined global LSE — which makes
+    the per-pair recomputed P the *global* softmax probabilities, so partial
+    gradients sum exactly — and one final ppermute returns dK/dV to their
+    owner shards. This differentiates the reference's split-K merge contract
+    (flash_attention.cu:575-597): the forward merge is a log-sum-exp over
+    partials, whose VJP is precisely "backprop each partial against the
+    merged LSE".
     """
+    if zigzag and not causal:
+        raise ValueError("zigzag layout only applies to causal attention")
+    if sm_scale is None:
+        sm_scale = 1.0 / (q.shape[-1] ** 0.5)
+    return _ring(q, k, v, axis_name, causal, sm_scale, block_sizes, zigzag)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def _ring(q, k, v, axis_name, causal, sm_scale, block_sizes, zigzag):
+    o, _ = _ring_fwd_impl(
+        q, k, v, axis_name=axis_name, causal=causal, sm_scale=sm_scale,
+        block_sizes=block_sizes, zigzag=zigzag,
+    )
+    return o
+
+
+def _ring_vjp_fwd(q, k, v, axis_name, causal, sm_scale, block_sizes, zigzag):
+    o, lse = _ring_fwd_impl(
+        q, k, v, axis_name=axis_name, causal=causal, sm_scale=sm_scale,
+        block_sizes=block_sizes, zigzag=zigzag,
+    )
+    return o, (q, k, v, o, lse)
+
+
+def _ring_vjp_bwd(axis_name, causal, sm_scale, block_sizes, zigzag, res, g):
+    q, k, v, o, lse = res
+    return _ring_bwd(
+        q, k, v, o, lse, g, axis_name=axis_name, causal=causal,
+        sm_scale=sm_scale, zigzag=zigzag,
+    )
+
+
+_ring.defvjp(_ring_vjp_fwd, _ring_vjp_bwd)
+
+
+def _ring_fwd_impl(
+    q, k, v, *, axis_name, causal, sm_scale, block_sizes, zigzag
+):
+    """Forward ring; returns (o, ring-combined base-2 LSE)."""
     if zigzag:
-        if not causal:
-            raise ValueError("zigzag layout only applies to causal attention")
         return _ring_zigzag(
             q, k, v, axis_name=axis_name, sm_scale=sm_scale,
             block_sizes=block_sizes,
@@ -143,7 +191,157 @@ def ring_flash_attention(
             o_s, lse_s = attend((k_blk, v_blk), False)
         o, lse = merge_two(o, lse, o_s, lse_s)
 
-    return o.astype(q.dtype)
+    return o.astype(q.dtype), lse
+
+
+def _pair_bwd(q_c, k_c, v_c, o_c, lse_c, do_c, *, causal, sm_scale):
+    """(dq, dk, dv) of one (Q shard, KV chunk) pair against the GLOBAL lse.
+
+    With the ring-combined lse2, exp2(s·scale·log2e − lse2) is the global
+    softmax probability of that pair's scores, and delta = rowsum(dO ∘ O)
+    uses the final merged output — so each pair's fused-kernel gradients are
+    exact partial sums of the full-attention gradients.
+    """
+    from flash_attention_tpu.ops.attention_bwd import flash_attention_bwd
+
+    interpret = jax.default_backend() != "tpu"
+    bs = select_bwd_block_sizes(min(q_c.shape[2], k_c.shape[2]), causal=causal)
+    return flash_attention_bwd(
+        q_c, k_c, v_c, o_c, lse_c, do_c,
+        causal=causal, sm_scale=sm_scale, block_sizes=bs, interpret=interpret,
+    )
+
+
+def _ring_bwd(q, k, v, o, lse, do, *, axis_name, causal, sm_scale, zigzag):
+    """Second rotation: dK/dV accumulators travel with their KV chunk."""
+    n = jax.lax.axis_size(axis_name)
+    my_idx = jax.lax.axis_index(axis_name)
+    perm = [(i, (i + 1) % n) for i in range(n)]
+    do = do.astype(q.dtype)
+
+    if zigzag:
+        return _ring_bwd_zigzag(
+            q, k, v, o, lse, do, axis_name=axis_name, sm_scale=sm_scale,
+        )
+
+    # Step 0: local chunk (the only causal pair).
+    dq_0, dk_0, dv_0 = _pair_bwd(
+        q, k, v, o, lse, do, causal=causal, sm_scale=sm_scale
+    )
+    dq = dq_0.astype(jnp.float32)
+    dk_c = dk_0.astype(jnp.float32)
+    dv_c = dv_0.astype(jnp.float32)
+
+    k_blk, v_blk = k, v
+    for step in range(1, n):
+        k_blk = jax.lax.ppermute(k_blk, axis_name, perm)
+        v_blk = jax.lax.ppermute(v_blk, axis_name, perm)
+        dk_c = jax.lax.ppermute(dk_c, axis_name, perm)
+        dv_c = jax.lax.ppermute(dv_c, axis_name, perm)
+        if causal:
+            visible = my_idx >= step
+
+            def compute(kv):
+                kc, vc = kv
+                return _pair_bwd(
+                    q, kc, vc, o, lse, do, causal=False, sm_scale=sm_scale
+                )
+
+            def skip(kv):
+                return (
+                    jnp.zeros_like(q), jnp.zeros_like(k), jnp.zeros_like(v)
+                )
+
+            dq_s, dk_s, dv_s = jax.lax.cond(
+                visible, compute, skip, (k_blk, v_blk)
+            )
+        else:
+            dq_s, dk_s, dv_s = _pair_bwd(
+                q, k_blk, v_blk, o, lse, do, causal=False, sm_scale=sm_scale
+            )
+        dq = dq + dq_s.astype(jnp.float32)
+        dk_c = dk_c + dk_s.astype(jnp.float32)
+        dv_c = dv_c + dv_s.astype(jnp.float32)
+
+    # The accumulators sit one shard behind their owner after n-1 rotations;
+    # a final hop returns chunk j's dK/dV to shard j.
+    dk_c = jax.lax.ppermute(dk_c, axis_name, perm)
+    dv_c = jax.lax.ppermute(dv_c, axis_name, perm)
+    return dq.astype(q.dtype), dk_c.astype(k.dtype), dv_c.astype(v.dtype)
+
+
+def _ring_bwd_zigzag(q, k, v, o, lse, do, *, axis_name, sm_scale):
+    """Backward over the zigzag layout: same liveness decomposition as the
+    forward (_ring_zigzag), per-pair fused backward against the global LSE,
+    dK/dV halves accumulated in the traveling carry."""
+    n = jax.lax.axis_size(axis_name)
+    my_idx = jax.lax.axis_index(axis_name)
+    perm = [(i, (i + 1) % n) for i in range(n)]
+    c = q.shape[2] // 2
+    q_e, q_l = q[:, :, :c], q[:, :, c:]
+    o_l = o[:, :, c:]
+    do_e, do_l = do[:, :, :c], do[:, :, c:]
+    o_e = o[:, :, :c]
+    lse_e, lse_l = lse[:, :, :c], lse[:, :, c:]
+
+    # Step 0: local causal over the in-order [early | late] concat.
+    dq_0, dk_0, dv_0 = _pair_bwd(
+        q, k, v, o, lse, do, causal=True, sm_scale=sm_scale
+    )
+    dq = dq_0.astype(jnp.float32)
+    dk_c = dk_0.astype(jnp.float32)
+    dv_c = dv_0.astype(jnp.float32)
+
+    k_blk, v_blk = k, v
+    for step in range(1, n):
+        k_blk = jax.lax.ppermute(k_blk, axis_name, perm)
+        v_blk = jax.lax.ppermute(v_blk, axis_name, perm)
+        dk_c = jax.lax.ppermute(dk_c, axis_name, perm)
+        dv_c = jax.lax.ppermute(dv_c, axis_name, perm)
+        k_e, k_l = k_blk[:, :, :c], k_blk[:, :, c:]
+        v_e, v_l = v_blk[:, :, :c], v_blk[:, :, c:]
+        j = (my_idx - step) % n
+
+        # Always live: late Q against the arriving early KV chunk.
+        dq_a, dk_a, dv_a = _pair_bwd(
+            q_l, k_e, v_e, o_l, lse_l, do_l, causal=False, sm_scale=sm_scale
+        )
+        dq = dq.at[:, :, c:].add(dq_a.astype(jnp.float32))
+        dk_c = dk_c.at[:, :, :c].add(dk_a.astype(jnp.float32))
+        dv_c = dv_c.at[:, :, :c].add(dv_a.astype(jnp.float32))
+
+        # Direction-dependent half (see _ring_zigzag).
+        early_live = j < my_idx
+
+        def early_case(_):
+            return _pair_bwd(
+                q_e, k_e, v_e, o_e, lse_e, do_e,
+                causal=False, sm_scale=sm_scale,
+            )
+
+        def late_case(_):
+            return _pair_bwd(
+                q_l, k_l, v_l, o_l, lse_l, do_l,
+                causal=False, sm_scale=sm_scale,
+            )
+
+        dq_c2, dk_c2, dv_c2 = jax.lax.cond(early_live, early_case, late_case, None)
+        dq_c2 = dq_c2.astype(jnp.float32)
+        dk_c2 = dk_c2.astype(jnp.float32)
+        dv_c2 = dv_c2.astype(jnp.float32)
+        zero = jnp.zeros_like(dq_c2)
+        # early_live: gradients belong to (q_early, kv_early); otherwise to
+        # (q_late, kv_late).
+        dq = dq.at[:, :, :c].add(jnp.where(early_live, dq_c2, zero))
+        dq = dq.at[:, :, c:].add(jnp.where(early_live, zero, dq_c2))
+        dk_c = dk_c.at[:, :, :c].add(jnp.where(early_live, dk_c2, zero))
+        dk_c = dk_c.at[:, :, c:].add(jnp.where(early_live, zero, dk_c2))
+        dv_c = dv_c.at[:, :, :c].add(jnp.where(early_live, dv_c2, zero))
+        dv_c = dv_c.at[:, :, c:].add(jnp.where(early_live, zero, dv_c2))
+
+    dk_c = jax.lax.ppermute(dk_c, axis_name, perm)
+    dv_c = jax.lax.ppermute(dv_c, axis_name, perm)
+    return dq.astype(q.dtype), dk_c.astype(k.dtype), dv_c.astype(v.dtype)
 
 
 def _ring_zigzag(
@@ -224,7 +422,10 @@ def _ring_zigzag(
             jnp.where(early_live, neutral_lse, lse_c),
         )
 
-    return jnp.concatenate([o_early, o_late], axis=2).astype(q.dtype)
+    return (
+        jnp.concatenate([o_early, o_late], axis=2).astype(q.dtype),
+        jnp.concatenate([lse_early, lse_late], axis=2),
+    )
 
 
 def make_ring_attention(

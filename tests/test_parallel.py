@@ -121,3 +121,32 @@ def test_sharded_decode():
     got = fn(q, k, v, lengths)
     want = reference_attention(q[:, :, None, :], k, v, kv_length=lengths)[:, :, 0, :]
     assert_close(got, want, msg="sharded decode dp2 x tp4")
+
+
+@pytest.mark.parametrize("zigzag", [False, True])
+@pytest.mark.parametrize("causal", [False, True])
+def test_ring_attention_grad(causal, zigzag):
+    """Differentiable ring: the custom VJP's second KV rotation (per-pair
+    fused backward against the ring-combined global LSE + traveling dK/dV
+    accumulators) must match jax.grad of the fp32 oracle."""
+    if zigzag and not causal:
+        pytest.skip("zigzag is causal-only")
+    mesh = make_mesh(data=1, model=1, context=4)
+    q, k, v = make_qkv(61, 1, 2, 512, 128)
+    fn = make_ring_attention(
+        mesh, causal=causal, zigzag=zigzag, block_sizes=BS
+    )
+    w = jax.random.normal(jax.random.key(3), q.shape)
+
+    def loss(q, k, v):
+        return jnp.sum(fn(q, k, v).astype(jnp.float32) * w)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(
+            reference_attention(q, k, v, causal=causal).astype(jnp.float32) * w
+        )
+
+    got = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    want = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for g, wnt, name in zip(got, want, "qkv"):
+        assert_close(g, wnt, msg=f"ring grad d{name} zigzag={zigzag}")
