@@ -326,11 +326,26 @@ def attention_prefill_chunk_paged(
     paged_cache = paged_write_prefill(
         paged_cache, k[0], v[0], slot, jnp.asarray(start) + t, start=start
     )
-    k_vis, v_vis = paged_gather_kv(paged_cache, slot, kv_end, dtype=cfg.jnp_dtype)
-    o = flash_attention(
-        q, k_vis, v_vis, causal=True, block_sizes=block_sizes,
-        sliding_window=cfg.sliding_window, logit_softcap=cfg.logit_softcap,
-    )
+    if cfg.sliding_window is None:
+        # In-place paged chunk attention: pages stream through the kernel's
+        # scalar-prefetch page table, so chunk c moves O(visible pages) HBM
+        # bytes instead of re-densifying the whole O(c·chunk) prefix.
+        from flash_attention_tpu.ops.paged import paged_prefill_attention
+
+        o = paged_prefill_attention(
+            q, paged_cache, slot, jnp.asarray(start) + t, chunk_len=t,
+            logit_softcap=cfg.logit_softcap,
+        )
+    else:
+        # Sliding window keeps the dense-gather path (the window bound is
+        # already a small visible range; gather cost is proportional to it).
+        k_vis, v_vis = paged_gather_kv(
+            paged_cache, slot, kv_end, dtype=cfg.jnp_dtype
+        )
+        o = flash_attention(
+            q, k_vis, v_vis, causal=True, block_sizes=block_sizes,
+            sliding_window=cfg.sliding_window, logit_softcap=cfg.logit_softcap,
+        )
     out = jnp.einsum(
         "bhtd,hdm->btm", o.astype(jnp.float32), params["wo"].astype(jnp.float32)
     )

@@ -37,6 +37,7 @@ from jax.experimental.pallas import tpu as pltpu
 from flash_attention_tpu.ops.common import (
     LANES,
     LOG2E,
+    M_FLOOR,
     MASK_VALUE,
     ceil_to,
     upcast_kv_payload,
@@ -262,6 +263,312 @@ def paged_gather_kv(cache: PagedKVCache, slot, kv_end: int, dtype=None):
     k = densify(cache.k_pages, cache.k_scales)
     v = densify(cache.v_pages, cache.v_scales)
     return k, v
+
+
+def _paged_prefill_kernel(
+    length_ref,  # scalar prefetch: [1] int32 (kv_end for this chunk)
+    table_ref,  # scalar prefetch: [pages_per_slot] int32
+    q_ref,  # [1, 1, block_q, D] (one GQA group member's row block)
+    k_refs,  # fanout x [1, 1, page, D] (one physical page each, head-sliced)
+    k_scale_refs,  # fanout x [1, 1, 1, page] fp32, or None
+    v_refs,
+    v_scale_refs,
+    o_ref,  # [1, 1, block_q, D]
+    m_scr,  # [block_q, LANES]
+    l_scr,
+    acc_scr,  # [block_q, D]
+    *,
+    scale2: float,
+    page_size: int,
+    pages_per_slot: int,
+    num_steps: int,
+    fanout: int,
+    block_q: int,
+    chunk_len: int,
+    softcap_in: float | None = None,
+    softcap_out: float | None = None,
+):
+    """Chunked-prefill attention reading K/V pages IN PLACE.
+
+    One grid step: ``fanout`` physical pages against one block of the
+    chunk's Q rows. The chunk's rows sit at positions
+    [kv_end - chunk_len, kv_end); causal masking uses that diag offset, and
+    pages entirely above a row block's diagonal are skipped (their index
+    maps clamp, so they issue no DMA). This replaces the per-chunk dense
+    gather (paged_gather_kv): chunk c no longer re-materializes its whole
+    O(c·chunk) visible prefix in HBM — the pages stream straight into the
+    online-softmax loop, so per-chunk HBM traffic is the pages read once,
+    not gather-out + kernel-in.
+    """
+    iq = pl.program_id(2)
+    ip = pl.program_id(3)
+    kv_end = length_ref[0]
+    chunk_start = kv_end - chunk_len
+
+    @pl.when(ip == 0)
+    def _init():
+        m_scr[...] = jnp.full_like(m_scr, -jnp.inf)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0, 0]  # [block_q, D]
+    # Last position visible to this row block (its final row's diagonal).
+    row_hi = chunk_start + (iq + 1) * block_q - 1
+    for j in range(fanout):
+        pj = ip * fanout + j
+        live = pj * page_size <= row_hi
+        if pages_per_slot % fanout:
+            live = jnp.logical_and(live, pj < pages_per_slot)
+
+        @pl.when(live)
+        def _compute(j=j, pj=pj):
+            k = k_refs[j][0, 0]  # [page, D]
+            k_scale_ref = None if k_scale_refs is None else k_scale_refs[j]
+            v_scale_ref = None if v_scale_refs is None else v_scale_refs[j]
+            if k_scale_ref is not None:
+                k_up, k_fold = upcast_kv_payload_expfold(k, q.dtype)
+            else:
+                k_up, k_fold = upcast_kv_payload(k, q.dtype), 1.0
+            s = jax.lax.dot_general(
+                q, k_up, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [block_q, page]
+            if k_scale_ref is not None:
+                ks = k_scale_ref[0, 0]  # [1, page]
+                s = s * (ks * k_fold if k_fold != 1.0 else ks)
+            if softcap_in is not None:
+                s = jnp.tanh(s * softcap_in) * softcap_out
+            col = (
+                jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+                + pj * page_size
+            )
+            row = (
+                jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+                + chunk_start
+                + iq * block_q
+            )
+            s = jnp.where(col <= row, s, MASK_VALUE)
+
+            m_prev = m_scr[...]
+            l_prev = l_scr[...]
+            m_curr = jnp.maximum(
+                jnp.max(s, axis=-1, keepdims=True) * scale2, M_FLOOR
+            )
+            m_next = jnp.maximum(m_prev, m_curr)
+            alpha = jnp.exp2(m_prev - m_next)
+            p = jnp.exp2(s * scale2 - m_next[:, :1])
+            l_scr[...] = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+            m_scr[...] = m_next
+
+            v = v_refs[j][0, 0]
+            if v_scale_ref is not None:
+                v_up, v_fold = upcast_kv_payload_expfold(v, q.dtype)
+                vs = v_scale_ref[0, 0]
+                p = p * (vs * v_fold if v_fold != 1.0 else vs)
+            else:
+                v_up = upcast_kv_payload(v, q.dtype)
+            pv = jax.lax.dot_general(
+                p.astype(q.dtype), v_up, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            acc_scr[...] = acc_scr[...] * alpha[:, :1] + pv
+
+    @pl.when(ip == num_steps - 1)
+    def _epilogue():
+        l = l_scr[...][:, :1]
+        inv = jnp.where(l == 0.0, 0.0, 1.0 / l)
+        o_ref[0, 0] = (acc_scr[...] * inv).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("chunk_len", "sm_scale", "block_q", "interpret", "logit_softcap"),
+)
+def paged_prefill_attention(
+    q: jax.Array,
+    cache: PagedKVCache,
+    slot,
+    kv_end,
+    *,
+    chunk_len: int,
+    sm_scale: float | None = None,
+    block_q: int | None = None,
+    interpret: bool | None = None,
+    logit_softcap: float | None = None,
+):
+    """Causal chunk attention over a slot's paged KV, pages read in place.
+
+    Args:
+      q: [1, q_heads, chunk_len, head_dim] — the current prefill chunk, whose
+        rows occupy positions [kv_end - chunk_len, kv_end). The chunk's own
+        K/V must already be written to the cache (the engine writes the chunk
+        before attending, exactly as with the gather path).
+      cache: PagedKVCache (plain or quantized payloads).
+      slot: scalar int — the slot whose page table maps the KV.
+      kv_end: scalar int32 — exclusive end of the visible KV prefix
+        (= chunk positions' end; the diag offset is kv_end - chunk_len).
+      chunk_len: static chunk length (a multiple of 128).
+      block_q: Q rows per grid step (defaults to min(chunk_len, 512)).
+
+    Returns:
+      [1, q_heads, chunk_len, head_dim] attention output.
+
+    Unlike the dense-gather path (paged_gather_kv + flash_attention), whose
+    chunk c moves O(c·chunk) HBM bytes re-densifying the prefix, this kernel
+    reads each visible page once per Q row block via the scalar-prefetch page
+    table — the same one-level indirection as _paged_decode_kernel, at
+    prefill width.
+    """
+    _, num_q_heads, t, head_dim = q.shape
+    num_pages, num_kv_heads, page_size, _ = cache.k_pages.shape
+    pages_per_slot = cache.pages_per_slot
+    if t != chunk_len:
+        raise ValueError(f"q chunk length {t} != chunk_len {chunk_len}")
+    if chunk_len % 128:
+        raise ValueError(f"chunk_len={chunk_len} must be a multiple of 128")
+    if num_q_heads % num_kv_heads:
+        raise ValueError(f"q_heads={num_q_heads} % kv_heads={num_kv_heads} != 0")
+    if sm_scale is None:
+        sm_scale = 1.0 / math.sqrt(head_dim)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if block_q is None:
+        block_q = min(chunk_len, 512)
+    block_q = min(block_q, chunk_len)
+    if chunk_len % block_q:
+        raise ValueError(f"chunk_len={chunk_len} % block_q={block_q} != 0")
+
+    group = num_q_heads // num_kv_heads
+    d_pad = ceil_to(head_dim, 128)
+    # [1, Hq, T, D] -> [Hkv, group, T, D]: the grid walks (kv_head, group,
+    # q block) so each Q block attends ONE un-expanded KV head's pages.
+    qg = q.reshape(num_kv_heads, group, t, head_dim)
+    if d_pad != head_dim:
+        qg = jnp.pad(qg, ((0, 0), (0, 0), (0, 0), (0, d_pad - head_dim)))
+
+    k_pages, v_pages = cache.k_pages, cache.v_pages
+    if d_pad != head_dim:
+        pads = ((0, 0), (0, 0), (0, 0), (0, d_pad - head_dim))
+        k_pages = jnp.pad(k_pages, pads)
+        v_pages = jnp.pad(v_pages, pads)
+    k_hp = jnp.swapaxes(k_pages, 0, 1)  # [H, P, page, D]
+    v_hp = jnp.swapaxes(v_pages, 0, 1)
+    quant = cache.quantized()
+    if quant:
+        # 4D [H, P, 1, page]: Mosaic requires the last two BLOCK dims to
+        # divide (8, 128) or equal the array dims — (1, 1, 1, page) over
+        # [H, P, 1, page] satisfies that where (1, 1, page) over [H, P, page]
+        # does not (the same constraint as the segment-id blocks).
+        k_sc_hp = jnp.swapaxes(cache.k_scales, 0, 1)  # [H, P, 1, page]
+        v_sc_hp = jnp.swapaxes(cache.v_scales, 0, 1)
+
+    table = cache.page_table[slot].astype(jnp.int32)  # [pages_per_slot]
+    kv_end_arr = jnp.asarray(kv_end, jnp.int32).reshape(1)
+
+    fanout = max(1, min(pages_per_slot, 2048 // page_size))
+    num_steps = -(-pages_per_slot // fanout)
+    num_q_blocks = chunk_len // block_q
+
+    def make_kv_map(j):
+        def kv_map(h, g, iq, ip, length_ref, table_ref):
+            kv_end_ = length_ref[0]
+            chunk_start = kv_end_ - chunk_len
+            # Clamp to the last live page for this row block: fully-masked
+            # pages repeat a live index and issue no DMA.
+            row_hi = chunk_start + (iq + 1) * block_q - 1
+            last_live = row_hi // page_size
+            pj = jnp.minimum(ip * fanout + j, pages_per_slot - 1)
+            pj = jnp.minimum(pj, last_live)
+            return (h, table_ref[pj], 0, 0)
+
+        return kv_map
+
+    def make_sc_map(j):
+        kv_map = make_kv_map(j)
+
+        def sc_map(h, g, iq, ip, length_ref, table_ref):
+            hh, phys, _, _ = kv_map(h, g, iq, ip, length_ref, table_ref)
+            return (hh, phys, 0, 0)
+
+        return sc_map
+
+    q_spec = pl.BlockSpec(
+        (1, 1, block_q, d_pad), lambda h, g, iq, ip, L, T: (h, g, iq, 0)
+    )
+    kv_specs = [
+        pl.BlockSpec((1, 1, page_size, d_pad), make_kv_map(j))
+        for j in range(fanout)
+    ]
+    sc_specs = [
+        pl.BlockSpec((1, 1, 1, page_size), make_sc_map(j))
+        for j in range(fanout)
+    ]
+    out_shape = jax.ShapeDtypeStruct(
+        (num_kv_heads, group, chunk_len, d_pad), q.dtype
+    )
+    out_spec = pl.BlockSpec(
+        (1, 1, block_q, d_pad), lambda h, g, iq, ip, L, T: (h, g, iq, 0)
+    )
+
+    def wrapped(length_ref, table_ref, *refs):
+        idx = 0
+        q_r = refs[idx]; idx += 1
+        k_rs = refs[idx : idx + fanout]; idx += fanout
+        k_ss = refs[idx : idx + fanout] if quant else None
+        idx += fanout if quant else 0
+        v_rs = refs[idx : idx + fanout]; idx += fanout
+        v_ss = refs[idx : idx + fanout] if quant else None
+        idx += fanout if quant else 0
+        o_r = refs[idx]; idx += 1
+        scr = refs[idx:]
+        _paged_prefill_kernel(
+            length_ref, table_ref, q_r, k_rs, k_ss, v_rs, v_ss, o_r, *scr,
+            scale2=sm_scale * LOG2E,
+            page_size=page_size,
+            pages_per_slot=pages_per_slot,
+            num_steps=num_steps,
+            fanout=fanout,
+            block_q=block_q,
+            chunk_len=chunk_len,
+            softcap_in=None if logit_softcap is None else sm_scale / logit_softcap,
+            softcap_out=None if logit_softcap is None else logit_softcap / sm_scale,
+        )
+
+    in_specs = [q_spec] + list(kv_specs)
+    inputs = [qg] + [k_hp] * fanout
+    if quant:
+        in_specs += list(sc_specs)
+        inputs += [k_sc_hp] * fanout
+    in_specs += list(kv_specs)
+    inputs += [v_hp] * fanout
+    if quant:
+        in_specs += list(sc_specs)
+        inputs += [v_sc_hp] * fanout
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(num_kv_heads, group, num_q_blocks, num_steps),
+        in_specs=in_specs,
+        out_specs=[out_spec],
+        scratch_shapes=[
+            pltpu.VMEM((block_q, LANES), jnp.float32),
+            pltpu.VMEM((block_q, LANES), jnp.float32),
+            pltpu.VMEM((block_q, d_pad), jnp.float32),
+        ],
+    )
+
+    results = pl.pallas_call(
+        wrapped,
+        grid_spec=grid_spec,
+        out_shape=[out_shape],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(kv_end_arr, table, *inputs)
+
+    out = results[0][:, :, :, :head_dim].reshape(1, num_q_heads, t, head_dim)
+    return out
 
 
 def _paged_decode_kernel(

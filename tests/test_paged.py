@@ -207,3 +207,80 @@ def test_paged_quantized_decode_matches_dense(mode):
     kq, vq = quantize_kv(k, v, mode)
     want = decode_attention(q, kq, vq, jnp.asarray(lengths), block_kv=PAGE)
     assert_close(got, want)
+
+
+@pytest.mark.parametrize("quant", ["none", "int8", "fp8_e4m3"])
+def test_paged_prefill_matches_gather_path(quant):
+    """The in-place paged prefill kernel must match the dense-gather path
+    (chunk attention over densified visible KV) across chunk offsets, GQA,
+    and quantized payloads."""
+    from flash_attention_tpu.ops.flash_attention import flash_attention
+    from flash_attention_tpu.ops.paged import (
+        paged_gather_kv,
+        paged_prefill_attention,
+        paged_write_prefill,
+    )
+
+    kv_heads, q_heads = 2, 4
+    pages_per_slot, chunk = 4, 256  # 2 pages per chunk, 2 chunks total
+    max_len = pages_per_slot * PAGE
+    cache = init_paged_cache(
+        num_pages=16, num_slots=2, pages_per_slot=pages_per_slot,
+        kv_heads=kv_heads, page_size=PAGE, kv_quant=quant,
+    )
+    rng = np.random.RandomState(5)
+    table = rng.permutation(16)[: 2 * pages_per_slot].reshape(2, pages_per_slot)
+    cache = cache._replace(page_table=jnp.asarray(table, jnp.int32))
+
+    q_full, k_full, v_full = make_qkv(31, 1, q_heads, max_len, 128,
+                                      num_kv_heads=kv_heads)
+    slot = 1
+    for c in range(max_len // chunk):
+        start = c * chunk
+        kv_end = start + chunk
+        cache = paged_write_prefill(
+            cache, k_full[0, :, start:kv_end], v_full[0, :, start:kv_end],
+            slot, kv_end, start=start,
+        )
+        q_chunk = q_full[:, :, start:kv_end]
+        got = paged_prefill_attention(
+            q_chunk, cache, slot, jnp.int32(kv_end), chunk_len=chunk
+        )
+        k_vis, v_vis = paged_gather_kv(cache, slot, kv_end)
+        want = flash_attention(q_chunk, k_vis, v_vis, causal=True)
+        # Quantized: both paths see the same quantized cache, so they agree
+        # to kernel tolerance; vs the fp32 oracle the quantization error
+        # dominates but stays inside the reference 0.1 bar.
+        assert_close(got, want, msg=f"quant={quant} chunk={c}")
+        oracle = reference_attention(
+            q_full[:, :, start:kv_end].astype(jnp.float32),
+            k_full[:, :, :kv_end].astype(jnp.float32),
+            v_full[:, :, :kv_end].astype(jnp.float32),
+            causal=True,
+        )
+        assert_close(got, oracle, msg=f"quant={quant} chunk={c} vs oracle")
+
+
+def test_paged_prefill_softcap():
+    from flash_attention_tpu.ops.flash_attention import flash_attention
+    from flash_attention_tpu.ops.paged import (
+        paged_gather_kv,
+        paged_prefill_attention,
+        paged_write_prefill,
+    )
+
+    cache = init_paged_cache(
+        num_pages=8, num_slots=1, pages_per_slot=4, kv_heads=2,
+        page_size=PAGE,
+    )
+    cache = cache._replace(
+        page_table=jnp.asarray([[5, 2, 7, 0]], jnp.int32)
+    )
+    q, k, v = make_qkv(32, 1, 2, 512, 128)
+    cache = paged_write_prefill(cache, k[0], v[0], 0, 512, start=0)
+    got = paged_prefill_attention(
+        q, cache, 0, jnp.int32(512), chunk_len=512, logit_softcap=25.0
+    )
+    k_vis, v_vis = paged_gather_kv(cache, 0, 512)
+    want = flash_attention(q, k_vis, v_vis, causal=True, logit_softcap=25.0)
+    assert_close(got, want)
