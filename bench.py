@@ -164,18 +164,21 @@ def bench_gqa(on_tpu):
     if not on_tpu:
         return rows
     peak = detect_mxu_peak_tflops()
-    for seq in (2048, 8192):
+    for seq, causal in ((2048, True), (8192, True), (8192, False)):
         q, k, v = make_qkv(7, BATCH, HEADS, seq, HEAD_DIM, num_kv_heads=8)
-        fn = lambda q, k, v: flash_attention(q, k, v, causal=True)
-        fl = attention_flops(BATCH, HEADS, seq, HEAD_DIM, causal=True)
+        fn = lambda q, k, v, c=causal: flash_attention(q, k, v, causal=c)
+        fl = attention_flops(BATCH, HEADS, seq, HEAD_DIM, causal=causal)
         t = scan_timer(fn, (q, k, v), est_s=fl / (0.3 * peak * 1e12))
         tf = fl / t / 1e12
         rows.append(
-            dict(kind="gqa_forward", seq=seq, causal=True, q_heads=HEADS,
+            dict(kind="gqa_forward", seq=seq, causal=causal, q_heads=HEADS,
                  kv_heads=8, time_us=t * 1e6, tflops=tf,
                  roofline_frac=tf / peak)
         )
-        log(f"gqa 32/8 seq={seq:6d} causal: {t*1e6:9.1f}us {tf:7.2f} TFLOPS")
+        log(
+            f"gqa 32/8 seq={seq:6d} causal={int(causal)}: {t*1e6:9.1f}us "
+            f"{tf:7.2f} TFLOPS ({tf/peak*100:4.1f}% roofline)"
+        )
     return rows
 
 
@@ -235,7 +238,7 @@ def bench_decode(on_tpu):
     q, k, v = make_qkv(1, batch, q_heads, 1, HEAD_DIM, num_kv_heads=kv_heads, kv_seq=seq)
     q = q[:, :, 0, :]
     lengths = jnp.full((batch,), seq, jnp.int32)
-    for mode in ("none", "int8", "fp8_e4m3"):
+    for mode in ("none", "int8", "fp8_e4m3", "fp8_e5m2"):
         kq, vq = quantize_kv(k, v, mode)
         # The KV cache must be a jit ARGUMENT of the timing loop, not a
         # closure: GB-scale closure constants inside a lax.scan hang XLA's
@@ -269,6 +272,148 @@ def bench_decode(on_tpu):
     return rows
 
 
+def bench_paged(on_tpu):
+    """Paged-cache rows: decode through the page-table kernel (int8,
+    page_size=1024 — the documented serving config) and the in-place paged
+    PREFILL kernel's per-chunk time at the first vs last chunk (flat = the
+    O(S²/chunk) gather bytes are gone)."""
+    rows = []
+    if not on_tpu:
+        return rows
+    import numpy as np
+
+    from flash_attention_tpu.ops.paged import (
+        init_paged_cache,
+        paged_decode_attention,
+        paged_prefill_attention,
+        paged_write_prefill,
+    )
+
+    batch, q_heads, kv_heads, seq, page = 32, 32, 8, 8192, 1024
+    pages_per_slot = seq // page
+    num_pages = batch * pages_per_slot + 1
+    cache = init_paged_cache(
+        num_pages=num_pages, num_slots=batch, pages_per_slot=pages_per_slot,
+        kv_heads=kv_heads, page_size=page, kv_quant="int8",
+    )
+    rng = np.random.RandomState(3)
+    table = (1 + rng.permutation(num_pages - 1))[: batch * pages_per_slot]
+    cache = cache._replace(
+        page_table=jnp.asarray(table.reshape(batch, pages_per_slot), jnp.int32)
+    )
+    _, k, v = make_qkv(21, batch, kv_heads, 1, HEAD_DIM, kv_seq=seq)
+    for slot in range(batch):
+        cache = paged_write_prefill(cache, k[slot], v[slot], slot, seq)
+    q = make_qkv(22, batch, q_heads, 1, HEAD_DIM)[0][:, :, 0, :]
+
+    fn = lambda q, cache: paged_decode_attention(q, cache)
+    kv_bytes = cache.k_pages.size + cache.v_pages.size  # int8 payload
+    t = scan_timer(fn, (q, cache), est_s=kv_bytes / (0.6 * 819e9), chain="add")
+    rows.append(
+        dict(
+            kind="decode", kv_quant="int8_paged", batch=batch, seq=seq,
+            page_size=page, time_us=t * 1e6, tokens_per_s=batch / t,
+            kv_read_gbps=kv_bytes / t / 1e9,
+        )
+    )
+    log(
+        f"decode kv=int8_paged b={batch} s={seq} page={page}: "
+        f"{t*1e6:8.1f}us/step {batch/t:9.0f} tok/s "
+        f"(KV read {kv_bytes/t/1e9:5.0f} GB/s)"
+    )
+
+    # Paged prefill chunk times: first chunk (sees 1 page) vs last chunk
+    # (sees the whole 8K prefix in place). The gather path's per-chunk cost
+    # grew linearly in the chunk index; the kernel's grows only by the live
+    # pages it actually reads.
+    chunk = 512
+    qc = make_qkv(23, 1, q_heads, chunk, HEAD_DIM)[0]
+    for label, kv_end in (("first", chunk), ("last", seq)):
+        fnp = lambda qc, cache, ke: paged_prefill_attention(
+            qc, cache, 0, ke, chunk_len=chunk
+        )
+        fl = attention_flops(
+            1, q_heads, chunk, HEAD_DIM, causal=False, kv_seq=kv_end
+        )
+        t = scan_timer(
+            fnp, (qc, cache, jnp.int32(kv_end)),
+            est_s=max(fl / (0.2 * 197e12), 20e-6), chain="add",
+        )
+        rows.append(
+            dict(
+                kind="paged_prefill", chunk=label, chunk_len=chunk,
+                kv_end=kv_end, page_size=page, time_us=t * 1e6,
+            )
+        )
+        log(
+            f"paged prefill chunk={label:5s} kv_end={kv_end:5d}: "
+            f"{t*1e6:8.1f}us"
+        )
+    return rows
+
+
+def bench_engine(on_tpu):
+    """Engine-level decode tokens/s through PagedServingEngine — scheduler,
+    per-request sampling, paged cache writes and the host serving loop all
+    included (the reference analog: its harness timed the whole dispatch
+    path, flash_attention.cu:941-960). Model: 4-layer 7B-shaped decoder
+    (model_dim 4096, 32q/8kv) so the number reflects the serving stack, not
+    a toy. NOTE: on the tunneled bench host every loop iteration pays the
+    ~9 ms relay RTT (reported as relay_overhead_us); on a directly-attached
+    host that term vanishes."""
+    rows = []
+    if not on_tpu:
+        return rows
+    import time
+
+    from flash_attention_tpu.models.transformer import (
+        ModelConfig, init_model_params,
+    )
+    from flash_attention_tpu.serving.engine import Request
+    from flash_attention_tpu.serving.paged_engine import PagedServingEngine
+    from flash_attention_tpu.utils.benchmarking import calibrate_overhead_s
+
+    batch, page, ctx = 32, 1024, 8192
+    cfg = ModelConfig(
+        vocab_size=32000, model_dim=4096, num_layers=4, num_q_heads=32,
+        num_kv_heads=8, head_dim=HEAD_DIM, mlp_dim=11008, kv_quant="int8",
+    )
+    params = init_model_params(jax.random.key(0), cfg)
+    prompt_len, max_new = ctx - 512, 64
+    engine = PagedServingEngine(
+        params, cfg, max_slots=batch,
+        num_pages=batch * (ctx // page) + 1,
+        pages_per_slot=ctx // page, page_size=page, prefill_chunk=1024,
+    )
+    rng = jax.random.key(9)
+    prompts = jax.random.randint(rng, (batch, prompt_len), 0, cfg.vocab_size)
+    reqs = [
+        Request(id=i, prompt=tuple(int(x) for x in prompts[i, :8]) * (prompt_len // 8),
+                max_new_tokens=max_new)
+        for i in range(batch)
+    ]
+    t0 = time.perf_counter()
+    engine.run(reqs)
+    total = time.perf_counter() - t0
+    toks = engine.decode_tokens
+    tps = toks / engine.decode_time_s
+    rows.append(
+        dict(
+            kind="engine", engine="paged", batch=batch, seq=ctx,
+            page_size=page, kv_quant="int8", model_layers=cfg.num_layers,
+            decode_tokens=toks, decode_time_s=engine.decode_time_s,
+            tokens_per_s=tps, total_run_s=total,
+            relay_overhead_us=calibrate_overhead_s() * 1e6,
+        )
+    )
+    log(
+        f"engine paged b={batch} ctx={ctx} int8 ({cfg.num_layers}L 7B-shape): "
+        f"{tps:8.0f} tok/s decode-phase ({toks} toks, "
+        f"total run {total:.1f}s incl prefill)"
+    )
+    return rows
+
+
 def main():
     on_tpu = jax.default_backend() == "tpu"
     log(f"devices: {jax.devices()}  backend={jax.default_backend()}")
@@ -277,6 +422,8 @@ def main():
     gqa_rows = bench_gqa(on_tpu)
     train_rows = bench_training(on_tpu)
     dec_rows = bench_decode(on_tpu)
+    dec_rows += bench_paged(on_tpu)
+    eng_rows = bench_engine(on_tpu)
 
     ref_rows = [r for r in fwd_rows if r["reference_tflops"]]
     if ref_rows:
@@ -296,7 +443,9 @@ def main():
         forward=fwd_rows,
         gqa_forward=gqa_rows,
         train=train_rows,
-        decode=dec_rows,
+        decode=[r for r in dec_rows if r["kind"] == "decode"],
+        paged_prefill=[r for r in dec_rows if r["kind"] == "paged_prefill"],
+        engine=eng_rows[0] if eng_rows else None,
         geomean_tflops=geo,
         vs_baseline=vs,
     )

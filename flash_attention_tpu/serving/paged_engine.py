@@ -89,6 +89,10 @@ class PagedServingEngine:
         self._prefills: dict[int, _PrefillState] = {}
         self.steps = 0
         self.decode_tokens = 0
+        # Wall-clock spent in the decode section of the serving loop (the
+        # jitted decode_all dispatch + device sync + host token bookkeeping)
+        # — the denominator of engine-level decode tokens/s.
+        self.decode_time_s = 0.0
         self.events: list[tuple] = []
 
         model_cfg = cfg
@@ -267,6 +271,9 @@ class PagedServingEngine:
                     break
                 continue
 
+            import time as _time
+
+            _t0 = _time.perf_counter()
             active_mask = np.zeros((self.max_slots,), bool)
             active_mask[active] = True
             next_tok, self.caches = self._decode_all(
@@ -291,5 +298,6 @@ class PagedServingEngine:
                     out[req_id].finished_by_eos = True
                 if self.sched.record_token(slot, is_eos):
                     self._release(slot)
+            self.decode_time_s += _time.perf_counter() - _t0
 
         return out
