@@ -392,6 +392,16 @@ def bench_engine(on_tpu):
                 max_new_tokens=max_new)
         for i in range(batch)
     ]
+    # Warmup: compile the prefill + decode programs on a throwaway batch,
+    # then zero the counters — the first decode step's one-time compile
+    # (~15 s) otherwise lands in the decode-phase denominator and reads as
+    # a ~4x throughput loss (measured 280 ms/step avg vs 65 ms steady).
+    engine.run([
+        Request(id=10_000 + i, prompt=(1, 2, 3, 4) * 256, max_new_tokens=2)
+        for i in range(batch)
+    ])
+    engine.decode_tokens = 0
+    engine.decode_time_s = 0.0
     t0 = time.perf_counter()
     engine.run(reqs)
     total = time.perf_counter() - t0

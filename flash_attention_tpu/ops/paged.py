@@ -15,12 +15,16 @@ cu:169-180) to production cache management. Numerics are the shared contract
 (ops/common.py): fp32 accumulators, exp2-domain online softmax, base-2 LSE
 residuals compatible with ops/merge.py.
 
-Throughput guidance (v5e, b=32, s=8192, bf16, dense cache = 754 GB/s): the
-decode kernel fetches multiple pages per grid step (fanout targets ~2048
-rows), which lifts page_size=512 from 423 to 507 GB/s; the remaining gap is
-per-page DMA granularity, so SERVING CONFIGS SHOULD PREFER page_size >= 1024
-(716 GB/s) — 2048 reaches dense parity (765 GB/s). Small pages trade
-bandwidth for allocator granularity.
+Throughput guidance (v5e, b=32, s=8192; dense bf16 cache = 754 GB/s, dense
+int8 = 712): paged reads are DMA-GRANULARITY-bound, so the decode kernel
+fetches whole physical pages across all KV heads in one DMA when the
+working set fits VMEM (_paged_decode_kernel_hb — kv_heads x larger
+transfers), else falls back to per-(head, page) fetches with multi-page
+fanout. Measured with the head-batched fetch: int8 page_size=1024 reads
+732 GB/s (43.4k tok/s — ABOVE the dense int8 path, whose 4096-row blocks
+DMA at 712), bf16 page 512 675 GB/s (was 507 per-head), int8 page 2048
+565 (12 MB whole-page working set crowds VMEM — prefer 1024). SERVING
+CONFIGS: page_size 1024 with quantized KV is the sweet spot.
 """
 
 from __future__ import annotations
@@ -571,6 +575,125 @@ def paged_prefill_attention(
     return out
 
 
+def _paged_decode_kernel_hb(
+    lengths_ref,  # scalar prefetch: [S] int32
+    table_ref,  # scalar prefetch: [S * pages_per_slot] int32 (flattened)
+    q_ref,  # [1, H, Gp, D]
+    k_refs,  # fanout x [1, H, page, D] — ONE whole physical page (all heads)
+    k_scale_refs,  # fanout x [1, H, 1, page] fp32, or None
+    v_refs,
+    v_scale_refs,
+    o_ref,  # [1, H, Gp, D]
+    lse_ref,  # [1, H, Gp, LANES] or None
+    m_scr,  # [H, Gp, LANES]
+    l_scr,
+    acc_scr,  # [H, Gp, D]
+    *,
+    scale2: float,
+    page_size: int,
+    pages_per_slot: int,
+    num_steps: int,
+    fanout: int,
+    window: int | None = None,
+    softcap_in: float | None = None,
+    softcap_out: float | None = None,
+):
+    """Head-batched paged decode: one DMA per physical PAGE, not per
+    (head, page).
+
+    The per-head kernel's DMAs are [page, D] slices — 131 KB at int8
+    page_size=1024, which is DMA-granularity-bound (measured 428 GB/s vs
+    712 dense; paged bf16 with 2x the bytes per DMA reads 711). A physical
+    page's [kv_heads, page, D] block is CONTIGUOUS in the native cache
+    layout, so fetching all heads at once multiplies the DMA size by
+    kv_heads and computes every head's GQA group per step with batched
+    MMAs. Used when the whole-page working set fits VMEM (quantized
+    payloads, moderate pages); the per-head kernel remains for the rest.
+    """
+    b = pl.program_id(0)
+    ip = pl.program_id(1)
+    length = lengths_ref[b]
+
+    @pl.when(ip == 0)
+    def _init():
+        m_scr[...] = jnp.full_like(m_scr, -jnp.inf)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0]  # [H, Gp, D]
+    for j in range(fanout):
+        pj = ip * fanout + j
+        if window is None:
+            live = pj * page_size < length
+        else:
+            live = jnp.logical_and(
+                pj * page_size < length,
+                (pj + 1) * page_size > length - window,
+            )
+        if pages_per_slot % fanout:
+            live = jnp.logical_and(live, pj < pages_per_slot)
+
+        @pl.when(live)
+        def _compute(j=j, pj=pj):
+            k = k_refs[j][0]  # [H, page, D]
+            k_scale_ref = None if k_scale_refs is None else k_scale_refs[j]
+            v_scale_ref = None if v_scale_refs is None else v_scale_refs[j]
+            if k_scale_ref is not None:
+                k_up, k_fold = upcast_kv_payload_expfold(k, q.dtype)
+            else:
+                k_up, k_fold = upcast_kv_payload(k, q.dtype), 1.0
+            s = jax.lax.dot_general(
+                q, k_up, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )  # [H, Gp, page]
+            if k_scale_ref is not None:
+                ks = k_scale_ref[0]  # [H, 1, page] broadcasts over Gp rows
+                s = s * (ks * k_fold if k_fold != 1.0 else ks)
+            if softcap_in is not None:
+                s = jnp.tanh(s * softcap_in) * softcap_out
+            col = (
+                jax.lax.broadcasted_iota(jnp.int32, s.shape[1:], 1)
+                + pj * page_size
+            )
+            ok = col < length
+            if window is not None:
+                ok = jnp.logical_and(ok, col >= length - window)
+            s = jnp.where(ok[None], s, MASK_VALUE)
+
+            m_prev = m_scr[...]  # [H, Gp, LANES]
+            l_prev = l_scr[...]
+            m_curr = jnp.max(s, axis=-1, keepdims=True) * scale2
+            m_next = jnp.maximum(m_prev, m_curr)
+            alpha = jnp.exp2(m_prev - m_next)
+            p = jnp.exp2(s * scale2 - m_next[:, :, :1])
+            l_scr[...] = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+            m_scr[...] = m_next
+
+            v = v_refs[j][0]
+            if v_scale_ref is not None:
+                v_up, v_fold = upcast_kv_payload_expfold(v, q.dtype)
+                vs = v_scale_ref[0]
+                p = p * (vs * v_fold if v_fold != 1.0 else vs)
+            else:
+                v_up = upcast_kv_payload(v, q.dtype)
+            pv = jax.lax.dot_general(
+                p.astype(q.dtype), v_up, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )  # [H, Gp, D]
+            acc_scr[...] = acc_scr[...] * alpha[:, :, :1] + pv
+
+    @pl.when(ip == num_steps - 1)
+    def _epilogue():
+        l = l_scr[...][:, :, :1]
+        inv = jnp.where(l == 0.0, 0.0, 1.0 / l)
+        o_ref[0] = (acc_scr[...] * inv).astype(o_ref.dtype)
+        if lse_ref is not None:
+            m = m_scr[...][:, :, :1]
+            safe_l = jnp.where(l == 0.0, 1.0, l)
+            lse2 = jnp.where(l == 0.0, -jnp.inf, m + jnp.log2(safe_l))
+            lse_ref[0] = jnp.broadcast_to(lse2, lse_ref.shape[1:])
+
+
 def _paged_decode_kernel(
     lengths_ref,  # scalar prefetch: [S] int32
     table_ref,  # scalar prefetch: [S * pages_per_slot] int32 (flattened)
@@ -754,6 +877,143 @@ def paged_decode_attention(
 
     table_flat = cache.page_table.reshape(-1).astype(jnp.int32)
     lengths = cache.lengths.astype(jnp.int32)
+
+    # Head-batched whole-page fetch (see _paged_decode_kernel_hb): one DMA
+    # per physical page instead of per (head, page) — kv_heads x larger
+    # transfers, which is what the DMA-granularity-bound quantized path
+    # needs (int8 page=1024 measured 428 GB/s per-head vs 712 dense).
+    # Applies when the whole-page working set fits VMEM.
+    itemsize = k_pages.dtype.itemsize
+    per_f = 2 * num_kv_heads * page_size * d_pad * itemsize * 2  # k+v, 2 buf
+    upcast_tmp = (
+        0 if itemsize >= 2 else 2 * num_kv_heads * page_size * d_pad * 2
+    )
+    fanout_hb = max(1, min(pages_per_slot, 2048 // page_size))
+    while fanout_hb > 1 and fanout_hb * per_f + upcast_tmp > 12 * 2**20:
+        fanout_hb -= 1
+    use_hb = per_f + upcast_tmp <= 12 * 2**20
+    if use_hb:
+        num_steps = -(-pages_per_slot // fanout_hb)
+
+        def make_kv_map_hb(j):
+            def kv_map(b, ip, lengths_ref, table_ref):
+                pj = jnp.minimum(ip * fanout_hb + j, pages_per_slot - 1)
+                ip_c = jnp.minimum(
+                    pj,
+                    jnp.maximum(pl.cdiv(lengths_ref[b], page_size) - 1, 0),
+                )
+                if sliding_window is not None:
+                    lo = (
+                        jnp.maximum(lengths_ref[b] - sliding_window, 0)
+                        // page_size
+                    )
+                    ip_c = jnp.maximum(ip_c, lo)
+                return (table_ref[b * pages_per_slot + ip_c], 0, 0, 0)
+
+            return kv_map
+
+        q_spec = pl.BlockSpec(
+            (1, num_kv_heads, group_pad, d_pad), lambda b, ip, L, T: (b, 0, 0, 0)
+        )
+        kv_specs = [
+            pl.BlockSpec((1, num_kv_heads, page_size, d_pad), make_kv_map_hb(j))
+            for j in range(fanout_hb)
+        ]
+        sc_specs = [
+            pl.BlockSpec((1, num_kv_heads, 1, page_size), make_kv_map_hb(j))
+            for j in range(fanout_hb)
+        ]
+        out_shapes = [
+            jax.ShapeDtypeStruct(
+                (num_slots, num_kv_heads, group_pad, d_pad), q.dtype
+            )
+        ]
+        out_specs = [
+            pl.BlockSpec(
+                (1, num_kv_heads, group_pad, d_pad), lambda b, ip, L, T: (b, 0, 0, 0)
+            )
+        ]
+        if save_residuals:
+            out_shapes.append(
+                jax.ShapeDtypeStruct(
+                    (num_slots, num_kv_heads, group_pad, LANES), jnp.float32
+                )
+            )
+            out_specs.append(
+                pl.BlockSpec(
+                    (1, num_kv_heads, group_pad, LANES),
+                    lambda b, ip, L, T: (b, 0, 0, 0),
+                )
+            )
+
+        def wrapped_hb(lengths_ref, table_ref, *refs):
+            idx = 0
+            q_r = refs[idx]; idx += 1
+            k_rs = refs[idx : idx + fanout_hb]; idx += fanout_hb
+            k_ss = refs[idx : idx + fanout_hb] if quant else None
+            idx += fanout_hb if quant else 0
+            v_rs = refs[idx : idx + fanout_hb]; idx += fanout_hb
+            v_ss = refs[idx : idx + fanout_hb] if quant else None
+            idx += fanout_hb if quant else 0
+            o_r = refs[idx]; idx += 1
+            lse_r = refs[idx] if save_residuals else None
+            idx += int(save_residuals)
+            scr = refs[idx:]
+            _paged_decode_kernel_hb(
+                lengths_ref, table_ref, q_r, k_rs, k_ss, v_rs, v_ss, o_r,
+                lse_r, *scr,
+                scale2=sm_scale * LOG2E,
+                page_size=page_size,
+                pages_per_slot=pages_per_slot,
+                num_steps=num_steps,
+                fanout=fanout_hb,
+                window=sliding_window,
+                softcap_in=(
+                    None if logit_softcap is None else sm_scale / logit_softcap
+                ),
+                softcap_out=(
+                    None if logit_softcap is None else logit_softcap / sm_scale
+                ),
+            )
+
+        in_specs = [q_spec] + list(kv_specs)
+        inputs = [qg] + [k_pages] * fanout_hb
+        if quant:
+            in_specs += list(sc_specs)
+            inputs += [cache.k_scales] * fanout_hb
+        in_specs += list(kv_specs)
+        inputs += [v_pages] * fanout_hb
+        if quant:
+            in_specs += list(sc_specs)
+            inputs += [cache.v_scales] * fanout_hb
+
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(num_slots, num_steps),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            scratch_shapes=[
+                pltpu.VMEM((num_kv_heads, group_pad, LANES), jnp.float32),
+                pltpu.VMEM((num_kv_heads, group_pad, LANES), jnp.float32),
+                pltpu.VMEM((num_kv_heads, group_pad, d_pad), jnp.float32),
+            ],
+        )
+        results = pl.pallas_call(
+            wrapped_hb,
+            grid_spec=grid_spec,
+            out_shape=out_shapes,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "arbitrary"),
+            ),
+            interpret=interpret,
+        )(lengths, table_flat, *inputs)
+        out = results[0][:, :, :group, :head_dim].reshape(
+            num_slots, num_q_heads, head_dim
+        )
+        if save_residuals:
+            lse2 = results[1][:, :, :group, 0].reshape(num_slots, num_q_heads)
+            return out, lse2
+        return out
 
     # Multi-page fanout: each grid step fetches `fanout` logical pages
     # through separate index-mapped inputs (pages are non-contiguous, so one
