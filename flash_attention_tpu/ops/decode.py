@@ -34,7 +34,14 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from flash_attention_tpu.ops.common import upcast_kv_payload, upcast_kv_payload_expfold
+from flash_attention_tpu.ops.common import (
+    packed_pos,
+    packed_split_order,
+    split_scales_lanes,
+    upcast_kv_payload,
+    upcast_kv_payload_expfold,
+    upcast_kv_payload_packed,
+)
 from flash_attention_tpu.ops.merge import merge_partial_attention
 from flash_attention_tpu.ops.quant import QuantizedTensor
 from flash_attention_tpu.ops.tuning import select_decode_block_sizes
@@ -53,9 +60,9 @@ def _decode_kernel(
     lengths_ref,  # scalar prefetch: [B] int32
     q_ref,  # [1, 1, Gp, D]
     k_ref,  # [1, 1, block_kv, D]
-    k_scale_ref,  # [1, 1, 1, block_kv] or None (lane-oriented per-token scales)
+    k_scale_refs,  # () | ([1,1,1,block_kv],) | pair-split halves x2 (packed)
     v_ref,
-    v_scale_ref,
+    v_scale_refs,
     o_ref,  # [1, 1, Gp, D]
     lse_ref,  # [1, 1, Gp, LANES] or None
     m_scr,
@@ -65,6 +72,8 @@ def _decode_kernel(
     scale2: float,
     block_kv: int,
     num_kv_blocks: int,
+    packed: bool = False,
+    packed_order: str = "pair",
     window: int | None = None,
     softcap_in: float | None = None,
     softcap_out: float | None = None,
@@ -94,51 +103,92 @@ def _decode_kernel(
         # so q·(k·s) == (q·k_payload)·s — apply them to the [Gp, block_kv]
         # score tile instead of the [block_kv, D] payload (Gp/D ~= 8x less
         # VPU work, and the payload never materializes in fp32).
-        if k_scale_ref is not None:
+        #
+        # fp8 payloads take the SIMD-packed widen (upcast_kv_payload_packed):
+        # the tile widens into TWO half tiles in pair-split row order, so the
+        # kernel runs the softmax over two half score tiles whose position
+        # iotas are remapped (pos = 2w - (w&1) + 2*half) and whose scale rows
+        # arrive pre-split. The PV dot needs no reorder: P columns and V rows
+        # carry the identical permutation, and the sum is order-invariant.
+        if packed:
+            k0, k1, k_fold = upcast_kv_payload_packed(k)
+            k_halves = (k0, k1)
+        elif k_scale_refs:
             # Scaled payloads take the exponent-folded fp8 widen: the 2**k
             # rebias moves off the [block_kv, D] payload tile onto the
             # [1, block_kv] scale row (and the denorm select disappears).
             k_up, k_fold = upcast_kv_payload_expfold(k, q.dtype)
+            k_halves = (k_up,)
         else:
-            k_up, k_fold = upcast_kv_payload(k, q.dtype), 1.0
-        s = jax.lax.dot_general(
-            q, k_up, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [Gp, block_kv]
-        if k_scale_ref is not None:
-            ks = k_scale_ref[0, 0]  # [1, block_kv] broadcast over rows
-            s = s * (ks * k_fold if k_fold != 1.0 else ks)
-        if softcap_in is not None:
-            s = jnp.tanh(s * softcap_in) * softcap_out
+            k_halves, k_fold = (upcast_kv_payload(k, q.dtype),), 1.0
 
-        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ikv * block_kv
-        ok = col < length
-        if window is not None:
-            ok = jnp.logical_and(ok, col >= length - window)
-        s = jnp.where(ok, s, MASK_VALUE)
+        s_halves = []
+        for kh, ks_ref in zip(
+            k_halves, k_scale_refs or (None,) * len(k_halves)
+        ):
+            s = jax.lax.dot_general(
+                q, kh, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [Gp, block_kv or block_kv/2]
+            if ks_ref is not None:
+                ks = ks_ref[0, 0]  # [1, cols] broadcast over rows
+                s = s * (ks * k_fold if k_fold != 1.0 else ks)
+            if softcap_in is not None:
+                s = jnp.tanh(s * softcap_in) * softcap_out
+            s_halves.append(s)
+
+        for h, s in enumerate(s_halves):
+            w = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            if packed:
+                col = ikv * block_kv + packed_pos(w, h, packed_order)
+            else:
+                col = ikv * block_kv + w
+            ok = col < length
+            if window is not None:
+                ok = jnp.logical_and(ok, col >= length - window)
+            s_halves[h] = jnp.where(ok, s, MASK_VALUE)
 
         m_prev = m_scr[...]
         l_prev = l_scr[...]
-        m_curr = jnp.max(s, axis=-1, keepdims=True) * scale2
+        m_curr = s_halves[0].max(axis=-1, keepdims=True)
+        for s in s_halves[1:]:
+            m_curr = jnp.maximum(m_curr, s.max(axis=-1, keepdims=True))
+        m_curr = m_curr * scale2
         m_next = jnp.maximum(m_prev, m_curr)
         alpha = jnp.exp2(m_prev - m_next)
-        p = jnp.exp2(s * scale2 - m_next[:, :1])
-        l_scr[...] = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+        p_halves = [
+            jnp.exp2(s * scale2 - m_next[:, :1]) for s in s_halves
+        ]
+        l_curr = p_halves[0].sum(axis=-1, keepdims=True)
+        for p in p_halves[1:]:
+            l_curr = l_curr + p.sum(axis=-1, keepdims=True)
+        l_scr[...] = alpha * l_prev + l_curr
         m_scr[...] = m_next
 
         v = v_ref[0, 0]
-        if v_scale_ref is not None:
-            # (p·diag(s_v))·v_payload == p·(v_payload·s_v): fold V's per-token
-            # scales into the small p tile before the PV matmul.
+        if packed:
+            v0, v1, v_fold = upcast_kv_payload_packed(v)
+            v_halves = (v0, v1)
+        elif v_scale_refs:
             v_up, v_fold = upcast_kv_payload_expfold(v, q.dtype)
-            vs = v_scale_ref[0, 0]
-            p = p * (vs * v_fold if v_fold != 1.0 else vs)
+            v_halves = (v_up,)
         else:
-            v_up = upcast_kv_payload(v, q.dtype)
-        pv = jax.lax.dot_general(
-            p.astype(q.dtype), v_up, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+            v_halves, v_fold = (upcast_kv_payload(v, q.dtype),), 1.0
+
+        pv = None
+        for p, vh, vs_ref in zip(
+            p_halves, v_halves, v_scale_refs or (None,) * len(v_halves)
+        ):
+            if vs_ref is not None:
+                # (p·diag(s_v))·v_payload == p·(v_payload·s_v): fold V's
+                # per-token scales into the small p tile before the PV matmul.
+                vs = vs_ref[0, 0]
+                p = p * (vs * v_fold if v_fold != 1.0 else vs)
+            d = jax.lax.dot_general(
+                p.astype(q.dtype), vh, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            pv = d if pv is None else pv + d
         acc_scr[...] = acc_scr[...] * alpha[:, :1] + pv
 
     @pl.when(ikv == num_kv_blocks - 1)
@@ -285,6 +335,28 @@ def decode_attention(
         k_scales = jnp.swapaxes(k_scales, 2, 3)
         v_scales = jnp.swapaxes(v_scales, 2, 3)
 
+    # fp8 payloads dispatch to the SIMD-packed widen (pair-split halves);
+    # the scale rows are pair-split here to match (~3.5% of step time —
+    # measured 33.5k -> 38.5k tok/s e4m3 net at b=32/s=8K even paying it
+    # per call).
+    packed = (
+        k_vals.dtype in (jnp.float8_e4m3fn, jnp.float8_e5m2)
+        and v_vals.dtype == k_vals.dtype
+        and k_scales is not None
+        and v_scales is not None
+        and q.dtype == jnp.bfloat16
+    )
+    packed_order = packed_split_order(interpret)
+    if packed:
+        k_scale_list = split_scales_lanes(k_scales, packed_order)
+        v_scale_list = split_scales_lanes(v_scales, packed_order)
+    elif k_scales is not None:
+        k_scale_list = (k_scales,)
+        v_scale_list = (v_scales,)
+    else:
+        k_scale_list = ()
+        v_scale_list = ()
+
     def last_live(b, lengths_ref):
         return jnp.maximum(pl.cdiv(lengths_ref[b], block_kv) - 1, 0)
 
@@ -308,18 +380,19 @@ def decode_attention(
         (1, 1, group_pad, d_pad), lambda b, h, ikv, L: (b, h, 0, 0)
     )
     kv_spec = pl.BlockSpec((1, 1, block_kv, d_pad), kv_map)
-    sc_spec = pl.BlockSpec((1, 1, 1, block_kv), scale_map)
+    sc_block = block_kv // 2 if packed else block_kv
+    sc_spec = pl.BlockSpec((1, 1, 1, sc_block), scale_map)
 
     in_specs = [q_spec, kv_spec]
     inputs = [qg, k_vals]
-    if k_scales is not None:
+    for s in k_scale_list:
         in_specs.append(sc_spec)
-        inputs.append(k_scales)
+        inputs.append(s)
     in_specs.append(kv_spec)
     inputs.append(v_vals)
-    if v_scales is not None:
+    for s in v_scale_list:
         in_specs.append(sc_spec)
-        inputs.append(v_scales)
+        inputs.append(s)
 
     out_shapes = [
         jax.ShapeDtypeStruct((batch, num_kv_heads, group_pad, d_pad), q.dtype)
@@ -337,18 +410,18 @@ def decode_attention(
             pl.BlockSpec((1, 1, group_pad, LANES), lambda b, h, ikv, L: (b, h, 0, 0))
         )
 
-    has_k_scale = k_scales is not None
-    has_v_scale = v_scales is not None
+    n_ks = len(k_scale_list)
+    n_vs = len(v_scale_list)
 
     def wrapped(lengths_ref, *refs):
         idx = 0
         q_ref = refs[idx]; idx += 1
         k_ref = refs[idx]; idx += 1
-        k_s = refs[idx] if has_k_scale else None
-        idx += int(has_k_scale)
+        k_s = tuple(refs[idx:idx + n_ks])
+        idx += n_ks
         v_ref = refs[idx]; idx += 1
-        v_s = refs[idx] if has_v_scale else None
-        idx += int(has_v_scale)
+        v_s = tuple(refs[idx:idx + n_vs])
+        idx += n_vs
         o_ref = refs[idx]; idx += 1
         lse_ref = refs[idx] if save_residuals else None
         idx += int(save_residuals)
@@ -359,6 +432,8 @@ def decode_attention(
             scale2=sm_scale * LOG2E,
             block_kv=block_kv,
             num_kv_blocks=num_kv_blocks,
+            packed=packed,
+            packed_order=packed_order,
             window=sliding_window,
             softcap_in=None if logit_softcap is None else sm_scale / logit_softcap,
             softcap_out=None if logit_softcap is None else logit_softcap / sm_scale,

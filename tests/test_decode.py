@@ -141,3 +141,55 @@ def test_decode_auto_split_matches_plain():
         np.asarray(auto, np.float32), np.asarray(plain, np.float32),
         rtol=2e-2, atol=2e-2,
     )
+
+
+@pytest.mark.parametrize("mode", ["fp8_e4m3", "fp8_e5m2"])
+def test_decode_quantized_window_softcap(mode):
+    """fp8 takes the SIMD-packed widen: its pair-split position iota must
+    reproduce the window mask exactly (judge = dense bf16 kernel on the
+    dequantized cache, which uses the natural iota)."""
+    q, k, v = make_qkv(41, 2, 4, 1, 128, kv_seq=384)
+    q = q[:, :, 0, :]
+    lengths = jnp.array([384, 251], jnp.int32)
+    kq, vq = quantize_kv(k, v, mode)
+    kd, vd = dequantize(kq, k.dtype), dequantize(vq, v.dtype)
+    for kwargs in ({"sliding_window": 100}, {"logit_softcap": 30.0}):
+        got = decode_attention(q, kq, vq, lengths, block_kv=128, **kwargs)
+        want = decode_attention(q, kd, vd, lengths, block_kv=128, **kwargs)
+        assert_close(got, want, tolerance=0.02, msg=f"packed {mode} {kwargs}")
+
+
+def test_packed_widen_row_order():
+    """upcast_kv_payload_packed under interpret: half h row w = position
+    2w + h (the "evenodd" order pinned by packed_split_order). The Mosaic
+    "pair" order is pinned by the on-TPU equivalence of the fp8 decode path
+    against the dense kernel (driven by tools/ + the bench smoke)."""
+    import jax
+    from jax.experimental import pallas as pl
+
+    from flash_attention_tpu.ops.common import upcast_kv_payload_packed
+
+    rng = np.random.default_rng(7)
+    x = rng.uniform(-2.0, 2.0, (16, 128)).astype(np.float32)
+    for dt in (jnp.float8_e4m3fn, jnp.float8_e5m2):
+        xq = jnp.asarray(x).astype(dt)
+
+        def kern(x_ref, o0_ref, o1_ref):
+            b0, b1, _ = upcast_kv_payload_packed(x_ref[...])
+            o0_ref[...] = b0
+            o1_ref[...] = b1
+
+        b0, b1, = pl.pallas_call(
+            kern,
+            out_shape=[jax.ShapeDtypeStruct((8, 128), jnp.bfloat16)] * 2,
+            interpret=True,
+        )(xq)
+        factor = 2.0 ** 120 if dt == jnp.float8_e4m3fn else 2.0 ** 112
+        true = np.asarray(xq.astype(jnp.float32))
+        pos0 = np.arange(8) * 2  # interpret order: evenodd
+        np.testing.assert_allclose(
+            np.asarray(b0.astype(jnp.float32)) * factor, true[pos0], rtol=1e-2
+        )
+        np.testing.assert_allclose(
+            np.asarray(b1.astype(jnp.float32)) * factor, true[pos0 + 1], rtol=1e-2
+        )
