@@ -93,6 +93,7 @@ class ServingEngine:
         eos_id: int | None = None,
         prefill_chunk: int = 256,
         shard_caches: Callable | None = None,
+        decode_block_steps: int = 8,
     ):
         self.params = params
         self.cfg = cfg
@@ -112,6 +113,14 @@ class ServingEngine:
         self._topp = np.ones((max_slots,), np.float32)
         self._seeds = np.zeros((max_slots,), np.int32)
         self._prefills: dict[int, _PrefillState] = {}
+        # Multi-step decode blocks: see PagedServingEngine — one dispatch +
+        # one readback per up-to-decode_block_steps tokens; device-resident
+        # sampling state re-uploaded only on slot-membership changes.
+        self.decode_block_steps = max(1, decode_block_steps)
+        self._dev = None
+        self._dev_dirty = True
+        self._remaining = np.zeros((max_slots,), np.int64)
+        self._cur_len = np.zeros((max_slots,), np.int64)
         self.steps = 0
         self.decode_tokens = 0
         self.events: list[tuple] = []  # ("chunk", slot) / ("decode", n_active)
@@ -139,6 +148,34 @@ class ServingEngine:
             ]
             return next_tok, fixed
 
+        @functools.partial(jax.jit, static_argnums=(8,), donate_argnums=(2,))
+        def _decode_multi(
+            params, last_tok, caches, active, temps, topk, topp, seeds, k
+        ):
+            """k decode steps in ONE dispatch (lax.scan); see the paged
+            engine's _decode_multi for the contract."""
+
+            def body(carry, _):
+                tok, caches = carry
+                old_lengths = [c.lengths for c in caches]
+                logits, new_caches = decode_step_logits(
+                    params, model_cfg, tok[:, None], caches
+                )
+                nt = sample_tokens(
+                    logits, temps, topk, topp, seeds, old_lengths[0]
+                )
+                nt = jnp.where(active, nt, tok)
+                fixed = [
+                    c._replace(lengths=jnp.where(active, c.lengths, old))
+                    for c, old in zip(new_caches, old_lengths)
+                ]
+                return (nt, fixed), nt
+
+            (last, caches), toks = jax.lax.scan(
+                body, (last_tok, caches), None, length=k
+            )
+            return toks, last, caches
+
         @jax.jit
         def _sample_first(logits, temp, topk, topp, seed, position):
             # logits: [1, vocab] at the prompt's last position.
@@ -149,6 +186,7 @@ class ServingEngine:
 
         self._prefill_chunk_step = _prefill_chunk_step
         self._decode_all = _decode_all
+        self._decode_multi = _decode_multi
         self._sample_first = _sample_first
 
     # ------------------------------------------------------------------
@@ -160,6 +198,7 @@ class ServingEngine:
         padded = np.zeros((n_chunks * self.chunk,), np.int32)
         padded[: len(req.prompt)] = req.prompt
         self._prefills[slot] = _PrefillState(req=req, padded=padded)
+        self._dev_dirty = True
         sp = req.sampling
         self._temps[slot] = sp.temperature
         self._topk[slot] = sp.top_k
@@ -196,6 +235,9 @@ class ServingEngine:
         )
         del self._prefills[slot]
         self.sched.prefill_done(slot)
+        self._dev_dirty = True
+        self._cur_len[slot] = true_len
+        self._remaining[slot] = req.max_new_tokens - 1
         out.setdefault(req.id, Completion(req.id, [], False))
         out[req.id].tokens.append(first)
         self.last_token[slot] = first
@@ -231,27 +273,53 @@ class ServingEngine:
                     break
                 continue
 
-            active_mask = np.zeros((self.max_slots,), bool)
-            active_mask[active] = True
-            toks = jnp.asarray(self.last_token[:, None])
-            next_tok, self.caches = self._decode_all(
-                self.params, toks, self.caches, jnp.asarray(active_mask),
-                jnp.asarray(self._temps), jnp.asarray(self._topk),
-                jnp.asarray(self._topp), jnp.asarray(self._seeds),
+            if self._dev_dirty:
+                active_mask = np.zeros((self.max_slots,), bool)
+                active_mask[active] = True
+                self._dev = (
+                    jnp.asarray(self.last_token),
+                    jnp.asarray(active_mask),
+                    jnp.asarray(self._temps), jnp.asarray(self._topk),
+                    jnp.asarray(self._topp), jnp.asarray(self._seeds),
+                )
+                self._dev_dirty = False
+            d_last, d_active, d_t, d_k, d_p, d_s = self._dev
+            k_run = int(
+                min(
+                    self.decode_block_steps,
+                    min(self._remaining[s] for s in active),
+                    min(self.max_seq - self._cur_len[s] for s in active),
+                )
             )
-            next_np = np.asarray(next_tok)
-            self.steps += 1
-            self.decode_tokens += len(active)
-            self.events.append(("decode", len(active)))
-            for slot in active:
-                req_id = self.sched.slot_request(slot)
-                tok = int(next_np[slot])
-                out[req_id].tokens.append(tok)
-                self.last_token[slot] = tok
-                is_eos = self.eos_id is not None and tok == self.eos_id
-                if is_eos:
-                    out[req_id].finished_by_eos = True
-                self.sched.record_token(slot, is_eos)
+            k_run = max(1, k_run)
+            toks_dev, d_last, self.caches = self._decode_multi(
+                self.params, d_last, self.caches, d_active,
+                d_t, d_k, d_p, d_s, k_run,
+            )
+            self._dev = (d_last, d_active, d_t, d_k, d_p, d_s)
+            toks_np = np.asarray(toks_dev)  # [k_run, max_slots]
+            self.steps += k_run
+            self.events.append(("decode", len(active) * k_run))
+            finished: set[int] = set()
+            appended = 0
+            for j in range(k_run):
+                for slot in active:
+                    if slot in finished:
+                        continue
+                    req_id = self.sched.slot_request(slot)
+                    tok = int(toks_np[j, slot])
+                    out[req_id].tokens.append(tok)
+                    self.last_token[slot] = tok
+                    self._cur_len[slot] += 1
+                    self._remaining[slot] -= 1
+                    appended += 1
+                    is_eos = self.eos_id is not None and tok == self.eos_id
+                    if is_eos:
+                        out[req_id].finished_by_eos = True
+                    if self.sched.record_token(slot, is_eos):
+                        finished.add(slot)
+                        self._dev_dirty = True
+            self.decode_tokens += appended
 
         return out
 

@@ -61,6 +61,7 @@ class PagedServingEngine:
         page_size: int = 128,
         eos_id: int | None = None,
         prefill_chunk: int = 256,
+        decode_block_steps: int = 8,
     ):
         self.params = params
         self.cfg = cfg
@@ -87,6 +88,18 @@ class PagedServingEngine:
         self._topp = np.ones((max_slots,), np.float32)
         self._seeds = np.zeros((max_slots,), np.int32)
         self._prefills: dict[int, _PrefillState] = {}
+        # Multi-step decode: one dispatch + one device->host readback per
+        # BLOCK of up to `decode_block_steps` tokens per slot, instead of per
+        # token. Sampling params / active mask / last tokens live on device
+        # and re-upload only when slot membership changes (_dev_dirty); a slot
+        # finishing mid-block (EOS or budget) has its trailing tokens
+        # discarded on the host — bounded waste, the standard serving
+        # trade-off for cutting the per-step host round-trips.
+        self.decode_block_steps = max(1, decode_block_steps)
+        self._dev = None
+        self._dev_dirty = True
+        self._remaining = np.zeros((max_slots,), np.int64)  # decode budget
+        self._cur_len = np.zeros((max_slots,), np.int64)
         self.steps = 0
         self.decode_tokens = 0
         # Wall-clock spent in the decode section of the serving loop (the
@@ -141,6 +154,35 @@ class PagedServingEngine:
             ]
             return next_tok, fixed
 
+        @functools.partial(jax.jit, static_argnums=(8,), donate_argnums=(2,))
+        def _decode_multi(
+            params, last_tok, caches, active, temps, topk, topp, seeds, k
+        ):
+            """k decode steps in ONE dispatch (lax.scan); returns the
+            [k, slots] token block, the final last-token row, and caches.
+            Inactive slots keep frozen lengths and tokens each step."""
+
+            def body(carry, _):
+                tok, caches = carry
+                old_lengths = [c.lengths for c in caches]
+                logits, new_caches = decode_step_logits_paged(
+                    params, model_cfg, tok[:, None], caches
+                )
+                nt = sample_tokens(
+                    logits, temps, topk, topp, seeds, old_lengths[0]
+                )
+                nt = jnp.where(active, nt, tok)
+                fixed = [
+                    c._replace(lengths=jnp.where(active, c.lengths, old))
+                    for c, old in zip(new_caches, old_lengths)
+                ]
+                return (nt, fixed), nt
+
+            (last, caches), toks = jax.lax.scan(
+                body, (last_tok, caches), None, length=k
+            )
+            return toks, last, caches
+
         @jax.jit
         def _sample_first(logits, temp, topk, topp, seed, position):
             return sample_tokens(
@@ -152,6 +194,7 @@ class PagedServingEngine:
         self._prefill_chunk_step = _prefill_chunk_step
         self._set_slot_length_fn = _set_slot_length
         self._decode_all = _decode_all
+        self._decode_multi = _decode_multi
         self._sample_first = _sample_first
 
     # ------------------------------------------------------------------
@@ -171,6 +214,7 @@ class PagedServingEngine:
         return True
 
     def _release(self, slot: int) -> None:
+        self._dev_dirty = True
         self.alloc.release(self.slot_pages.pop(slot, []))
         row = np.zeros((self.pages_per_slot,), np.int32)  # all -> dump page
         self.caches = self._set_slot_table(
@@ -182,6 +226,7 @@ class PagedServingEngine:
         padded = np.zeros((n_chunks * self.chunk,), np.int32)
         padded[: len(req.prompt)] = req.prompt
         self._prefills[slot] = _PrefillState(req=req, padded=padded)
+        self._dev_dirty = True
         sp = req.sampling
         self._temps[slot] = sp.temperature
         self._topk[slot] = sp.top_k
@@ -220,6 +265,9 @@ class PagedServingEngine:
         )
         del self._prefills[slot]
         self.sched.prefill_done(slot)
+        self._dev_dirty = True
+        self._cur_len[slot] = true_len
+        self._remaining[slot] = req.max_new_tokens - 1
         out.setdefault(req.id, Completion(req.id, [], False))
         out[req.id].tokens.append(first)
         self.last_token[slot] = first
@@ -274,30 +322,55 @@ class PagedServingEngine:
             import time as _time
 
             _t0 = _time.perf_counter()
-            active_mask = np.zeros((self.max_slots,), bool)
-            active_mask[active] = True
-            next_tok, self.caches = self._decode_all(
-                self.params,
-                jnp.asarray(self.last_token[:, None]),
-                self.caches,
-                jnp.asarray(active_mask),
-                jnp.asarray(self._temps), jnp.asarray(self._topk),
-                jnp.asarray(self._topp), jnp.asarray(self._seeds),
+            if self._dev_dirty:
+                active_mask = np.zeros((self.max_slots,), bool)
+                active_mask[active] = True
+                self._dev = (
+                    jnp.asarray(self.last_token),
+                    jnp.asarray(active_mask),
+                    jnp.asarray(self._temps), jnp.asarray(self._topk),
+                    jnp.asarray(self._topp), jnp.asarray(self._seeds),
+                )
+                self._dev_dirty = False
+            d_last, d_active, d_t, d_k, d_p, d_s = self._dev
+            # Block length: bounded by every active slot's token budget and
+            # cache headroom so no slot writes past its pages mid-block.
+            k_run = int(
+                min(
+                    self.decode_block_steps,
+                    min(self._remaining[s] for s in active),
+                    min(self.max_seq - self._cur_len[s] for s in active),
+                )
             )
-            next_np = np.asarray(next_tok)
-            self.steps += 1
-            self.decode_tokens += len(active)
-            self.events.append(("decode", len(active)))
-            for slot in active:
-                req_id = self.sched.slot_request(slot)
-                tok = int(next_np[slot])
-                out[req_id].tokens.append(tok)
-                self.last_token[slot] = tok
-                is_eos = self.eos_id is not None and tok == self.eos_id
-                if is_eos:
-                    out[req_id].finished_by_eos = True
-                if self.sched.record_token(slot, is_eos):
-                    self._release(slot)
+            k_run = max(1, k_run)
+            toks_dev, d_last, self.caches = self._decode_multi(
+                self.params, d_last, self.caches, d_active,
+                d_t, d_k, d_p, d_s, k_run,
+            )
+            self._dev = (d_last, d_active, d_t, d_k, d_p, d_s)
+            toks_np = np.asarray(toks_dev)  # [k_run, max_slots]
+            self.steps += k_run
+            self.events.append(("decode", len(active) * k_run))
+            finished: set[int] = set()
+            appended = 0
+            for j in range(k_run):
+                for slot in active:
+                    if slot in finished:
+                        continue
+                    req_id = self.sched.slot_request(slot)
+                    tok = int(toks_np[j, slot])
+                    out[req_id].tokens.append(tok)
+                    self.last_token[slot] = tok
+                    self._cur_len[slot] += 1
+                    self._remaining[slot] -= 1
+                    appended += 1
+                    is_eos = self.eos_id is not None and tok == self.eos_id
+                    if is_eos:
+                        out[req_id].finished_by_eos = True
+                    if self.sched.record_token(slot, is_eos):
+                        self._release(slot)
+                        finished.add(slot)
+            self.decode_tokens += appended
             self.decode_time_s += _time.perf_counter() - _t0
 
         return out

@@ -96,3 +96,48 @@ def test_paged_engine_quantized_matches_dense(model):
     got = paged.run(REQS[:3])
     for r in REQS[:3]:
         assert got[r.id].tokens == want[r.id].tokens, f"request {r.id}"
+
+
+def test_paged_engine_block_steps_equivalent(model):
+    """decode_block_steps is a pure dispatch-granularity knob: K=1 and K=8
+    (default) must produce identical tokens."""
+    cfg, params = model
+    one = PagedServingEngine(
+        params, cfg, max_slots=3, num_pages=16, pages_per_slot=2,
+        page_size=128, decode_block_steps=1,
+    )
+    want = one.run(REQS)
+    assert one.steps >= max(r.max_new_tokens for r in REQS) - 1
+    blocked = PagedServingEngine(
+        params, cfg, max_slots=3, num_pages=16, pages_per_slot=2,
+        page_size=128, decode_block_steps=8,
+    )
+    got = blocked.run(REQS)
+    for r in REQS:
+        assert got[r.id].tokens == want[r.id].tokens, f"request {r.id}"
+    dispatches = lambda e: sum(1 for ev in e.events if ev[0] == "decode")
+    assert dispatches(blocked) < dispatches(one)  # blocks fused dispatches
+
+
+def test_paged_engine_eos_mid_block(model):
+    """A slot hitting EOS inside a decode block: trailing tokens trimmed,
+    pages released, and the completion matches the K=1 engine exactly."""
+    cfg, params = model
+    probe = PagedServingEngine(
+        params, cfg, max_slots=1, num_pages=8, pages_per_slot=2, page_size=128
+    )
+    free = probe.run([Request(id=1, prompt=(5, 9, 2), max_new_tokens=12)])
+    # EOS = a mid-stream token at its FIRST occurrence, so truncation there
+    # is unambiguous.
+    toks = free[1].tokens
+    idx = next(i for i in range(2, len(toks) - 1) if toks[i] not in toks[:i])
+    eos = toks[idx]
+    for k in (1, 8):
+        eng = PagedServingEngine(
+            params, cfg, max_slots=1, num_pages=8, pages_per_slot=2,
+            page_size=128, eos_id=eos, decode_block_steps=k,
+        )
+        got = eng.run([Request(id=1, prompt=(5, 9, 2), max_new_tokens=12)])
+        assert got[1].tokens == toks[: idx + 1], f"K={k}"
+        assert got[1].finished_by_eos, f"K={k}"
+        assert eng.alloc.free_count == 7, f"K={k}: pages not released"
