@@ -556,6 +556,290 @@ def _bwd_dkv_kernel(
         dv_ref[...] = dv_scr[...].astype(dv_ref.dtype)
 
 
+def _bwd_fused_kernel(
+    q_ref,      # [hb, block_q, d]
+    k_ref,      # [hb, block_kv, d]
+    v_ref,      # [hb, block_kv, d]
+    do_ref,     # [hb, block_q, d]
+    lse_ref,    # [hb, 1, block_q]  (lane-oriented)
+    delta_ref,  # [hb, 1, block_q]
+    dq_ref,     # [hb, block_q, d]   (out, indexed by iq)
+    dk_ref,     # [hb, kv_padded, d] (out, whole-KV, indexed by head batch)
+    dv_ref,
+    dq_scr,     # [hb, block_q, d] fp32
+    dk_scr,     # [num_kv_blocks, hb, block_kv, d] fp32 (whole-KV resident)
+    dv_scr,
+    *,
+    causal: bool,
+    scale: float,
+    scale2: float,
+    q_len: int,
+    kv_len: int,
+    block_q: int,
+    block_kv: int,
+    num_q_blocks: int,
+    num_kv_blocks: int,
+    kv_pad: bool,
+    window: int | None = None,
+    softcap_in: float | None = None,
+    cap_out2: float | None = None,
+    subtile: int = 0,
+    diag_subtile: int = 0,
+):
+    """ONE-pass backward: dq, dk, dv from a single score/softmax recompute.
+
+    The two-pass kernels above recompute S and P twice (once per pass): 9
+    MMAs + 2 exp per live block pair, and stream K/V (dq pass) plus Q/dO
+    (dkv pass) from HBM twice. This kernel computes the transposed score
+    tile once and produces all three gradients — 5 MMAs + 1 exp — at the
+    cost of keeping the WHOLE-KV fp32 dk/dv accumulators resident in VMEM
+    (2 * kv_len * d * 4 bytes per head batch), which bounds the kv length
+    it dispatches for (ops/tuning.py select_bwd_block_sizes).
+
+    Grid: (head_blocks, q_blocks, kv_blocks); the trailing two axes are
+    "arbitrary" — the dk/dv accumulators carry state across both. dq
+    completes per q row (written at the last kv step); dk/dv are whole-KV
+    output windows written once at this head batch's final grid step. MHA
+    only (GQA's group-summed dk/dv would need cross-head accumulation) and
+    unpacked sequences only.
+    """
+    iq = pl.program_id(1)
+    ikv = pl.program_id(2)
+    diag_offset = kv_len - q_len
+
+    @pl.when(ikv == 0)
+    def _init_dq():
+        dq_scr[...] = jnp.zeros_like(dq_scr)
+
+    @pl.when(iq == 0)
+    def _init_dkv():
+        dk_scr[ikv] = jnp.zeros_like(dk_scr[ikv])
+        dv_scr[ikv] = jnp.zeros_like(dv_scr[ikv])
+
+    if subtile:
+        # Causal single-superblock sub-tiling: the whole (q, kv) problem is
+        # one block pair. Per `subtile`-row Q sub-block, all five MMAs run
+        # over exactly its live KV prefix; dq rows are complete after one
+        # pass, dk/dv accumulate in the resident scratch.
+        w = subtile
+        q = q_ref[...]
+        k = k_ref[...]
+        v = v_ref[...]
+        do = do_ref[...]
+        kv_block = k.shape[1]
+        for i in range(block_q // w):
+            width = min(kv_block, -(-(diag_offset + (i + 1) * w) // 128) * 128)
+            qi = jax.lax.slice_in_dim(q, i * w, (i + 1) * w, axis=1)
+            doi = jax.lax.slice_in_dim(do, i * w, (i + 1) * w, axis=1)
+            ki = jax.lax.slice_in_dim(k, 0, width, axis=1)
+            vi = jax.lax.slice_in_dim(v, 0, width, axis=1)
+            lse_i = lse_ref[:, :, i * w : (i + 1) * w]
+            delta_i = delta_ref[:, :, i * w : (i + 1) * w]
+            rawt = jax.lax.dot_general(
+                ki, qi, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )  # [hb, width, w]
+            if softcap_in is not None:
+                tt = jnp.tanh(rawt * softcap_in)
+                s2t = tt * cap_out2
+            else:
+                s2t = rawt * scale2
+            shape2d = s2t.shape[1:]
+            kvpos = jax.lax.broadcasted_iota(jnp.int32, shape2d, 0)
+            qpos = (
+                jax.lax.broadcasted_iota(jnp.int32, shape2d, 1)
+                + i * w
+                + diag_offset
+            )
+            ok = kvpos <= qpos
+            if kv_pad:
+                ok = jnp.logical_and(ok, kvpos < kv_len)
+            s2t = jnp.where(ok[None], s2t, MASK_VALUE)
+            pt = jnp.exp2(s2t - lse_i)
+            dpt = jax.lax.dot_general(
+                vi, doi, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+            dst = pt * (dpt - delta_i)
+            if softcap_in is not None:
+                dst = dst * (1.0 - tt * tt)
+            dst_c = dst.astype(q.dtype)
+            pt_c = pt.astype(do.dtype)
+            dq_i = jax.lax.dot_general(
+                dst_c, ki, (((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )  # [hb, w, d]
+            dq_ref[:, i * w : (i + 1) * w, :] = (dq_i * scale).astype(
+                dq_ref.dtype
+            )
+            dk_scr[0, :, 0:width, :] += jax.lax.dot_general(
+                dst_c, qi, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+            dv_scr[0, :, 0:width, :] += jax.lax.dot_general(
+                pt_c, doi, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+
+        @pl.when(iq == num_q_blocks - 1)
+        def _sub_epilogue():
+            dk_ref[...] = (dk_scr[0] * scale).astype(dk_ref.dtype)
+            dv_ref[...] = dv_scr[0].astype(dv_ref.dtype)
+
+        return
+
+    if causal:
+        should_run = ikv * block_kv <= (iq + 1) * block_q - 1 + diag_offset
+        if window is not None:
+            should_run = jnp.logical_and(
+                should_run,
+                (ikv + 1) * block_kv - 1 > iq * block_q + diag_offset - window,
+            )
+    else:
+        should_run = True
+
+    def _fused_body(masked: bool):
+        q = q_ref[...]
+        k = k_ref[...]
+        rawt = jax.lax.dot_general(
+            k, q, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # [hb, block_kv, block_q] (transposed: per-q stats ride lanes)
+        if softcap_in is not None:
+            tt = jnp.tanh(rawt * softcap_in)
+            s2t = tt * cap_out2
+        else:
+            s2t = rawt * scale2
+
+        if masked and (causal or kv_pad):
+            ok = None
+            shape2d = s2t.shape[1:]
+            kvpos = (
+                jax.lax.broadcasted_iota(jnp.int32, shape2d, 0)
+                + ikv * block_kv
+            )
+            if causal:
+                qpos = (
+                    jax.lax.broadcasted_iota(jnp.int32, shape2d, 1)
+                    + iq * block_q
+                    + diag_offset
+                )
+                ok = kvpos <= qpos
+                if window is not None:
+                    ok = jnp.logical_and(ok, kvpos > qpos - window)
+            if kv_pad:
+                inb = kvpos < kv_len
+                ok = inb if ok is None else jnp.logical_and(ok, inb)
+            s2t = jnp.where(ok[None], s2t, MASK_VALUE)
+
+        pt = jnp.exp2(s2t - lse_ref[...])
+        do = do_ref[...]
+        v = v_ref[...]
+        dpt = jax.lax.dot_general(
+            v, do, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # [hb, block_kv, block_q]
+        dst = pt * (dpt - delta_ref[...])
+        if softcap_in is not None:
+            dst = dst * (1.0 - tt * tt)
+        dst_c = dst.astype(q.dtype)
+        dq_scr[...] += jax.lax.dot_general(
+            dst_c, k, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # [hb, block_q, d]
+        dk_scr[ikv] += jax.lax.dot_general(
+            dst_c, q, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        dv_scr[ikv] += jax.lax.dot_general(
+            pt.astype(do.dtype), do, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+
+    if diag_subtile:
+        # Multi-block causal diag sub-tiling: the diagonal block pair runs
+        # live-prefix sub-MMAs (all five), interior pairs are mask-free.
+        last_live = ((iq + 1) * block_q - 1 + diag_offset) // block_kv
+
+        @pl.when(ikv < last_live)
+        def _interior():
+            _fused_body(masked=False)
+
+        @pl.when(ikv == last_live)
+        def _diag():
+            w = diag_subtile
+            q = q_ref[...]
+            k = k_ref[...]
+            v = v_ref[...]
+            do = do_ref[...]
+            for i in range(block_q // w):
+                width = (i + 1) * w
+                qi = jax.lax.slice_in_dim(q, i * w, (i + 1) * w, axis=1)
+                doi = jax.lax.slice_in_dim(do, i * w, (i + 1) * w, axis=1)
+                ki = jax.lax.slice_in_dim(k, 0, width, axis=1)
+                vi = jax.lax.slice_in_dim(v, 0, width, axis=1)
+                lse_i = lse_ref[:, :, i * w : (i + 1) * w]
+                delta_i = delta_ref[:, :, i * w : (i + 1) * w]
+                rawt = jax.lax.dot_general(
+                    ki, qi, (((2,), (2,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                )  # [hb, width, w]
+                if softcap_in is not None:
+                    tt = jnp.tanh(rawt * softcap_in)
+                    s2t = tt * cap_out2
+                else:
+                    s2t = rawt * scale2
+                # Enable conditions put the diagonal at the block's local
+                # origin: kv row r is live for q sub-col c iff r <= i*w + c.
+                shape2d = s2t.shape[1:]
+                r = jax.lax.broadcasted_iota(jnp.int32, shape2d, 0)
+                c = jax.lax.broadcasted_iota(jnp.int32, shape2d, 1) + i * w
+                s2t = jnp.where((r <= c)[None], s2t, MASK_VALUE)
+                pt = jnp.exp2(s2t - lse_i)
+                dpt = jax.lax.dot_general(
+                    vi, doi, (((2,), (2,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                )
+                dst = pt * (dpt - delta_i)
+                if softcap_in is not None:
+                    dst = dst * (1.0 - tt * tt)
+                dst_c = dst.astype(q.dtype)
+                dq_scr[:, i * w : (i + 1) * w, :] += jax.lax.dot_general(
+                    dst_c, ki, (((1,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                )
+                dk_scr[ikv, :, 0:width, :] += jax.lax.dot_general(
+                    dst_c, qi, (((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                )
+                dv_scr[ikv, :, 0:width, :] += jax.lax.dot_general(
+                    pt.astype(do.dtype), doi, (((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                )
+    else:
+        @pl.when(should_run)
+        def _compute():
+            _fused_body(masked=True)
+
+    @pl.when(ikv == num_kv_blocks - 1)
+    def _dq_epilogue():
+        dq_ref[...] = (dq_scr[...] * scale).astype(dq_ref.dtype)
+
+    @pl.when(jnp.logical_and(iq == num_q_blocks - 1, ikv == num_kv_blocks - 1))
+    def _dkv_epilogue():
+        # Whole-KV outputs, written ONCE at the last grid step of this head
+        # batch. (A per-kv-block output indexed by ikv would be flushed on
+        # every ikv increment — num_q_blocks stale flushes per block before
+        # the real write lands.)
+        for j in range(num_kv_blocks):
+            dk_ref[:, j * block_kv : (j + 1) * block_kv, :] = (
+                dk_scr[j] * scale
+            ).astype(dk_ref.dtype)
+            dv_ref[:, j * block_kv : (j + 1) * block_kv, :] = dv_scr[j].astype(
+                dv_ref.dtype
+            )
+
+
 def flash_attention_bwd(
     q: jax.Array,
     k: jax.Array,
@@ -706,6 +990,86 @@ def flash_attention_bwd(
             )
             idx = jnp.maximum(idx, first_live)
         return idx
+
+    # ---------------- fused one-pass (dq + dk + dv) ----------------
+    if block_sizes.bwd_fused and group == 1 and segments is None:
+        fused_kernel = functools.partial(
+            _bwd_fused_kernel,
+            causal=causal,
+            scale=sm_scale,
+            scale2=scale2,
+            q_len=q_len,
+            kv_len=kv_len,
+            block_q=block_q,
+            block_kv=block_kv,
+            num_q_blocks=num_q_blocks,
+            num_kv_blocks=num_kv_blocks,
+            kv_pad=kv_padded != kv_len,
+            window=window,
+            softcap_in=softcap_in,
+            cap_out2=cap_out2,
+            subtile=subtile,
+            diag_subtile=diag_subtile,
+        )
+        q_spec_f = pl.BlockSpec(
+            (hb, block_q, d_pad), lambda bh, iq, ikv: (bh, iq, 0)
+        )
+        kv_spec_f = pl.BlockSpec(
+            (hb, block_kv, d_pad),
+            lambda bh, iq, ikv: (bh, kv_block_index(iq, ikv), 0),
+        )
+        stat_spec_f = pl.BlockSpec(
+            (hb, 1, block_q), lambda bh, iq, ikv: (bh, 0, iq)
+        )
+        dq, dk, dv = pl.pallas_call(
+            fused_kernel,
+            grid=(batch * num_q_heads // hb, num_q_blocks, num_kv_blocks),
+            in_specs=[
+                q_spec_f, kv_spec_f, kv_spec_f, q_spec_f,
+                stat_spec_f, stat_spec_f,
+            ],
+            out_specs=[
+                pl.BlockSpec(
+                    (hb, block_q, d_pad), lambda bh, iq, ikv: (bh, iq, 0)
+                ),
+                pl.BlockSpec(
+                    (hb, kv_padded, d_pad), lambda bh, iq, ikv: (bh, 0, 0)
+                ),
+                pl.BlockSpec(
+                    (hb, kv_padded, d_pad), lambda bh, iq, ikv: (bh, 0, 0)
+                ),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct(
+                    (batch * num_q_heads, q_pad, d_pad), q.dtype
+                ),
+                jax.ShapeDtypeStruct(
+                    (batch * num_kv_heads, kv_padded, d_pad), k.dtype
+                ),
+                jax.ShapeDtypeStruct(
+                    (batch * num_kv_heads, kv_padded, d_pad), v.dtype
+                ),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((hb, block_q, d_pad), jnp.float32),
+                pltpu.VMEM((num_kv_blocks, hb, block_kv, d_pad), jnp.float32),
+                pltpu.VMEM((num_kv_blocks, hb, block_kv, d_pad), jnp.float32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+            ),
+            interpret=interpret,
+        )(qq, kk, vv, dodo, lse_row, delta_row)
+        dq = dq[:, :q_len, :head_dim].reshape(
+            batch, num_q_heads, q_len, head_dim
+        )
+        dk = dk[:, :kv_len, :head_dim].reshape(
+            batch, num_kv_heads, kv_len, head_dim
+        )
+        dv = dv[:, :kv_len, :head_dim].reshape(
+            batch, num_kv_heads, kv_len, head_dim
+        )
+        return dq, dk, dv
 
     dq_base = functools.partial(
         _bwd_dq_kernel,

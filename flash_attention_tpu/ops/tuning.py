@@ -63,6 +63,13 @@ class BlockSizes:
     block_kv: int = 1024
     block_h: int = 1
     block_sub: int = 0
+    # Backward only: run the FUSED one-pass backward kernel (dq + dk + dv
+    # from ONE score/softmax recompute per block pair — 5 MMAs + 1 exp vs
+    # the two-pass kernels' 9 + 2, and K/V+Q/dO stream once instead of
+    # twice). Requires whole-KV fp32 dk/dv accumulators in VMEM
+    # (2*kv_len*d*4 bytes per head-batch), so it's dispatched for
+    # moderate kv lengths; MHA without packed segments only.
+    bwd_fused: bool = False
 
     def __post_init__(self):
         if self.block_q % 128 or self.block_kv % 128:

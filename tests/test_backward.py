@@ -152,3 +152,67 @@ def test_bwd_diag_subtile_softcap():
     )
     for g, w, name in zip(got, want, "qkv"):
         assert_close(g, w, msg=f"softcap d{name}")
+
+
+FUSED_CASES = [
+    # (batch, hq, q_len, kv_len, causal, bs) — MHA only (the fused kernel's
+    # whole-KV dk/dv accumulators don't group-sum; GQA stays two-pass).
+    (1, 2, 256, 256, False, BlockSizes(128, 128, bwd_fused=True)),
+    (1, 2, 512, 512, True, BlockSizes(128, 256, bwd_fused=True)),
+    (2, 2, 384, 384, True, BlockSizes(128, 128, bwd_fused=True)),
+    (1, 2, 192, 192, True, BlockSizes(128, 128, bwd_fused=True)),  # ragged
+    (1, 2, 128, 384, True, BlockSizes(128, 128, bwd_fused=True)),  # diag off
+    (1, 2, 128, 320, False, BlockSizes(128, 128, bwd_fused=True)),  # ragged kv
+    (1, 4, 512, 512, True, BlockSizes(128, 128, 2, bwd_fused=True)),  # hb=2
+    # Single-superblock causal sub-tiling inside the fused kernel.
+    (1, 2, 512, 512, True, BlockSizes(512, 512, 1, 128, bwd_fused=True)),
+    # Multi-block causal diag sub-tiling inside the fused kernel.
+    (1, 2, 1024, 1024, True, BlockSizes(256, 256, 1, 128, bwd_fused=True)),
+]
+
+
+@pytest.mark.parametrize("batch,hq,q_len,kv_len,causal,bs", FUSED_CASES)
+def test_bwd_fused_one_pass(batch, hq, q_len, kv_len, causal, bs):
+    """The fused one-pass backward (dq+dk+dv from one score recompute,
+    whole-KV VMEM accumulators) matches autodiff through the fp32 oracle."""
+    q, k, v = make_qkv(31, batch, hq, q_len, 128, kv_seq=kv_len)
+    got = grads(
+        lambda q, k, v: flash_attention(
+            q, k, v, causal=causal, block_sizes=BlockSizes(128, 128),
+            bwd_block_sizes=bs,
+        ),
+        q, k, v,
+    )
+    want = grads(
+        lambda q, k, v: reference_attention(
+            q, k, v, causal=causal, out_dtype=jnp.float32
+        ),
+        q, k, v,
+    )
+    for g, w, name in zip(got, want, "qkv"):
+        assert_close(g, w, msg=f"fused d{name}")
+
+
+def test_bwd_fused_window_softcap():
+    q, k, v = make_qkv(32, 1, 2, 512, 128)
+    bs = BlockSizes(128, 128, bwd_fused=True)
+    for kwargs in (
+        {"sliding_window": 200},
+        {"logit_softcap": 20.0},
+        {"sliding_window": 300, "logit_softcap": 15.0},
+    ):
+        got = grads(
+            lambda q, k, v: flash_attention(
+                q, k, v, causal=True, block_sizes=BlockSizes(128, 128),
+                bwd_block_sizes=bs, **kwargs,
+            ),
+            q, k, v,
+        )
+        want = grads(
+            lambda q, k, v: reference_attention(
+                q, k, v, causal=True, **kwargs
+            ),
+            q, k, v,
+        )
+        for g, w, name in zip(got, want, "qkv"):
+            assert_close(g, w, msg=f"fused {kwargs} d{name}")
