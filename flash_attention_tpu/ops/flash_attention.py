@@ -467,7 +467,10 @@ def _fwd_impl(
 
     q_pad = _ceil_to(q_len, block_q)
     kv_padded = _ceil_to(kv_len, block_kv)
-    d_pad = _ceil_to(head_dim, 128)
+    if head_dim == 64 and block_sizes.d64_unpadded:
+        d_pad = 64  # block minor dim equals the array dim — no HBM zero-pad
+    else:
+        d_pad = _ceil_to(head_dim, 128)
     if q_pad != q_len or d_pad != head_dim:
         qq = jnp.pad(qq, ((0, 0), (0, q_pad - q_len), (0, d_pad - head_dim)))
     if kv_padded != kv_len or d_pad != head_dim:

@@ -70,6 +70,14 @@ class BlockSizes:
     # (2*kv_len*d*4 bytes per head-batch), so it's dispatched for
     # moderate kv lengths; MHA without packed segments only.
     bwd_fused: bool = False
+    # Forward: keep head_dim=64 UN-padded (block minor dim 64 = the full
+    # array dim, which Mosaic accepts) instead of zero-padding to 128 in HBM.
+    # Halves Q/K/V/O HBM bytes and VMEM footprint for GPT-2-class models;
+    # MXU utilization of a 64-contraction matmul is the same as the padded
+    # one, so this is a pure bandwidth win wherever the row is HBM-bound.
+    # Off by default pending the on-chip sweep (d=64 configs fall back to
+    # generic tiers today — tuning is keyed at d=128).
+    d64_unpadded: bool = False
 
     def __post_init__(self):
         if self.block_q % 128 or self.block_kv % 128:

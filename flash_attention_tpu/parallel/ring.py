@@ -70,6 +70,27 @@ def inverse_permutation(idx: jax.Array) -> jax.Array:
     return jnp.argsort(idx)
 
 
+def zigzag_data_layout(seq_len: int, n_ctx: int):
+    """One-time data-loader permutation for zigzag ring-attention training.
+
+    Returns ``(idx, positions)``: gather indices laying any ``[..., S, ...]``
+    batch out in zigzag shard order (``tokens[:, idx]``), and the absolute
+    RoPE positions of the permuted tokens (identical values, int32 — named
+    separately because they play different roles).
+
+    Production pattern (see tests/test_parallel.py::test_zigzag_training_loop):
+    permute tokens AND targets once per batch at the data loader, feed
+    ``positions`` to RoPE so angles travel with the tokens, keep every
+    activation permanently in zigzag layout, and call
+    :func:`ring_flash_attention` with ``zigzag=True`` directly. Per-token
+    losses are order-invariant under a shared permutation, so nothing is
+    ever permuted back — unlike :func:`make_ring_attention`'s convenience
+    wrapper, which pays one all-to-all each way per call.
+    """
+    idx = zigzag_indices(seq_len, n_ctx)
+    return idx, idx.astype(jnp.int32)
+
+
 def ring_flash_attention(
     q: jax.Array,
     k: jax.Array,

@@ -48,6 +48,11 @@ class PagedServingEngine:
       prefill_chunk: tokens per prefill chunk (rounded up to a page multiple);
         each engine iteration advances pending prefills one chunk and then
         decodes, so long prompts don't stall the decode batch.
+      shard_caches: optional fn applied once to the freshly-initialized paged
+        caches — place each layer's page pool on a device mesh (e.g. kv_heads
+        over the model axis, page tables/lengths replicated) and return the
+        resharded list. Tokens are placement-invariant (see
+        tests/test_sharded_serving.py).
     """
 
     def __init__(
@@ -62,6 +67,7 @@ class PagedServingEngine:
         eos_id: int | None = None,
         prefill_chunk: int = 256,
         decode_block_steps: int = 8,
+        shard_caches=None,
     ):
         self.params = params
         self.cfg = cfg
@@ -81,6 +87,8 @@ class PagedServingEngine:
             cfg, num_pages=num_pages, num_slots=max_slots,
             pages_per_slot=pages_per_slot, page_size=page_size,
         )
+        if shard_caches is not None:
+            self.caches = shard_caches(self.caches)
         self.slot_pages: dict[int, list[int]] = {}
         self.last_token = np.zeros((max_slots,), np.int32)
         self._temps = np.zeros((max_slots,), np.float32)

@@ -113,6 +113,29 @@ def test_head_dim_64_padding():
 
 
 @pytest.mark.parametrize("causal", [False, True])
+def test_head_dim_64_unpadded(causal):
+    """d64_unpadded keeps the 64-lane minor dim end to end (no HBM zero-pad);
+    numerics must match the padded path exactly."""
+    import dataclasses
+
+    q, k, v = make_qkv(13, 2, 4, 384, 64)
+    bs = dataclasses.replace(BS, d64_unpadded=True)
+    got = flash_attention(q, k, v, causal=causal, block_sizes=bs)
+    want = reference_attention(q, k, v, causal=causal)
+    assert_close(got, want, msg=f"head_dim=64 unpadded causal={causal}")
+
+
+def test_head_dim_64_unpadded_subtile_and_hb():
+    import dataclasses
+
+    q, k, v = make_qkv(17, 1, 8, 512, 64)
+    bs = dataclasses.replace(BS, block_h=4, block_sub=128, d64_unpadded=True)
+    got = flash_attention(q, k, v, causal=True, block_sizes=bs)
+    want = reference_attention(q, k, v, causal=True)
+    assert_close(got, want, msg="head_dim=64 unpadded subtile+hb")
+
+
+@pytest.mark.parametrize("causal", [False, True])
 def test_lse_residuals(causal):
     q, k, v = make_qkv(14, 1, 2, 256, 128)
     got, lse2 = flash_attention(

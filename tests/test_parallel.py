@@ -150,3 +150,93 @@ def test_ring_attention_grad(causal, zigzag):
     want = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
     for g, wnt, name in zip(got, want, "qkv"):
         assert_close(g, wnt, msg=f"ring grad d{name} zigzag={zigzag}")
+
+
+def test_zigzag_training_loop():
+    """The PRODUCTION zigzag pattern: permute tokens/targets ONCE at the data
+    loader (zigzag_data_layout), keep every activation permanently in zigzag
+    layout, feed the permuted positions to RoPE so angles travel with their
+    tokens, and differentiate straight through the shard_mapped
+    ring_flash_attention(zigzag=True) — no per-step all-to-all anywhere.
+    Two SGD steps must track the in-order dense-attention model exactly."""
+    import functools
+
+    from flash_attention_tpu.models.rope import apply_rope
+    from flash_attention_tpu.parallel.ring import (
+        ring_flash_attention,
+        zigzag_data_layout,
+    )
+    from jax.sharding import PartitionSpec as P
+
+    B, H, S, D, V = 2, 2, 512, 128, 64
+    mesh = make_mesh(data=1, model=2, context=4)
+    spec = P(None, "model", "context", None)
+    ring = jax.shard_map(
+        functools.partial(
+            ring_flash_attention, axis_name="context", causal=True,
+            zigzag=True, block_sizes=BS,
+        ),
+        mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
+        check_vma=False,
+    )
+
+    key = jax.random.key(7)
+    ks = jax.random.split(key, 6)
+    params = {
+        "emb": jax.random.normal(ks[0], (V, H * D), jnp.float32) * 0.1,
+        "wq": jax.random.normal(ks[1], (H * D, H * D), jnp.float32) * 0.05,
+        "wk": jax.random.normal(ks[2], (H * D, H * D), jnp.float32) * 0.05,
+        "wv": jax.random.normal(ks[3], (H * D, H * D), jnp.float32) * 0.05,
+        "wo": jax.random.normal(ks[4], (H * D, H * D), jnp.float32) * 0.05,
+    }
+    tokens = jax.random.randint(ks[5], (B, S), 0, V)
+    targets = jnp.roll(tokens, -1, axis=1)
+
+    def make_loss(attn):
+        def loss(params, tokens, targets, positions):
+            x = params["emb"][tokens]  # [B, S, HD]
+
+            def heads(w):
+                return (x @ w).reshape(B, S, H, D).transpose(0, 2, 1, 3)
+
+            pos = positions[:, None, :]  # [B, 1, S] broadcast over heads
+            q = apply_rope(heads(params["wq"]), pos)
+            k = apply_rope(heads(params["wk"]), pos)
+            o = attn(q, k, heads(params["wv"]))  # [B, H, S, D]
+            o = o.transpose(0, 2, 1, 3).reshape(B, S, H * D) @ params["wo"]
+            logits = o @ params["emb"].T
+            logp = jax.nn.log_softmax(logits.astype(jnp.float32))
+            nll = -jnp.take_along_axis(logp, targets[..., None], -1)
+            return jnp.mean(nll)  # order-invariant under a shared permutation
+
+        return jax.jit(jax.value_and_grad(loss))
+
+    step_zig = make_loss(ring)
+    step_ref = make_loss(
+        lambda q, k, v: reference_attention(q, k, v, causal=True)
+    )
+
+    # ---- the one-time data-loader permutation ----
+    idx, positions = zigzag_data_layout(S, n_ctx=4)
+    tok_z, tgt_z = tokens[:, idx], targets[:, idx]
+    pos_z = jnp.broadcast_to(positions[None, :], (B, S))
+    pos_ref = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32)[None, :], (B, S))
+
+    p_zig = params
+    p_ref = params
+    lr = 0.5
+    for step in range(2):
+        lz, gz = step_zig(p_zig, tok_z, tgt_z, pos_z)
+        lr_, gr = step_ref(p_ref, tokens, targets, pos_ref)
+        np.testing.assert_allclose(
+            float(lz), float(lr_), rtol=2e-4,
+            err_msg=f"zigzag training loss diverged at step {step}",
+        )
+        p_zig = jax.tree_util.tree_map(lambda p, g: p - lr * g, p_zig, gz)
+        p_ref = jax.tree_util.tree_map(lambda p, g: p - lr * g, p_ref, gr)
+
+    for name in params:
+        np.testing.assert_allclose(
+            np.asarray(p_zig[name]), np.asarray(p_ref[name]),
+            atol=5e-4, rtol=1e-3, err_msg=f"param {name} after 2 SGD steps",
+        )
