@@ -437,7 +437,12 @@ def paged_prefill_attention(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     if block_q is None:
+        # Largest 128-multiple divisor of chunk_len <= 512 (chunk_len is a
+        # 128-multiple, so 128 always terminates the walk): chunk 768 -> 384,
+        # not a ValueError from a blind 512 default.
         block_q = min(chunk_len, 512)
+        while chunk_len % block_q:
+            block_q -= 128
     block_q = min(block_q, chunk_len)
     if chunk_len % block_q:
         raise ValueError(f"chunk_len={chunk_len} % block_q={block_q} != 0")
@@ -817,7 +822,7 @@ def _paged_decode_kernel(
     jax.jit,
     static_argnames=(
         "sm_scale", "save_residuals", "interpret", "sliding_window",
-        "logit_softcap",
+        "logit_softcap", "_force_per_head",
     ),
 )
 def paged_decode_attention(
@@ -829,6 +834,7 @@ def paged_decode_attention(
     interpret: bool | None = None,
     sliding_window: int | None = None,
     logit_softcap: float | None = None,
+    _force_per_head: bool = False,
 ):
     """Single-token decode over the paged cache.
 
@@ -891,7 +897,10 @@ def paged_decode_attention(
     fanout_hb = max(1, min(pages_per_slot, 2048 // page_size))
     while fanout_hb > 1 and fanout_hb * per_f + upcast_tmp > 12 * 2**20:
         fanout_hb -= 1
-    use_hb = per_f + upcast_tmp <= 12 * 2**20
+    # _force_per_head is a test hook: the per-head kernel is the fallback for
+    # working sets beyond VMEM (large bf16 pages / many kv heads), which the
+    # small shapes in tests never reach via the size gate alone.
+    use_hb = (not _force_per_head) and per_f + upcast_tmp <= 12 * 2**20
     if use_hb:
         num_steps = -(-pages_per_slot // fanout_hb)
 

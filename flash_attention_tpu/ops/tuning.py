@@ -105,7 +105,30 @@ def select_block_sizes(
     seq: int, *, causal: bool, head_dim: int = 128, save_residuals: bool = False,
     group: int = 1, kv_seq: int | None = None,
 ) -> BlockSizes:
-    """Pick forward block sizes for a (seq, causal, residuals) config.
+    """Pick forward block sizes for a (seq, causal, residuals, group) config.
+
+    Wraps the raw tier table with the head-batch group resolution _fwd_impl
+    applies at trace time (a GQA head-block must span whole KV groups, else it
+    runs unbatched): the returned config states the block_h that will actually
+    execute, so sweeps and introspection never read a head batch the kernel
+    silently drops. The GQA-measured tiers in the raw table already return
+    group-spanning batches for the swept shapes; unswept (group, seq) combos
+    degrade here explicitly instead of inside the kernel.
+    """
+    bs = _select_fwd_raw(
+        seq, causal=causal, head_dim=head_dim,
+        save_residuals=save_residuals, group=group, kv_seq=kv_seq,
+    )
+    if group > 1 and bs.block_h > 1 and bs.block_h % group:
+        bs = dataclasses.replace(bs, block_h=1)
+    return bs
+
+
+def _select_fwd_raw(
+    seq: int, *, causal: bool, head_dim: int = 128, save_residuals: bool = False,
+    group: int = 1, kv_seq: int | None = None,
+) -> BlockSizes:
+    """Raw (seq, causal, residuals) tier table.
 
     Mirrors the dispatch keying of flash_attention.cu:620-661; values from the
     v5e autotune sweep (see module docstring). The residuals path (LSE output
@@ -128,10 +151,15 @@ def select_block_sizes(
         # ~3.8M on v5e — caught driving ServingEngine chunked prefill on
         # chip). Stream KV in 1024-row blocks with the q chunk resident,
         # h2, as in the long-seq residuals config (same VMEM envelope).
+        # block_h must span whole KV groups or _fwd_impl silently drops to
+        # hb=1: for GQA use h=group (the (512,1024,h4) envelope measured for
+        # the long-seq GQA tier below); group 8+ head batches blow scoped
+        # VMEM, so stay unbatched there.
+        bh = group if group in (2, 4) else (2 if group == 1 else 1)
         return BlockSizes(
             block_q=min(512, pad_seq),
             block_kv=min(1024, _ceil_to(kv_seq, 128)),
-            block_h=2,
+            block_h=bh,
         )
     if group in (2, 4) and pad_seq > 1024:
         # GQA: block_h must span whole KV groups; the generic h2 long-seq

@@ -1,0 +1,135 @@
+"""Shared multi-step decode machinery for both serving engines.
+
+The dense (serving/engine.py) and paged (serving/paged_engine.py) engines run
+the SAME blocked-decode host loop — one jitted k-step lax.scan dispatch + one
+device->host readback per block of up to `decode_block_steps` tokens — and
+differ only in (a) which per-token logits function advances the model
+(decode_step_logits vs decode_step_logits_paged) and (b) what happens when a
+slot finishes mid-block (the paged engine must release its pages). Both live
+here once, parameterized on those two hooks.
+
+Reference analog: the hot serving loop the reference times end-to-end
+(flash_attention.cu:941-960) — dispatch overhead amortized over a block, not
+paid per token.
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from flash_attention_tpu.serving.sampling import sample_tokens
+
+
+def make_decode_multi(model_cfg, decode_logits_fn):
+    """Build the jitted k-step decode block for one engine.
+
+    Returns a function (params, last_tok, caches, active, temps, topk, topp,
+    seeds, k) -> ([k, slots] token block, final last-token row, caches): k
+    decode steps in ONE dispatch via lax.scan. Inactive slots keep frozen
+    lengths and tokens each step (their lanes are free riders in the batched
+    kernels — what makes continuous batching continuous).
+    """
+
+    @functools.partial(jax.jit, static_argnums=(8,), donate_argnums=(2,))
+    def _decode_multi(
+        params, last_tok, caches, active, temps, topk, topp, seeds, k
+    ):
+        def body(carry, _):
+            tok, caches = carry
+            old_lengths = [c.lengths for c in caches]
+            logits, new_caches = decode_logits_fn(
+                params, model_cfg, tok[:, None], caches
+            )
+            nt = sample_tokens(
+                logits, temps, topk, topp, seeds, old_lengths[0]
+            )
+            nt = jnp.where(active, nt, tok)
+            fixed = [
+                c._replace(lengths=jnp.where(active, c.lengths, old))
+                for c, old in zip(new_caches, old_lengths)
+            ]
+            return (nt, fixed), nt
+
+        (last, caches), toks = jax.lax.scan(
+            body, (last_tok, caches), None, length=k
+        )
+        return toks, last, caches
+
+    return _decode_multi
+
+
+def run_decode_block(eng, active, out) -> None:
+    """Advance every active slot by one decode BLOCK (host side).
+
+    `eng` is either serving engine; both expose the same attribute surface
+    (_dev/_dev_dirty device-resident sampling state, _decode_multi, scheduler,
+    budgets) plus an `_on_slot_finished(slot)` hook for mid-block completion
+    (EOS or budget): the dense engine just marks the device state dirty, the
+    paged engine also releases the slot's pages. Tokens a finishing slot
+    computed past its end are discarded here — bounded waste, the standard
+    trade-off for cutting per-token host round-trips.
+    """
+    t0 = time.perf_counter()
+    if eng._dev_dirty:
+        active_mask = np.zeros((eng.max_slots,), bool)
+        active_mask[active] = True
+        eng._dev = (
+            jnp.asarray(eng.last_token),
+            jnp.asarray(active_mask),
+            jnp.asarray(eng._temps), jnp.asarray(eng._topk),
+            jnp.asarray(eng._topp), jnp.asarray(eng._seeds),
+        )
+        eng._dev_dirty = False
+    d_last, d_active, d_t, d_k, d_p, d_s = eng._dev
+    # Block length: bounded by every active slot's token budget and cache
+    # headroom so no slot writes past its capacity mid-block — then rounded
+    # DOWN to a power of two. k is a static arg of the jitted scan, so each
+    # distinct value is a full XLA compile of the multi-layer decode program;
+    # staggered budgets would otherwise walk k through arbitrary values
+    # (7, 5, 3, ...), each a multi-second one-off stall. Pow2 rounding caps
+    # the trace count at log2(decode_block_steps)+1.
+    k_run = int(
+        min(
+            eng.decode_block_steps,
+            min(eng._remaining[s] for s in active),
+            min(eng.max_seq - eng._cur_len[s] for s in active),
+        )
+    )
+    k_run = max(1, k_run)
+    k_run = 1 << (k_run.bit_length() - 1)
+    toks_dev, d_last, eng.caches = eng._decode_multi(
+        eng.params, d_last, eng.caches, d_active,
+        d_t, d_k, d_p, d_s, k_run,
+    )
+    eng._dev = (d_last, d_active, d_t, d_k, d_p, d_s)
+    toks_np = np.asarray(toks_dev)  # [k_run, max_slots]
+    eng.steps += k_run
+    finished: set[int] = set()
+    appended = 0
+    for j in range(k_run):
+        for slot in active:
+            if slot in finished:
+                continue
+            req_id = eng.sched.slot_request(slot)
+            tok = int(toks_np[j, slot])
+            out[req_id].tokens.append(tok)
+            eng.last_token[slot] = tok
+            eng._cur_len[slot] += 1
+            eng._remaining[slot] -= 1
+            appended += 1
+            is_eos = eng.eos_id is not None and tok == eng.eos_id
+            if is_eos:
+                out[req_id].finished_by_eos = True
+            if eng.sched.record_token(slot, is_eos):
+                eng._on_slot_finished(slot)
+                finished.add(slot)
+    eng.decode_tokens += appended
+    # Tokens actually APPENDED this block (computed-but-discarded tail tokens
+    # of mid-block finishers are excluded, consistent with decode_tokens).
+    eng.events.append(("decode", appended))
+    eng.decode_time_s += time.perf_counter() - t0

@@ -30,6 +30,7 @@ from flash_attention_tpu.models.transformer import (
     prefill_chunk_paged,
 )
 from flash_attention_tpu.serving.allocator import PageAllocator
+from flash_attention_tpu.serving.decode_loop import make_decode_multi, run_decode_block
 from flash_attention_tpu.serving.engine import Completion, Request, _PrefillState
 from flash_attention_tpu.serving.sampling import sample_tokens
 from flash_attention_tpu.serving.scheduler import ContinuousBatchScheduler
@@ -148,49 +149,6 @@ class PagedServingEngine:
                 for c in caches
             ]
 
-        @functools.partial(jax.jit, donate_argnums=(2,))
-        def _decode_all(params, tokens, caches, active, temps, topk, topp, seeds):
-            old_lengths = [c.lengths for c in caches]
-            positions = old_lengths[0]
-            logits, new_caches = decode_step_logits_paged(
-                params, model_cfg, tokens, caches
-            )
-            next_tok = sample_tokens(logits, temps, topk, topp, seeds, positions)
-            fixed = [
-                c._replace(lengths=jnp.where(active, c.lengths, old))
-                for c, old in zip(new_caches, old_lengths)
-            ]
-            return next_tok, fixed
-
-        @functools.partial(jax.jit, static_argnums=(8,), donate_argnums=(2,))
-        def _decode_multi(
-            params, last_tok, caches, active, temps, topk, topp, seeds, k
-        ):
-            """k decode steps in ONE dispatch (lax.scan); returns the
-            [k, slots] token block, the final last-token row, and caches.
-            Inactive slots keep frozen lengths and tokens each step."""
-
-            def body(carry, _):
-                tok, caches = carry
-                old_lengths = [c.lengths for c in caches]
-                logits, new_caches = decode_step_logits_paged(
-                    params, model_cfg, tok[:, None], caches
-                )
-                nt = sample_tokens(
-                    logits, temps, topk, topp, seeds, old_lengths[0]
-                )
-                nt = jnp.where(active, nt, tok)
-                fixed = [
-                    c._replace(lengths=jnp.where(active, c.lengths, old))
-                    for c, old in zip(new_caches, old_lengths)
-                ]
-                return (nt, fixed), nt
-
-            (last, caches), toks = jax.lax.scan(
-                body, (last_tok, caches), None, length=k
-            )
-            return toks, last, caches
-
         @jax.jit
         def _sample_first(logits, temp, topk, topp, seed, position):
             return sample_tokens(
@@ -201,9 +159,11 @@ class PagedServingEngine:
         self._set_slot_table = _set_slot_table
         self._prefill_chunk_step = _prefill_chunk_step
         self._set_slot_length_fn = _set_slot_length
-        self._decode_all = _decode_all
-        self._decode_multi = _decode_multi
+        self._decode_multi = make_decode_multi(model_cfg, decode_step_logits_paged)
         self._sample_first = _sample_first
+
+    def _on_slot_finished(self, slot: int) -> None:
+        self._release(slot)  # sets _dev_dirty
 
     # ------------------------------------------------------------------
     def _admit_one(self, req: Request, slot: int) -> bool:
@@ -327,58 +287,6 @@ class PagedServingEngine:
                     break
                 continue
 
-            import time as _time
-
-            _t0 = _time.perf_counter()
-            if self._dev_dirty:
-                active_mask = np.zeros((self.max_slots,), bool)
-                active_mask[active] = True
-                self._dev = (
-                    jnp.asarray(self.last_token),
-                    jnp.asarray(active_mask),
-                    jnp.asarray(self._temps), jnp.asarray(self._topk),
-                    jnp.asarray(self._topp), jnp.asarray(self._seeds),
-                )
-                self._dev_dirty = False
-            d_last, d_active, d_t, d_k, d_p, d_s = self._dev
-            # Block length: bounded by every active slot's token budget and
-            # cache headroom so no slot writes past its pages mid-block.
-            k_run = int(
-                min(
-                    self.decode_block_steps,
-                    min(self._remaining[s] for s in active),
-                    min(self.max_seq - self._cur_len[s] for s in active),
-                )
-            )
-            k_run = max(1, k_run)
-            toks_dev, d_last, self.caches = self._decode_multi(
-                self.params, d_last, self.caches, d_active,
-                d_t, d_k, d_p, d_s, k_run,
-            )
-            self._dev = (d_last, d_active, d_t, d_k, d_p, d_s)
-            toks_np = np.asarray(toks_dev)  # [k_run, max_slots]
-            self.steps += k_run
-            self.events.append(("decode", len(active) * k_run))
-            finished: set[int] = set()
-            appended = 0
-            for j in range(k_run):
-                for slot in active:
-                    if slot in finished:
-                        continue
-                    req_id = self.sched.slot_request(slot)
-                    tok = int(toks_np[j, slot])
-                    out[req_id].tokens.append(tok)
-                    self.last_token[slot] = tok
-                    self._cur_len[slot] += 1
-                    self._remaining[slot] -= 1
-                    appended += 1
-                    is_eos = self.eos_id is not None and tok == self.eos_id
-                    if is_eos:
-                        out[req_id].finished_by_eos = True
-                    if self.sched.record_token(slot, is_eos):
-                        self._release(slot)
-                        finished.add(slot)
-            self.decode_tokens += appended
-            self.decode_time_s += _time.perf_counter() - _t0
+            run_decode_block(self, active, out)
 
         return out

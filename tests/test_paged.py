@@ -66,6 +66,51 @@ def test_paged_decode_matches_oracle(group):
     assert_close(got, want)
 
 
+@pytest.mark.parametrize("mode", ["none", "int8"])
+def test_paged_decode_per_head_fallback_matches(mode):
+    """The per-head kernel (VMEM fallback for working sets the head-batched
+    whole-page fetch can't hold) must agree with the hb path and the oracle.
+    All test shapes pass the size gate, so the fallback needs forcing."""
+    num_slots, kv_heads, pages_per_slot = 2, 2, 4
+    lengths = np.array([512, 200], np.int32)
+    if mode == "none":
+        cache, k, v = build_scattered_cache(
+            4, num_slots, kv_heads, lengths, pages_per_slot
+        )
+        q, _, _ = make_qkv(9, num_slots, kv_heads * 2, 1, 128)
+        q = q[:, :, 0, :]
+        got_ph, lse_ph = paged_decode_attention(
+            q, cache, save_residuals=True, _force_per_head=True
+        )
+        got_hb, lse_hb = paged_decode_attention(q, cache, save_residuals=True)
+        want = reference_attention(
+            q[:, :, None, :], k, v, kv_length=jnp.asarray(lengths)
+        )[:, :, 0, :]
+        assert_close(got_ph, want)
+        np.testing.assert_allclose(
+            np.asarray(lse_ph), np.asarray(lse_hb), atol=2e-2
+        )
+    else:
+        from flash_attention_tpu.ops.quant import quantize_kv
+
+        _, k, v = make_qkv(13, num_slots, kv_heads, 1, 128,
+                           kv_seq=pages_per_slot * PAGE)
+        cache = init_paged_cache(
+            num_pages=16, num_slots=num_slots, pages_per_slot=pages_per_slot,
+            kv_heads=kv_heads, page_size=PAGE, kv_quant=mode,
+        )
+        for s in range(num_slots):
+            pref = ((int(lengths[s]) + PAGE - 1) // PAGE) * PAGE
+            cache = paged_write_prefill(
+                cache, k[s][:, :pref], v[s][:, :pref], s, int(lengths[s])
+            )
+        q, _, _ = make_qkv(14, num_slots, kv_heads * 2, 1, 128)
+        q = q[:, :, 0, :]
+        got_ph = paged_decode_attention(q, cache, _force_per_head=True)
+        got_hb = paged_decode_attention(q, cache)
+        assert_close(got_ph, got_hb)
+
+
 def test_paged_decode_residuals_match_dense():
     from flash_attention_tpu.ops.decode import decode_attention
 
@@ -259,6 +304,34 @@ def test_paged_prefill_matches_gather_path(quant):
             causal=True,
         )
         assert_close(got, oracle, msg=f"quant={quant} chunk={c} vs oracle")
+
+
+def test_paged_prefill_default_block_q_non_dividing_chunk():
+    """chunk_len=768 is a legal page multiple that 512 does not divide: the
+    default block_q must fall back to a divisor (384), not raise. Regression
+    for the blind min(chunk_len, 512) default that crashed
+    PagedServingEngine(prefill_chunk=768)."""
+    from flash_attention_tpu.ops.flash_attention import flash_attention
+    from flash_attention_tpu.ops.paged import (
+        paged_gather_kv,
+        paged_prefill_attention,
+        paged_write_prefill,
+    )
+
+    chunk = 768
+    cache = init_paged_cache(
+        num_pages=8, num_slots=1, pages_per_slot=6, kv_heads=2,
+        page_size=PAGE,
+    )
+    cache = cache._replace(
+        page_table=jnp.asarray([[5, 2, 7, 1, 4, 3]], jnp.int32)
+    )
+    q, k, v = make_qkv(33, 1, 2, chunk, 128)
+    cache = paged_write_prefill(cache, k[0], v[0], 0, chunk, start=0)
+    got = paged_prefill_attention(q, cache, 0, jnp.int32(chunk), chunk_len=chunk)
+    k_vis, v_vis = paged_gather_kv(cache, 0, chunk)
+    want = flash_attention(q, k_vis, v_vis, causal=True)
+    assert_close(got, want)
 
 
 def test_paged_prefill_softcap():
