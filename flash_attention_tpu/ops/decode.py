@@ -35,6 +35,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from flash_attention_tpu.ops.common import (
+    LANES,
+    LOG2E,
+    MASK_VALUE,
     packed_pos,
     packed_split_order,
     split_scales_lanes,
@@ -42,18 +45,12 @@ from flash_attention_tpu.ops.common import (
     upcast_kv_payload_expfold,
     upcast_kv_payload_packed,
 )
+from flash_attention_tpu.ops.common import ceil_to as _ceil_to
 from flash_attention_tpu.ops.merge import merge_partial_attention
 from flash_attention_tpu.ops.quant import QuantizedTensor
 from flash_attention_tpu.ops.tuning import select_decode_block_sizes
 
-LOG2E = 1.4426950408889634
-MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
-LANES = 128
 MIN_GROUP_BLOCK = 16  # bf16 sublane tile height
-
-
-def _ceil_to(x: int, m: int) -> int:
-    return -(-x // m) * m
 
 
 def _decode_kernel(
@@ -241,7 +238,7 @@ def should_split_decode(
     jax.jit,
     static_argnames=(
         "sm_scale", "block_kv", "save_residuals", "interpret",
-        "sliding_window", "logit_softcap", "auto_split",
+        "sliding_window", "logit_softcap", "auto_split", "d64_unpadded",
     ),
 )
 def decode_attention(
@@ -257,6 +254,7 @@ def decode_attention(
     sliding_window: int | None = None,
     logit_softcap: float | None = None,
     auto_split: bool = False,
+    d64_unpadded: bool = False,
 ):
     """Single-token decode attention over a KV cache.
 
@@ -275,6 +273,12 @@ def decode_attention(
         (flash-decoding) per :func:`should_split_decode`. Default OFF: on
         single-core v5e the plain kernel is already HBM-wall-bound and the
         split's resplit copy is a net loss (see should_split_decode).
+      d64_unpadded: head_dim=64 caches stay 64-wide in the kernel (block
+        minor dim = full array minor dim, which Mosaic accepts — the same
+        form as the forward's BlockSizes.d64_unpadded). Without it a d=64
+        cache is jnp.pad-copied to 128 wide EVERY decode step — for a
+        multi-GiB cache the copy, not the kernel, is the step time. Off by
+        default pending on-chip validation of the Mosaic layout.
 
     Returns:
       [batch, q_heads, head_dim] output (q.dtype), plus LSE if requested.
@@ -299,6 +303,11 @@ def decode_attention(
             )
     if num_q_heads % num_kv_heads:
         raise ValueError(f"q_heads={num_q_heads} % kv_heads={num_kv_heads} != 0")
+    if sliding_window is not None and sliding_window < 1:
+        # A window of 0 would leave the live KV block fully masked and the
+        # plain-softmax epilogue would emit an unweighted average of
+        # arbitrary V rows — reject like the forward does.
+        raise ValueError(f"sliding_window must be >= 1, got {sliding_window}")
     if sm_scale is None:
         sm_scale = 1.0 / math.sqrt(head_dim)
     if interpret is None:
@@ -308,7 +317,10 @@ def decode_attention(
 
     group = num_q_heads // num_kv_heads
     group_pad = max(_ceil_to(group, 8), MIN_GROUP_BLOCK)
-    d_pad = _ceil_to(head_dim, 128)
+    if d64_unpadded and head_dim == 64:
+        d_pad = 64
+    else:
+        d_pad = _ceil_to(head_dim, 128)
 
     # [B, Hq, D] -> [B, Hkv, Gp, D]
     qg = q.reshape(batch, num_kv_heads, group, head_dim)
@@ -317,8 +329,15 @@ def decode_attention(
             qg, ((0, 0), (0, 0), (0, group_pad - group), (0, d_pad - head_dim))
         )
 
-    block_kv = min(block_kv, _ceil_to(max_seq, 128))
-    seq_pad = _ceil_to(max_seq, block_kv)
+    # block_kv must DIVIDE the 128-padded cache length: padding to a block
+    # multiple instead would jnp.pad-copy the ENTIRE cache (and scales)
+    # through HBM on every decode step — for a multi-GiB cache that copy,
+    # not the kernel, becomes the step time. Walk down to the largest
+    # 128-multiple divisor (<= 31 trace-time iterations).
+    seq_pad = _ceil_to(max_seq, 128)
+    block_kv = min(block_kv, seq_pad)
+    while seq_pad % block_kv:
+        block_kv -= 128
     pads = ((0, 0), (0, 0), (0, seq_pad - max_seq), (0, d_pad - head_dim))
     if seq_pad != max_seq or d_pad != head_dim:
         k_vals = jnp.pad(k_vals, pads)

@@ -386,7 +386,10 @@ def _paged_prefill_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("chunk_len", "sm_scale", "block_q", "interpret", "logit_softcap"),
+    static_argnames=(
+        "chunk_len", "sm_scale", "block_q", "interpret", "logit_softcap",
+        "d64_unpadded",
+    ),
 )
 def paged_prefill_attention(
     q: jax.Array,
@@ -399,6 +402,7 @@ def paged_prefill_attention(
     block_q: int | None = None,
     interpret: bool | None = None,
     logit_softcap: float | None = None,
+    d64_unpadded: bool = False,
 ):
     """Causal chunk attention over a slot's paged KV, pages read in place.
 
@@ -448,7 +452,10 @@ def paged_prefill_attention(
         raise ValueError(f"chunk_len={chunk_len} % block_q={block_q} != 0")
 
     group = num_q_heads // num_kv_heads
-    d_pad = ceil_to(head_dim, 128)
+    # d64_unpadded: keep 64-wide pages in-kernel (block minor = full array
+    # minor) instead of pad-copying the page pool every chunk — same form
+    # and gating as decode_attention's flag.
+    d_pad = 64 if (d64_unpadded and head_dim == 64) else ceil_to(head_dim, 128)
     # [1, Hq, T, D] -> [Hkv, group, T, D]: the grid walks (kv_head, group,
     # q block) so each Q block attends ONE un-expanded KV head's pages.
     qg = q.reshape(num_kv_heads, group, t, head_dim)
@@ -822,7 +829,7 @@ def _paged_decode_kernel(
     jax.jit,
     static_argnames=(
         "sm_scale", "save_residuals", "interpret", "sliding_window",
-        "logit_softcap", "_force_per_head",
+        "logit_softcap", "d64_unpadded", "_force_per_head",
     ),
 )
 def paged_decode_attention(
@@ -834,6 +841,7 @@ def paged_decode_attention(
     interpret: bool | None = None,
     sliding_window: int | None = None,
     logit_softcap: float | None = None,
+    d64_unpadded: bool = False,
     _force_per_head: bool = False,
 ):
     """Single-token decode over the paged cache.
@@ -853,6 +861,8 @@ def paged_decode_attention(
     pages_per_slot = cache.pages_per_slot
     if num_q_heads % num_kv_heads:
         raise ValueError(f"q_heads={num_q_heads} % kv_heads={num_kv_heads} != 0")
+    if sliding_window is not None and sliding_window < 1:
+        raise ValueError(f"sliding_window must be >= 1, got {sliding_window}")
     if sm_scale is None:
         sm_scale = 1.0 / math.sqrt(head_dim)
     if interpret is None:
@@ -860,7 +870,9 @@ def paged_decode_attention(
 
     group = num_q_heads // num_kv_heads
     group_pad = max(ceil_to(group, 8), MIN_GROUP_BLOCK)
-    d_pad = ceil_to(head_dim, 128)
+    # See decode_attention's d64_unpadded: avoids pad-copying the whole page
+    # pool per step for head_dim=64 caches. Off pending on-chip validation.
+    d_pad = 64 if (d64_unpadded and head_dim == 64) else ceil_to(head_dim, 128)
 
     qg = q.reshape(num_slots, num_kv_heads, group, head_dim)
     if group_pad != group or d_pad != head_dim:

@@ -67,8 +67,10 @@ class BlockSizes:
     # from ONE score/softmax recompute per block pair — 5 MMAs + 1 exp vs
     # the two-pass kernels' 9 + 2, and K/V+Q/dO stream once instead of
     # twice). Requires whole-KV fp32 dk/dv accumulators in VMEM
-    # (2*kv_len*d*4 bytes per head-batch), so it's dispatched for
-    # moderate kv lengths; MHA without packed segments only.
+    # (2*kv_len*d*4 bytes per head-batch), so only moderate kv lengths fit;
+    # MHA without packed segments only. OFF by default — select_bwd_block_sizes
+    # never sets it pending the on-chip sweep; opt in via
+    # BlockSizes(..., bwd_fused=True).
     bwd_fused: bool = False
     # Forward: keep head_dim=64 UN-padded (block minor dim 64 = the full
     # array dim, which Mosaic accepts) instead of zero-padding to 128 in HBM.
@@ -305,4 +307,10 @@ def select_decode_block_sizes(kv_seq: int, *, head_dim: int = 128) -> DecodeBloc
     win only materializes with big blocks).
     """
     pad = _ceil_to(kv_seq, 128)
-    return DecodeBlockSizes(block_kv=min(4096, pad))
+    bk = min(4096, pad)
+    # Largest 128-multiple divisor of the padded length: a non-dividing
+    # block would force decode_attention to pad-copy the whole cache per
+    # step (e.g. 6144 with a blind 4096 block pads to 8192).
+    while pad % bk:
+        bk -= 128
+    return DecodeBlockSizes(block_kv=bk)

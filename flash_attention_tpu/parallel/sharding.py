@@ -111,19 +111,22 @@ def make_context_parallel_attention(
     mesh: Mesh,
     *,
     sm_scale: float | None = None,
+    data_axis: str = "data",
     context_axis: str = "context",
     model_axis: str = "model",
     block_sizes=None,
 ):
     """Sequence-parallel (non-causal) attention: KV sharded over the context
     axis, Q replicated along it; each chip computes a partial against its KV
-    shard and results merge with :func:`cross_chip_merge`.
+    shard and results merge with :func:`cross_chip_merge`. Batch shards over
+    `data_axis` like the sibling factories (on a data x model x context mesh
+    each data row would otherwise redo the full batch — pure waste).
 
     For causal self-attention use ring attention (parallel/ring.py), which
     both balances the triangle and overlaps KV movement with compute.
     """
-    q_spec = P(None, model_axis, None, None)
-    kv_spec = P(None, model_axis, context_axis, None)
+    q_spec = P(data_axis, model_axis, None, None)
+    kv_spec = P(data_axis, model_axis, context_axis, None)
 
     def _local(q, k, v):
         o, lse = flash_attention(

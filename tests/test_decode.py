@@ -61,6 +61,48 @@ def test_decode_head_dim_64():
     assert_close(got, want, msg="decode head_dim=64")
 
 
+def test_decode_head_dim_64_unpadded():
+    """d64_unpadded keeps the cache 64-wide through the kernel (no per-step
+    whole-cache pad copy); must match the padded path and the oracle."""
+    q, k, v = make_qkv(36, 2, 4, 1, 64, num_kv_heads=2, kv_seq=384)
+    q = q[:, :, 0, :]
+    lengths = jnp.array([384, 200], jnp.int32)
+    got = decode_attention(q, k, v, lengths, block_kv=128, d64_unpadded=True)
+    want = _decode_oracle(q, k, v, lengths)
+    assert_close(got, want, msg="decode d64 unpadded")
+    padded = decode_attention(q, k, v, lengths, block_kv=128)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(padded, np.float32), atol=2e-2
+    )
+
+
+def test_decode_rejects_nonpositive_window():
+    """sliding_window=0 would fully mask the live block and the plain-softmax
+    epilogue would emit an unweighted average of arbitrary V rows — reject
+    like the forward does."""
+    q, k, v = make_qkv(37, 1, 2, 1, 128, kv_seq=256)
+    q = q[:, :, 0, :]
+    lengths = jnp.array([200], jnp.int32)
+    for w in (0, -3):
+        with pytest.raises(ValueError, match="sliding_window"):
+            decode_attention(q, k, v, lengths, sliding_window=w)
+
+
+def test_decode_non_dividing_default_block():
+    """max_seq=6144: the default 4096 block must step down to a divisor
+    (3072) instead of pad-copying the whole cache to 8192 per step."""
+    from flash_attention_tpu.ops.tuning import select_decode_block_sizes
+
+    assert 6144 % select_decode_block_sizes(6144).block_kv == 0
+    q, k, v = make_qkv(38, 1, 2, 1, 128, kv_seq=768)
+    q = q[:, :, 0, :]
+    lengths = jnp.array([700], jnp.int32)
+    # 768 with an explicit non-dividing 512 block: stepped down internally.
+    got = decode_attention(q, k, v, lengths, block_kv=512)
+    want = _decode_oracle(q, k, v, lengths)
+    assert_close(got, want, msg="decode non-dividing block")
+
+
 def test_decode_residuals_match_reference_lse():
     from flash_attention_tpu.ops.reference import reference_attention_with_lse
 

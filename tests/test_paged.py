@@ -306,6 +306,56 @@ def test_paged_prefill_matches_gather_path(quant):
         assert_close(got, oracle, msg=f"quant={quant} chunk={c} vs oracle")
 
 
+def test_paged_decode_head_dim_64_unpadded():
+    """d64_unpadded: 64-wide pages stay 64-wide in-kernel (no per-step page
+    pool pad copy); must match the padded path and the oracle."""
+    lengths = np.array([512, 200], np.int32)
+    cache, k, v = build_scattered_cache(6, 2, 2, lengths, 4, head_dim=64)
+    q, _, _ = make_qkv(10, 2, 4, 1, 64)
+    q = q[:, :, 0, :]
+    got = paged_decode_attention(q, cache, d64_unpadded=True)
+    want = reference_attention(
+        q[:, :, None, :], k, v, kv_length=jnp.asarray(lengths)
+    )[:, :, 0, :]
+    assert_close(got, want)
+    padded = paged_decode_attention(q, cache)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(padded, np.float32), atol=2e-2
+    )
+
+
+def test_paged_prefill_head_dim_64_unpadded():
+    from flash_attention_tpu.ops.flash_attention import flash_attention
+    from flash_attention_tpu.ops.paged import (
+        paged_gather_kv,
+        paged_prefill_attention,
+        paged_write_prefill,
+    )
+
+    cache = init_paged_cache(
+        num_pages=8, num_slots=1, pages_per_slot=4, kv_heads=2,
+        page_size=PAGE, head_dim=64,
+    )
+    cache = cache._replace(page_table=jnp.asarray([[3, 1, 6, 0]], jnp.int32))
+    q, k, v = make_qkv(11, 1, 2, 512, 64)
+    cache = paged_write_prefill(cache, k[0], v[0], 0, 512, start=0)
+    got = paged_prefill_attention(
+        q, cache, 0, jnp.int32(512), chunk_len=512, d64_unpadded=True
+    )
+    k_vis, v_vis = paged_gather_kv(cache, 0, 512)
+    want = flash_attention(q, k_vis, v_vis, causal=True)
+    assert_close(got, want)
+
+
+def test_paged_decode_rejects_nonpositive_window():
+    lengths = np.array([256, 100], np.int32)
+    cache, _, _ = build_scattered_cache(3, 2, 2, lengths, 2)
+    q, _, _ = make_qkv(8, 2, 4, 1, 128)
+    q = q[:, :, 0, :]
+    with pytest.raises(ValueError, match="sliding_window"):
+        paged_decode_attention(q, cache, sliding_window=0)
+
+
 def test_paged_prefill_default_block_q_non_dividing_chunk():
     """chunk_len=768 is a legal page multiple that 512 does not divide: the
     default block_q must fall back to a divisor (384), not raise. Regression

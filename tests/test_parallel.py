@@ -59,6 +59,17 @@ def test_context_parallel_noncausal():
     assert_close(got, want, msg="context-parallel merge")
 
 
+def test_context_parallel_batch_sharded():
+    """Batch must shard over the data axis (not replicate): on a full
+    data x model x context mesh the result is still exact."""
+    mesh = make_mesh(data=2, model=2, context=2)
+    q, k, v = make_qkv(56, 2, 2, 512, 128)
+    fn = make_context_parallel_attention(mesh, block_sizes=BS)
+    got = fn(q, k, v)
+    want = reference_attention(q, k, v)
+    assert_close(got, want, msg="context-parallel dp2")
+
+
 @pytest.mark.parametrize("causal", [False, True])
 def test_ring_attention(causal):
     mesh = make_mesh(data=1, model=2, context=4)
