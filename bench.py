@@ -396,8 +396,10 @@ def bench_engine(on_tpu):
     # then zero the counters — the first decode step's one-time compile
     # (~15 s) otherwise lands in the decode-phase denominator and reads as
     # a ~4x throughput loss (measured 280 ms/step avg vs 65 ms steady).
+    # max_new=16 walks the block length through every pow2 k (8, 4, 2, 1)
+    # so no k-variant compile lands in the timed run's tail either.
     engine.run([
-        Request(id=10_000 + i, prompt=(1, 2, 3, 4) * 256, max_new_tokens=2)
+        Request(id=10_000 + i, prompt=(1, 2, 3, 4) * 256, max_new_tokens=16)
         for i in range(batch)
     ])
     engine.decode_tokens = 0

@@ -129,6 +129,41 @@ def write_cache(cfg: AttentionConfig, cache: KVCache, k_new, v_new, start_positi
     return cache
 
 
+def _project_qkv(params, cfg: AttentionConfig, x: jax.Array, positions):
+    """Shared q/k/v projection + RoPE for every attention_* entry point.
+
+    x: [B, T, model_dim]; positions: int32 broadcastable to [B, 1, T].
+    Returns (q, k, v) as [B, H, T, D] in the config dtype, q/k rotated.
+    """
+    q = jnp.einsum("btm,mhd->bhtd", x, params["wq"]).astype(cfg.jnp_dtype)
+    k = jnp.einsum("btm,mhd->bhtd", x, params["wk"]).astype(cfg.jnp_dtype)
+    v = jnp.einsum("btm,mhd->bhtd", x, params["wv"]).astype(cfg.jnp_dtype)
+    q = apply_rope(q, positions, theta=cfg.rope_theta)
+    k = apply_rope(k, positions, theta=cfg.rope_theta)
+    return q, k, v
+
+
+def _output_proj(params, o: jax.Array, out_dtype):
+    """wo projection of [B, H, T, D] kernel output -> [B, T, model_dim].
+
+    Low-precision operands with fp32 MXU accumulation (the transformer.py
+    einsum convention) — upcasting wo to fp32 would materialize a weight
+    copy per call and halve the MXU rate.
+    """
+    out = jnp.einsum(
+        "bhtd,hdm->btm", o, params["wo"], preferred_element_type=jnp.float32
+    )
+    return out.astype(out_dtype)
+
+
+def _output_proj_decode(params, o: jax.Array, out_dtype):
+    """wo projection of single-token [B, H, D] output -> [B, 1, model_dim]."""
+    out = jnp.einsum(
+        "bhd,hdm->bm", o, params["wo"], preferred_element_type=jnp.float32
+    )
+    return out[:, None, :].astype(out_dtype)
+
+
 def attention_prefill(
     params, cfg: AttentionConfig, x: jax.Array, cache: KVCache, *, block_sizes=None
 ):
@@ -137,20 +172,15 @@ def attention_prefill(
     Returns (output [B, T, model_dim], updated cache).
     """
     batch, t, _ = x.shape
-    q = jnp.einsum("btm,mhd->bhtd", x, params["wq"]).astype(cfg.jnp_dtype)
-    k = jnp.einsum("btm,mhd->bhtd", x, params["wk"]).astype(cfg.jnp_dtype)
-    v = jnp.einsum("btm,mhd->bhtd", x, params["wv"]).astype(cfg.jnp_dtype)
-    positions = jnp.arange(t)[None, None, :]
-    q = apply_rope(q, positions, theta=cfg.rope_theta)
-    k = apply_rope(k, positions, theta=cfg.rope_theta)
+    q, k, v = _project_qkv(params, cfg, x, jnp.arange(t)[None, None, :])
 
     o = flash_attention(
         q, k, v, causal=True, block_sizes=block_sizes,
         sliding_window=cfg.sliding_window, logit_softcap=cfg.logit_softcap,
     )
-    out = jnp.einsum("bhtd,hdm->btm", o.astype(jnp.float32), params["wo"].astype(jnp.float32))
+    out = _output_proj(params, o, x.dtype)
     cache = write_cache(cfg, cache, k, v, jnp.zeros((batch,), jnp.int32))
-    return out.astype(x.dtype), cache
+    return out, cache
 
 
 def attention_forward(
@@ -168,24 +198,17 @@ def attention_forward(
     Returns [B, T, model_dim]; differentiable end to end.
     """
     _, t, _ = x.shape
-    q = jnp.einsum("btm,mhd->bhtd", x, params["wq"]).astype(cfg.jnp_dtype)
-    k = jnp.einsum("btm,mhd->bhtd", x, params["wk"]).astype(cfg.jnp_dtype)
-    v = jnp.einsum("btm,mhd->bhtd", x, params["wv"]).astype(cfg.jnp_dtype)
     if positions is None:
         pos = jnp.arange(t)[None, None, :]
     else:
         pos = positions[:, None, :]
-    q = apply_rope(q, pos, theta=cfg.rope_theta)
-    k = apply_rope(k, pos, theta=cfg.rope_theta)
+    q, k, v = _project_qkv(params, cfg, x, pos)
     o = flash_attention(
         q, k, v, causal=True, block_sizes=block_sizes,
         sliding_window=cfg.sliding_window, logit_softcap=cfg.logit_softcap,
         segment_ids=segment_ids,
     )
-    out = jnp.einsum(
-        "bhtd,hdm->btm", o.astype(jnp.float32), params["wo"].astype(jnp.float32)
-    )
-    return out.astype(x.dtype)
+    return _output_proj(params, o, x.dtype)
 
 
 def attention_prefill_chunk(
@@ -214,12 +237,9 @@ def attention_prefill_chunk(
       (output [1, T, model_dim], updated cache).
     """
     _, t, _ = x.shape
-    q = jnp.einsum("btm,mhd->bhtd", x, params["wq"]).astype(cfg.jnp_dtype)
-    k = jnp.einsum("btm,mhd->bhtd", x, params["wk"]).astype(cfg.jnp_dtype)
-    v = jnp.einsum("btm,mhd->bhtd", x, params["wv"]).astype(cfg.jnp_dtype)
-    positions = start + jnp.arange(t)[None, None, :]
-    q = apply_rope(q, positions, theta=cfg.rope_theta)
-    k = apply_rope(k, positions, theta=cfg.rope_theta)
+    q, k, v = _project_qkv(
+        params, cfg, x, start + jnp.arange(t)[None, None, :]
+    )
 
     # Write the chunk's K/V into the slot's rows FIRST so the visible slice
     # [0, kv_end) includes the chunk itself.
@@ -270,10 +290,7 @@ def attention_prefill_chunk(
         q, k_vis, v_vis, causal=True, block_sizes=block_sizes,
         sliding_window=cfg.sliding_window, logit_softcap=cfg.logit_softcap,
     )
-    out = jnp.einsum(
-        "bhtd,hdm->btm", o.astype(jnp.float32), params["wo"].astype(jnp.float32)
-    )
-    return out.astype(x.dtype), cache
+    return _output_proj(params, o, x.dtype), cache
 
 
 def attention_prefill_paged(
@@ -288,22 +305,15 @@ def attention_prefill_paged(
     from flash_attention_tpu.ops.paged import paged_write_prefill
 
     _, t, _ = x.shape
-    q = jnp.einsum("btm,mhd->bhtd", x, params["wq"]).astype(cfg.jnp_dtype)
-    k = jnp.einsum("btm,mhd->bhtd", x, params["wk"]).astype(cfg.jnp_dtype)
-    v = jnp.einsum("btm,mhd->bhtd", x, params["wv"]).astype(cfg.jnp_dtype)
-    positions = jnp.arange(t)[None, None, :]
-    q = apply_rope(q, positions, theta=cfg.rope_theta)
-    k = apply_rope(k, positions, theta=cfg.rope_theta)
+    q, k, v = _project_qkv(params, cfg, x, jnp.arange(t)[None, None, :])
 
     o = flash_attention(
         q, k, v, causal=True, block_sizes=block_sizes,
         sliding_window=cfg.sliding_window, logit_softcap=cfg.logit_softcap,
     )
-    out = jnp.einsum(
-        "bhtd,hdm->btm", o.astype(jnp.float32), params["wo"].astype(jnp.float32)
-    )
+    out = _output_proj(params, o, x.dtype)
     paged_cache = paged_write_prefill(paged_cache, k[0], v[0], slot, true_len)
-    return out.astype(x.dtype), paged_cache
+    return out, paged_cache
 
 
 def attention_prefill_chunk_paged(
@@ -316,12 +326,9 @@ def attention_prefill_chunk_paged(
     from flash_attention_tpu.ops.paged import paged_gather_kv, paged_write_prefill
 
     _, t, _ = x.shape
-    q = jnp.einsum("btm,mhd->bhtd", x, params["wq"]).astype(cfg.jnp_dtype)
-    k = jnp.einsum("btm,mhd->bhtd", x, params["wk"]).astype(cfg.jnp_dtype)
-    v = jnp.einsum("btm,mhd->bhtd", x, params["wv"]).astype(cfg.jnp_dtype)
-    positions = start + jnp.arange(t)[None, None, :]
-    q = apply_rope(q, positions, theta=cfg.rope_theta)
-    k = apply_rope(k, positions, theta=cfg.rope_theta)
+    q, k, v = _project_qkv(
+        params, cfg, x, start + jnp.arange(t)[None, None, :]
+    )
 
     paged_cache = paged_write_prefill(
         paged_cache, k[0], v[0], slot, jnp.asarray(start) + t, start=start
@@ -346,10 +353,7 @@ def attention_prefill_chunk_paged(
             q, k_vis, v_vis, causal=True, block_sizes=block_sizes,
             sliding_window=cfg.sliding_window, logit_softcap=cfg.logit_softcap,
         )
-    out = jnp.einsum(
-        "bhtd,hdm->btm", o.astype(jnp.float32), params["wo"].astype(jnp.float32)
-    )
-    return out.astype(x.dtype), paged_cache
+    return _output_proj(params, o, x.dtype), paged_cache
 
 
 def attention_decode_paged(params, cfg: AttentionConfig, x: jax.Array, paged_cache):
@@ -366,12 +370,9 @@ def attention_decode_paged(params, cfg: AttentionConfig, x: jax.Array, paged_cac
     )
 
     num_slots = x.shape[0]
-    q = jnp.einsum("btm,mhd->bhtd", x, params["wq"]).astype(cfg.jnp_dtype)
-    k = jnp.einsum("btm,mhd->bhtd", x, params["wk"]).astype(cfg.jnp_dtype)
-    v = jnp.einsum("btm,mhd->bhtd", x, params["wv"]).astype(cfg.jnp_dtype)
-    positions = paged_cache.lengths[:, None, None]
-    q = apply_rope(q, positions, theta=cfg.rope_theta)
-    k = apply_rope(k, positions, theta=cfg.rope_theta)
+    q, k, v = _project_qkv(
+        params, cfg, x, paged_cache.lengths[:, None, None]
+    )
 
     paged_cache = paged_write_tokens(
         paged_cache, k[:, :, 0, :], v[:, :, 0, :], jnp.arange(num_slots)
@@ -380,10 +381,7 @@ def attention_decode_paged(params, cfg: AttentionConfig, x: jax.Array, paged_cac
         q[:, :, 0, :], paged_cache,
         sliding_window=cfg.sliding_window, logit_softcap=cfg.logit_softcap,
     )
-    out = jnp.einsum(
-        "bhd,hdm->bm", o.astype(jnp.float32), params["wo"].astype(jnp.float32)
-    )
-    return out[:, None, :].astype(x.dtype), paged_cache
+    return _output_proj_decode(params, o, x.dtype), paged_cache
 
 
 def attention_decode(
@@ -393,13 +391,8 @@ def attention_decode(
 
     Returns (output [B, 1, model_dim], updated cache).
     """
-    batch = x.shape[0]
-    q = jnp.einsum("btm,mhd->bhtd", x, params["wq"]).astype(cfg.jnp_dtype)
-    k = jnp.einsum("btm,mhd->bhtd", x, params["wk"]).astype(cfg.jnp_dtype)
-    v = jnp.einsum("btm,mhd->bhtd", x, params["wv"]).astype(cfg.jnp_dtype)
-    positions = cache.lengths[:, None, None]  # next position per sequence
-    q = apply_rope(q, positions, theta=cfg.rope_theta)
-    k = apply_rope(k, positions, theta=cfg.rope_theta)
+    # positions = next position per sequence
+    q, k, v = _project_qkv(params, cfg, x, cache.lengths[:, None, None])
 
     cache = write_cache(cfg, cache, k, v, cache.lengths)
     o = decode_attention(
@@ -407,5 +400,4 @@ def attention_decode(
         block_kv=block_kv,
         sliding_window=cfg.sliding_window, logit_softcap=cfg.logit_softcap,
     )
-    out = jnp.einsum("bhd,hdm->bm", o.astype(jnp.float32), params["wo"].astype(jnp.float32))
-    return out[:, None, :].astype(x.dtype), cache
+    return _output_proj_decode(params, o, x.dtype), cache

@@ -19,8 +19,10 @@ from flash_attention_tpu.models.attention import (
     KVCache,
     attention_decode,
     attention_decode_paged,
+    attention_forward,
     attention_prefill,
     attention_prefill_chunk,
+    attention_prefill_chunk_paged,
     attention_prefill_paged,
     init_attention_params,
     init_kv_cache,
@@ -121,16 +123,32 @@ def init_caches(cfg: ModelConfig, batch: int, max_seq: int) -> list:
     return [init_kv_cache(acfg, batch, max_seq) for _ in range(cfg.num_layers)]
 
 
-def _layer(params, acfg, cfg, x, cache, *, decode: bool):
-    h = rms_norm(x, params["attn_norm"], cfg.norm_eps)
-    if decode:
-        attn_out, cache = attention_decode(params["attn"], acfg, h, cache)
-    else:
-        attn_out, cache = attention_prefill(params["attn"], acfg, h, cache)
-    x = x + attn_out
-    h = rms_norm(x, params["mlp_norm"], cfg.norm_eps)
-    x = x + swiglu(h, params["mlp"])
-    return x, cache
+def _trunk(params, cfg: ModelConfig, tokens: jax.Array, attn_fn, caches=None):
+    """Shared decoder trunk: embed -> N x (pre-norm attention via `attn_fn` +
+    pre-norm SwiGLU, both residual) -> final norm -> tied-embedding logits.
+
+    Every model entry point (training, prefill, chunked prefill, decode,
+    paged variants) differs ONLY in the attention call, so that is the one
+    injected piece: ``attn_fn(layer_attn_params, acfg, h, cache) ->
+    (attn_out, new_cache)`` (cache is None end-to-end on the cache-free
+    training path). Returns (logits [B, T, vocab], new_caches).
+    """
+    acfg = cfg.attention_config()
+    x = params["embed"][tokens].astype(cfg.jnp_dtype)
+    new_caches = []
+    cache_list = [None] * len(params["layers"]) if caches is None else caches
+    for lp, cache in zip(params["layers"], cache_list):
+        h = rms_norm(x, lp["attn_norm"], cfg.norm_eps)
+        attn_out, cache = attn_fn(lp["attn"], acfg, h, cache)
+        x = x + attn_out
+        h = rms_norm(x, lp["mlp_norm"], cfg.norm_eps)
+        x = x + swiglu(h, lp["mlp"])
+        new_caches.append(cache)
+    x = rms_norm(x, params["final_norm"], cfg.norm_eps)
+    logits = jnp.einsum(
+        "btm,vm->btv", x, params["embed"], preferred_element_type=jnp.float32
+    )
+    return logits, new_caches
 
 
 def forward(params, cfg: ModelConfig, tokens: jax.Array, caches: list, *, decode: bool = False):
@@ -138,17 +156,8 @@ def forward(params, cfg: ModelConfig, tokens: jax.Array, caches: list, *, decode
 
     Returns (logits [B, T, vocab], updated caches).
     """
-    acfg = cfg.attention_config()
-    x = params["embed"][tokens].astype(cfg.jnp_dtype)
-    new_caches = []
-    for lp, cache in zip(params["layers"], caches):
-        x, cache = _layer(lp, acfg, cfg, x, cache, decode=decode)
-        new_caches.append(cache)
-    x = rms_norm(x, params["final_norm"], cfg.norm_eps)
-    logits = jnp.einsum(
-        "btm,vm->btv", x, params["embed"], preferred_element_type=jnp.float32
-    )
-    return logits, new_caches
+    attn = attention_decode if decode else attention_prefill
+    return _trunk(params, cfg, tokens, attn, caches)
 
 
 def prefill(params, cfg: ModelConfig, tokens: jax.Array, caches: list):
@@ -180,23 +189,16 @@ def train_forward(
     masked per document and RoPE positions restart at each document start.
     Returns logits [B, T, vocab]; differentiate with jax.value_and_grad.
     """
-    from flash_attention_tpu.models.attention import attention_forward
-
-    acfg = cfg.attention_config()
     positions = None if segment_ids is None else segment_positions(segment_ids)
-    x = params["embed"][tokens].astype(cfg.jnp_dtype)
-    for lp in params["layers"]:
-        h = rms_norm(x, lp["attn_norm"], cfg.norm_eps)
-        attn_out = attention_forward(
-            lp["attn"], acfg, h, positions=positions, segment_ids=segment_ids
+
+    def attn(p, acfg, h, cache):
+        out = attention_forward(
+            p, acfg, h, positions=positions, segment_ids=segment_ids
         )
-        x = x + attn_out
-        h = rms_norm(x, lp["mlp_norm"], cfg.norm_eps)
-        x = x + swiglu(h, lp["mlp"])
-    x = rms_norm(x, params["final_norm"], cfg.norm_eps)
-    return jnp.einsum(
-        "btm,vm->btv", x, params["embed"], preferred_element_type=jnp.float32
-    )
+        return out, cache
+
+    logits, _ = _trunk(params, cfg, tokens, attn)
+    return logits
 
 
 def prefill_chunk(
@@ -208,23 +210,13 @@ def prefill_chunk(
     static). Returns (logits [1, T, vocab], updated caches) — chunked prefill
     lets long prompts interleave with decode steps instead of stalling them.
     """
-    acfg = cfg.attention_config()
-    x = params["embed"][tokens].astype(cfg.jnp_dtype)
-    new_caches = []
-    for lp, cache in zip(params["layers"], caches):
-        h = rms_norm(x, lp["attn_norm"], cfg.norm_eps)
-        attn_out, cache = attention_prefill_chunk(
-            lp["attn"], acfg, h, cache, slot, start, kv_end
-        )
-        x = x + attn_out
-        h = rms_norm(x, lp["mlp_norm"], cfg.norm_eps)
-        x = x + swiglu(h, lp["mlp"])
-        new_caches.append(cache)
-    x = rms_norm(x, params["final_norm"], cfg.norm_eps)
-    logits = jnp.einsum(
-        "btm,vm->btv", x, params["embed"], preferred_element_type=jnp.float32
+    return _trunk(
+        params, cfg, tokens,
+        lambda p, acfg, h, c: attention_prefill_chunk(
+            p, acfg, h, c, slot, start, kv_end
+        ),
+        caches,
     )
-    return logits, new_caches
 
 
 def decode_step_logits(params, cfg: ModelConfig, tokens: jax.Array, caches: list):
@@ -251,36 +243,16 @@ def init_paged_caches(
     ]
 
 
-def _paged_layer(params, acfg, cfg, x, cache, *, decode, slot=None, true_len=None):
-    h = rms_norm(x, params["attn_norm"], cfg.norm_eps)
-    if decode:
-        attn_out, cache = attention_decode_paged(params["attn"], acfg, h, cache)
-    else:
-        attn_out, cache = attention_prefill_paged(
-            params["attn"], acfg, h, cache, slot, true_len
-        )
-    x = x + attn_out
-    h = rms_norm(x, params["mlp_norm"], cfg.norm_eps)
-    x = x + swiglu(h, params["mlp"])
-    return x, cache
-
-
 def prefill_paged(params, cfg: ModelConfig, tokens, caches, slot, true_len):
     """Prefill ONE sequence ([1, T] tokens, T a page multiple) into its slot's
     pages. Returns (logits [1, T, vocab], updated caches)."""
-    acfg = cfg.attention_config()
-    x = params["embed"][tokens].astype(cfg.jnp_dtype)
-    new_caches = []
-    for lp, cache in zip(params["layers"], caches):
-        x, cache = _paged_layer(
-            lp, acfg, cfg, x, cache, decode=False, slot=slot, true_len=true_len
-        )
-        new_caches.append(cache)
-    x = rms_norm(x, params["final_norm"], cfg.norm_eps)
-    logits = jnp.einsum(
-        "btm,vm->btv", x, params["embed"], preferred_element_type=jnp.float32
+    return _trunk(
+        params, cfg, tokens,
+        lambda p, acfg, h, c: attention_prefill_paged(
+            p, acfg, h, c, slot, true_len
+        ),
+        caches,
     )
-    return logits, new_caches
 
 
 def prefill_chunk_paged(
@@ -289,38 +261,19 @@ def prefill_chunk_paged(
     """Chunked prefill over paged caches: [1, T] tokens at positions
     [start, start+T), T a page multiple, start + T == kv_end (static).
     Returns (logits [1, T, vocab], updated caches)."""
-    from flash_attention_tpu.models.attention import attention_prefill_chunk_paged
-
-    acfg = cfg.attention_config()
-    x = params["embed"][tokens].astype(cfg.jnp_dtype)
-    new_caches = []
-    for lp, cache in zip(params["layers"], caches):
-        h = rms_norm(x, lp["attn_norm"], cfg.norm_eps)
-        attn_out, cache = attention_prefill_chunk_paged(
-            lp["attn"], acfg, h, cache, slot, start, kv_end
-        )
-        x = x + attn_out
-        h = rms_norm(x, lp["mlp_norm"], cfg.norm_eps)
-        x = x + swiglu(h, lp["mlp"])
-        new_caches.append(cache)
-    x = rms_norm(x, params["final_norm"], cfg.norm_eps)
-    logits = jnp.einsum(
-        "btm,vm->btv", x, params["embed"], preferred_element_type=jnp.float32
+    return _trunk(
+        params, cfg, tokens,
+        lambda p, acfg, h, c: attention_prefill_chunk_paged(
+            p, acfg, h, c, slot, start, kv_end
+        ),
+        caches,
     )
-    return logits, new_caches
 
 
 def decode_step_logits_paged(params, cfg: ModelConfig, tokens, caches):
     """One paged decode step returning raw last-position logits [S, vocab]."""
-    acfg = cfg.attention_config()
-    x = params["embed"][tokens].astype(cfg.jnp_dtype)
-    new_caches = []
-    for lp, cache in zip(params["layers"], caches):
-        x, cache = _paged_layer(lp, acfg, cfg, x, cache, decode=True)
-        new_caches.append(cache)
-    x = rms_norm(x, params["final_norm"], cfg.norm_eps)
-    logits = jnp.einsum(
-        "btm,vm->btv", x, params["embed"], preferred_element_type=jnp.float32
+    logits, new_caches = _trunk(
+        params, cfg, tokens, attention_decode_paged, caches
     )
     return logits[:, -1, :], new_caches
 
@@ -328,17 +281,8 @@ def decode_step_logits_paged(params, cfg: ModelConfig, tokens, caches):
 def decode_step_paged(params, cfg: ModelConfig, tokens, caches):
     """One greedy decode step over all slots ([S, 1] tokens) against paged
     caches. Returns (next_tokens [S, 1], updated caches)."""
-    acfg = cfg.attention_config()
-    x = params["embed"][tokens].astype(cfg.jnp_dtype)
-    new_caches = []
-    for lp, cache in zip(params["layers"], caches):
-        x, cache = _paged_layer(lp, acfg, cfg, x, cache, decode=True)
-        new_caches.append(cache)
-    x = rms_norm(x, params["final_norm"], cfg.norm_eps)
-    logits = jnp.einsum(
-        "btm,vm->btv", x, params["embed"], preferred_element_type=jnp.float32
-    )
-    return jnp.argmax(logits[:, -1:, :], axis=-1), new_caches
+    logits, caches = decode_step_logits_paged(params, cfg, tokens, caches)
+    return jnp.argmax(logits[:, None, :], axis=-1), caches
 
 
 def decode_step(params, cfg: ModelConfig, tokens: jax.Array, caches: list):

@@ -602,21 +602,15 @@ def _fwd_impl(
         grid = (num_h_blocks, num_steps)
         dim_semantics = ("parallel", "arbitrary")
     else:
-
-        def kv_block_index(iq, ikv):
-            if not causal:
-                return ikv
-            # Clamp fully-masked (above-diagonal) blocks to the diagonal block
-            # so no DMA is issued for them (same index => the copy is skipped).
-            last_live = ((iq + 1) * block_q - 1 + diag_offset) // block_kv
-            return jnp.minimum(ikv, last_live)
-
+        # Non-causal only (tri = causal, so every causal call takes the tri
+        # branch above): no blocks are ever masked out, every (iq, ikv) pair
+        # is live, and the index maps are plain.
         q_spec = pl.BlockSpec((hb, block_q, d_pad), lambda bh, iq, ikv: (bh, iq, 0))
         k_spec = pl.BlockSpec(
             (hb_kv, block_kv, d_pad),
             lambda bh, iq, ikv: (
                 (bh if hb > 1 or group == 1 else kv_head_index(bh)),
-                kv_block_index(iq, ikv),
+                ikv,
                 0,
             ),
         )
@@ -628,8 +622,7 @@ def _fwd_impl(
             (1, 1, block_q), lambda bh, iq, ikv: (batch_index(bh), 0, iq)
         )
         seg_kv_spec = pl.BlockSpec(
-            (1, 1, block_kv),
-            lambda bh, iq, ikv: (batch_index(bh), 0, kv_block_index(iq, ikv)),
+            (1, 1, block_kv), lambda bh, iq, ikv: (batch_index(bh), 0, ikv)
         )
         grid = (num_h_blocks, num_q_blocks, num_kv_blocks)
         dim_semantics = ("parallel", "parallel", "arbitrary")
@@ -918,6 +911,10 @@ def flash_attention(
         raise ValueError(f"q_heads={num_q_heads} % kv_heads={num_kv_heads} != 0")
     if k.shape != v.shape:
         raise ValueError(f"k/v shape mismatch: {k.shape} vs {v.shape}")
+    if k.shape[0] != batch or k.shape[3] != head_dim:
+        # A batch mismatch would otherwise index KV out of bounds, which
+        # Mosaic CLAMPS — silently attending another row's K/V.
+        raise ValueError(f"q/kv shape mismatch: {q.shape} vs {k.shape}")
     if causal and kv_len < q_len:
         raise ValueError("causal requires kv_seq >= q_seq")
     if sliding_window is not None:

@@ -38,12 +38,27 @@ def merge_partial_attention(
       lse_parts: matching base-2 log-sum-exp per row, same stacking; shape of
         ``o_parts`` minus the trailing d dimension. Rows with ``-inf`` mark
         empty KV ranges (zero-length splits) and contribute nothing.
-      axis: the stacking axis.
+      axis: the stacking axis, as a position in ``o_parts``. Negative values
+        are normalized against o_parts' rank (lse_parts has one fewer dim, so
+        a raw negative axis would name DIFFERENT dims in the two arrays —
+        e.g. -3 is the split axis of [B, s, q, d] but the batch axis of
+        [B, s, q]).
 
     Returns:
       (o, lse2): merged output (same dtype as o_parts) with the split axis
       removed, and the merged base-2 LSE.
     """
+    axis = range(o_parts.ndim)[axis]  # normalize (raises on out-of-range)
+    if axis >= lse_parts.ndim:
+        raise ValueError(
+            f"axis {axis} must index a shared leading dim; lse_parts has "
+            f"rank {lse_parts.ndim}"
+        )
+    if lse_parts.shape != o_parts.shape[:-1]:
+        raise ValueError(
+            f"lse_parts shape {lse_parts.shape} != o_parts shape minus d "
+            f"{o_parts.shape[:-1]}"
+        )
     o_parts = jnp.moveaxis(o_parts, axis, 0)
     lse_parts = jnp.moveaxis(lse_parts, axis, 0)
 

@@ -94,8 +94,10 @@ def time_fn(
     cudaEvent timing becomes wall-clock around the dispatch loop with a forced
     readback sync, minus the calibrated fixed readback/RPC cost.
     Returns per-run average seconds per iteration."""
-    out = None
-    for _ in range(warmup):
+    # warmup=0 (cold-start timing) still needs one result for the sync-cost
+    # calibration below — tree_leaves(None) is empty and _force would crash.
+    out = fn(*args)
+    for _ in range(max(0, warmup - 1)):
         out = fn(*args)
     jax.block_until_ready(out)
     _force(out)

@@ -63,6 +63,8 @@ def initialize_distributed(
       retry_delay_s, backoff: exponential backoff between attempts.
       _initialize_fn: test hook (defaults to ``jax.distributed.initialize``).
     """
+    if init_retries < 1:
+        raise ValueError(f"init_retries must be >= 1, got {init_retries}")
     init = _initialize_fn or jax.distributed.initialize
     delay = retry_delay_s
     last_err: Exception | None = None
@@ -121,6 +123,11 @@ def fail_fast(context: str = "step loop", *, _exit_fn=None):
     exit_fn = _exit_fn or os._exit
     try:
         yield
+    except SystemExit:
+        # An intentional sys.exit (clean shutdown or an explicit exit code)
+        # is not a failure — let it unwind normally rather than converting
+        # exit(0) into a FATAL hard-exit(1).
+        raise
     except KeyboardInterrupt:
         print(
             f"[flash_attention_tpu] interrupted in {context}; exiting",

@@ -25,13 +25,21 @@ import jax
 def trace(log_dir: str, *, host_tracer_level: int = 2):
     """Capture a jax.profiler trace for the enclosed block.
 
+    Args:
+      host_tracer_level: host-side tracing detail (0 = off, 1 = critical
+        only, 2 = default, 3 = verbose), forwarded via ProfileOptions.
+
     Usage::
 
         with trace("/tmp/fa_trace"):
             out = flash_attention(q, k, v, causal=True)
             jax.block_until_ready(out)
     """
-    jax.profiler.start_trace(log_dir, create_perfetto_trace=False)
+    opts = jax.profiler.ProfileOptions()
+    opts.host_tracer_level = host_tracer_level
+    jax.profiler.start_trace(
+        log_dir, create_perfetto_trace=False, profiler_options=opts
+    )
     try:
         yield
     finally:

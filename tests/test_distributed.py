@@ -105,3 +105,19 @@ def test_watchdog_quiet_on_fast_steps():
     finally:
         wd.close()
     assert not wd.fired and codes == []
+
+
+def test_fail_fast_lets_system_exit_through():
+    """sys.exit is an intentional shutdown, not a failure: it must unwind
+    normally instead of becoming a FATAL hard-exit(1)."""
+    codes = []
+    with pytest.raises(SystemExit) as ei:
+        with fail_fast("unit test", _exit_fn=codes.append):
+            raise SystemExit(0)
+    assert ei.value.code == 0
+    assert codes == []
+
+
+def test_init_rejects_zero_retries():
+    with pytest.raises(ValueError, match="init_retries"):
+        initialize_distributed(init_retries=0)

@@ -293,3 +293,15 @@ def test_causal_diag_subtile_softcap():
     )
     want = reference_attention(q, k, v, causal=True, logit_softcap=30.0)
     assert_close(got, want)
+
+
+def test_rejects_batch_or_head_dim_mismatch():
+    """A q/kv batch mismatch must raise: Mosaic CLAMPS out-of-bounds block
+    indices, so the kernel would silently attend another row's K/V."""
+    import pytest
+
+    q, k, v = make_qkv(70, 2, 2, 128, 128)
+    with pytest.raises(ValueError, match="q/kv shape mismatch"):
+        flash_attention(q, k[:1], v[:1], causal=True)
+    with pytest.raises(ValueError, match="q/kv shape mismatch"):
+        flash_attention(q[:, :, :, :64], k, v, causal=True)

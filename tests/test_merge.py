@@ -74,3 +74,26 @@ def test_merge_all_empty_is_zero():
     )
     assert np.all(np.asarray(merged) == 0.0)
     assert np.all(np.isneginf(np.asarray(lse_m)))
+
+
+def test_merge_negative_axis_matches_positive():
+    """A negative axis names the split dim of o_parts; lse_parts has one
+    fewer dim, so raw moveaxis on both would diverge — the normalization
+    must make them agree."""
+    rng = np.random.RandomState(7)
+    o = jnp.asarray(rng.randn(2, 3, 4, 8), jnp.float32)  # [B, s, q, d]
+    lse = jnp.asarray(rng.randn(2, 3, 4), jnp.float32)  # [B, s, q]
+    got_o, got_l = merge_partial_attention(o, lse, axis=-3)
+    want_o, want_l = merge_partial_attention(o, lse, axis=1)
+    np.testing.assert_allclose(np.asarray(got_o), np.asarray(want_o), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got_l), np.asarray(want_l), atol=1e-6)
+
+
+def test_merge_rejects_bad_shapes():
+    import pytest
+
+    o = jnp.ones((2, 4, 8), jnp.float32)
+    with pytest.raises(ValueError, match="lse_parts shape"):
+        merge_partial_attention(o, jnp.ones((2, 5), jnp.float32))
+    with pytest.raises(ValueError, match="axis"):
+        merge_partial_attention(o, jnp.ones((2, 4), jnp.float32), axis=-1)
