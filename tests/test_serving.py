@@ -145,3 +145,40 @@ def test_quantized_cache_serving():
     want2 = generate_alone(cfg, params, (9, 1), 4, 64)
     assert got[1].tokens == want1
     assert got[2].tokens == want2
+
+
+def test_block_steps_equivalent(model):
+    """decode_block_steps is a pure dispatch-granularity knob for the dense
+    engine too: K=1 and K=8 must produce identical tokens (mirror of the
+    paged engine's test), with fewer fused dispatches at K=8."""
+    cfg, params = model
+    reqs = [
+        Request(id=1, prompt=(5, 9, 2), max_new_tokens=6),
+        Request(id=2, prompt=(100, 3, 44, 8, 21, 60, 7), max_new_tokens=9),
+        Request(id=3, prompt=(64,), max_new_tokens=4),
+    ]
+    one = ServingEngine(params, cfg, max_slots=3, max_seq=64, decode_block_steps=1)
+    want = one.run(reqs)
+    blocked = ServingEngine(params, cfg, max_slots=3, max_seq=64, decode_block_steps=8)
+    got = blocked.run(reqs)
+    for r in reqs:
+        assert got[r.id].tokens == want[r.id].tokens, f"request {r.id}"
+    dispatches = lambda e: sum(1 for ev in e.events if ev[0] == "decode")
+    assert dispatches(blocked) < dispatches(one)
+
+
+def test_eos_mid_block(model):
+    """A dense-engine slot hitting EOS inside a decode block: trailing
+    computed tokens are trimmed and the completion matches K=1 exactly."""
+    cfg, params = model
+    toks = generate_alone(cfg, params, (5, 9, 2), 12, 64)
+    idx = next(i for i in range(2, len(toks) - 1) if toks[i] not in toks[:i])
+    eos = toks[idx]
+    for k in (1, 8):
+        eng = ServingEngine(
+            params, cfg, max_slots=1, max_seq=64, eos_id=eos,
+            decode_block_steps=k,
+        )
+        got = eng.run([Request(id=1, prompt=(5, 9, 2), max_new_tokens=12)])
+        assert got[1].tokens == toks[: idx + 1], f"K={k}"
+        assert got[1].finished_by_eos, f"K={k}"
