@@ -333,7 +333,7 @@ def attention_prefill_chunk_paged(
     paged_cache = paged_write_prefill(
         paged_cache, k[0], v[0], slot, jnp.asarray(start) + t, start=start
     )
-    if cfg.sliding_window is None:
+    if cfg.sliding_window is None and t % 128 == 0:
         # In-place paged chunk attention: pages stream through the kernel's
         # scalar-prefetch page table, so chunk c moves O(visible pages) HBM
         # bytes instead of re-densifying the whole O(c·chunk) prefix.
@@ -346,6 +346,9 @@ def attention_prefill_chunk_paged(
     else:
         # Sliding window keeps the dense-gather path (the window bound is
         # already a small visible range; gather cost is proportional to it).
+        # Chunks that are a page multiple but NOT a 128 multiple (small
+        # page_size configs) also gather: the in-place kernel's Q grid
+        # requires 128-aligned chunks.
         k_vis, v_vis = paged_gather_kv(
             paged_cache, slot, kv_end, dtype=cfg.jnp_dtype
         )

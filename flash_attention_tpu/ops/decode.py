@@ -314,6 +314,10 @@ def decode_attention(
         interpret = jax.default_backend() != "tpu"
     if block_kv is None:
         block_kv = select_decode_block_sizes(max_seq).block_kv
+    elif block_kv < 128 or block_kv % 128:
+        # The divisor walk below steps by 128 from a 128-multiple, so a
+        # misaligned override would never terminate (or go negative).
+        raise ValueError(f"block_kv must be a positive multiple of 128, got {block_kv}")
 
     group = num_q_heads // num_kv_heads
     group_pad = max(_ceil_to(group, 8), MIN_GROUP_BLOCK)
@@ -338,6 +342,28 @@ def decode_attention(
     block_kv = min(block_kv, seq_pad)
     while seq_pad % block_kv:
         block_kv -= 128
+
+    # fp8 payloads dispatch to the SIMD-packed widen (pair-split halves),
+    # whose scale block is block_kv // 2 — itself a lane dim, so it must
+    # stay a 128 multiple: packed mode needs block_kv % 256 == 0. Prefer
+    # shrinking to a 256-multiple divisor; fall back to the expfold
+    # (unpacked) widen when the padded length has none (e.g. 128 * odd).
+    packed = (
+        k_vals.dtype in (jnp.float8_e4m3fn, jnp.float8_e5m2)
+        and v_vals.dtype == k_vals.dtype
+        and k_scales is not None
+        and v_scales is not None
+        and q.dtype == jnp.bfloat16
+    )
+    if packed and block_kv % 256:
+        bk = (block_kv // 256) * 256
+        while bk >= 256 and seq_pad % bk:
+            bk -= 256
+        if bk >= 256:
+            block_kv = bk
+        else:
+            packed = False
+
     pads = ((0, 0), (0, 0), (0, seq_pad - max_seq), (0, d_pad - head_dim))
     if seq_pad != max_seq or d_pad != head_dim:
         k_vals = jnp.pad(k_vals, pads)
@@ -354,17 +380,9 @@ def decode_attention(
         k_scales = jnp.swapaxes(k_scales, 2, 3)
         v_scales = jnp.swapaxes(v_scales, 2, 3)
 
-    # fp8 payloads dispatch to the SIMD-packed widen (pair-split halves);
-    # the scale rows are pair-split here to match (~3.5% of step time —
-    # measured 33.5k -> 38.5k tok/s e4m3 net at b=32/s=8K even paying it
-    # per call).
-    packed = (
-        k_vals.dtype in (jnp.float8_e4m3fn, jnp.float8_e5m2)
-        and v_vals.dtype == k_vals.dtype
-        and k_scales is not None
-        and v_scales is not None
-        and q.dtype == jnp.bfloat16
-    )
+    # The scale rows are pair-split here to match the packed widen's halves
+    # (~3.5% of step time — measured 33.5k -> 38.5k tok/s e4m3 net at
+    # b=32/s=8K even paying it per call).
     packed_order = packed_split_order(interpret)
     if packed:
         k_scale_list = split_scales_lanes(k_scales, packed_order)

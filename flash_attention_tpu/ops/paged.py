@@ -391,7 +391,7 @@ def _paged_prefill_kernel(
         "d64_unpadded",
     ),
 )
-def paged_prefill_attention(
+def _paged_prefill_attention_jit(
     q: jax.Array,
     cache: PagedKVCache,
     slot,
@@ -585,6 +585,46 @@ def paged_prefill_attention(
 
     out = results[0][:, :, :, :head_dim].reshape(1, num_q_heads, t, head_dim)
     return out
+
+
+def paged_prefill_attention(
+    q: jax.Array,
+    cache: PagedKVCache,
+    slot,
+    kv_end,
+    *,
+    chunk_len: int,
+    sm_scale: float | None = None,
+    block_q: int | None = None,
+    interpret: bool | None = None,
+    logit_softcap: float | None = None,
+    d64_unpadded: bool = False,
+):
+    """Un-jitted entry for :func:`_paged_prefill_attention_jit` (same
+    signature and docstring) that validates a CONCRETE kv_end before
+    tracing: the jitted body only ever sees kv_end as a Tracer, where an
+    inconsistent length contract (kv_end < chunk_len makes chunk_start
+    negative) would kill every page's live condition and return
+    silently-zero attention output."""
+    if not isinstance(kv_end, jax.core.Tracer) and (
+        isinstance(kv_end, int) or getattr(kv_end, "ndim", None) == 0
+    ):
+        end = int(kv_end)
+        if end < chunk_len:
+            raise ValueError(
+                f"kv_end={end} < chunk_len={chunk_len}: the chunk's rows "
+                f"occupy [kv_end - chunk_len, kv_end), which must not be negative"
+            )
+        if end > cache.pages_per_slot * cache.page_size:
+            raise ValueError(
+                f"kv_end={end} exceeds slot capacity "
+                f"{cache.pages_per_slot} pages x {cache.page_size} rows"
+            )
+    return _paged_prefill_attention_jit(
+        q, cache, slot, kv_end, chunk_len=chunk_len, sm_scale=sm_scale,
+        block_q=block_q, interpret=interpret, logit_softcap=logit_softcap,
+        d64_unpadded=d64_unpadded,
+    )
 
 
 def _paged_decode_kernel_hb(

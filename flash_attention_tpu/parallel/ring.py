@@ -100,6 +100,7 @@ def ring_flash_attention(
     causal: bool = False,
     sm_scale: float | None = None,
     block_sizes=None,
+    bwd_block_sizes=None,
     zigzag: bool = False,
 ):
     """Per-shard ring attention body (call inside shard_map). Differentiable.
@@ -131,11 +132,13 @@ def ring_flash_attention(
         raise ValueError("zigzag layout only applies to causal attention")
     if sm_scale is None:
         sm_scale = 1.0 / (q.shape[-1] ** 0.5)
-    return _ring(q, k, v, axis_name, causal, sm_scale, block_sizes, zigzag)
+    return _ring(q, k, v, axis_name, causal, sm_scale, block_sizes,
+                 bwd_block_sizes, zigzag)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
-def _ring(q, k, v, axis_name, causal, sm_scale, block_sizes, zigzag):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
+def _ring(q, k, v, axis_name, causal, sm_scale, block_sizes, bwd_block_sizes,
+          zigzag):
     o, _ = _ring_fwd_impl(
         q, k, v, axis_name=axis_name, causal=causal, sm_scale=sm_scale,
         block_sizes=block_sizes, zigzag=zigzag,
@@ -143,7 +146,8 @@ def _ring(q, k, v, axis_name, causal, sm_scale, block_sizes, zigzag):
     return o
 
 
-def _ring_vjp_fwd(q, k, v, axis_name, causal, sm_scale, block_sizes, zigzag):
+def _ring_vjp_fwd(q, k, v, axis_name, causal, sm_scale, block_sizes,
+                  bwd_block_sizes, zigzag):
     o, lse = _ring_fwd_impl(
         q, k, v, axis_name=axis_name, causal=causal, sm_scale=sm_scale,
         block_sizes=block_sizes, zigzag=zigzag,
@@ -151,11 +155,12 @@ def _ring_vjp_fwd(q, k, v, axis_name, causal, sm_scale, block_sizes, zigzag):
     return o, (q, k, v, o, lse)
 
 
-def _ring_vjp_bwd(axis_name, causal, sm_scale, block_sizes, zigzag, res, g):
+def _ring_vjp_bwd(axis_name, causal, sm_scale, block_sizes, bwd_block_sizes,
+                  zigzag, res, g):
     q, k, v, o, lse = res
     return _ring_bwd(
         q, k, v, o, lse, g, axis_name=axis_name, causal=causal,
-        sm_scale=sm_scale, zigzag=zigzag,
+        sm_scale=sm_scale, bwd_block_sizes=bwd_block_sizes, zigzag=zigzag,
     )
 
 
@@ -215,7 +220,8 @@ def _ring_fwd_impl(
     return o.astype(q.dtype), lse
 
 
-def _pair_bwd(q_c, k_c, v_c, o_c, lse_c, do_c, *, causal, sm_scale):
+def _pair_bwd(q_c, k_c, v_c, o_c, lse_c, do_c, *, causal, sm_scale,
+              bwd_block_sizes=None):
     """(dq, dk, dv) of one (Q shard, KV chunk) pair against the GLOBAL lse.
 
     With the ring-combined lse2, exp2(s·scale·log2e − lse2) is the global
@@ -226,14 +232,17 @@ def _pair_bwd(q_c, k_c, v_c, o_c, lse_c, do_c, *, causal, sm_scale):
     from flash_attention_tpu.ops.attention_bwd import flash_attention_bwd
 
     interpret = jax.default_backend() != "tpu"
-    bs = select_bwd_block_sizes(min(q_c.shape[2], k_c.shape[2]), causal=causal)
+    bs = bwd_block_sizes or select_bwd_block_sizes(
+        min(q_c.shape[2], k_c.shape[2]), causal=causal
+    )
     return flash_attention_bwd(
         q_c, k_c, v_c, o_c, lse_c, do_c,
         causal=causal, sm_scale=sm_scale, block_sizes=bs, interpret=interpret,
     )
 
 
-def _ring_bwd(q, k, v, o, lse, do, *, axis_name, causal, sm_scale, zigzag):
+def _ring_bwd(q, k, v, o, lse, do, *, axis_name, causal, sm_scale,
+              bwd_block_sizes, zigzag):
     """Second rotation: dK/dV accumulators travel with their KV chunk."""
     n = jax.lax.axis_size(axis_name)
     my_idx = jax.lax.axis_index(axis_name)
@@ -243,11 +252,13 @@ def _ring_bwd(q, k, v, o, lse, do, *, axis_name, causal, sm_scale, zigzag):
     if zigzag:
         return _ring_bwd_zigzag(
             q, k, v, o, lse, do, axis_name=axis_name, sm_scale=sm_scale,
+            bwd_block_sizes=bwd_block_sizes,
         )
 
     # Step 0: local chunk (the only causal pair).
     dq_0, dk_0, dv_0 = _pair_bwd(
-        q, k, v, o, lse, do, causal=causal, sm_scale=sm_scale
+        q, k, v, o, lse, do, causal=causal, sm_scale=sm_scale,
+        bwd_block_sizes=bwd_block_sizes,
     )
     dq = dq_0.astype(jnp.float32)
     dk_c = dk_0.astype(jnp.float32)
@@ -265,7 +276,8 @@ def _ring_bwd(q, k, v, o, lse, do, *, axis_name, causal, sm_scale, zigzag):
             def compute(kv):
                 kc, vc = kv
                 return _pair_bwd(
-                    q, kc, vc, o, lse, do, causal=False, sm_scale=sm_scale
+                    q, kc, vc, o, lse, do, causal=False, sm_scale=sm_scale,
+                    bwd_block_sizes=bwd_block_sizes,
                 )
 
             def skip(kv):
@@ -278,7 +290,8 @@ def _ring_bwd(q, k, v, o, lse, do, *, axis_name, causal, sm_scale, zigzag):
             )
         else:
             dq_s, dk_s, dv_s = _pair_bwd(
-                q, k_blk, v_blk, o, lse, do, causal=False, sm_scale=sm_scale
+                q, k_blk, v_blk, o, lse, do, causal=False, sm_scale=sm_scale,
+                bwd_block_sizes=bwd_block_sizes,
             )
         dq = dq + dq_s.astype(jnp.float32)
         dk_c = dk_c + dk_s.astype(jnp.float32)
@@ -291,7 +304,8 @@ def _ring_bwd(q, k, v, o, lse, do, *, axis_name, causal, sm_scale, zigzag):
     return dq.astype(q.dtype), dk_c.astype(k.dtype), dv_c.astype(v.dtype)
 
 
-def _ring_bwd_zigzag(q, k, v, o, lse, do, *, axis_name, sm_scale):
+def _ring_bwd_zigzag(q, k, v, o, lse, do, *, axis_name, sm_scale,
+                     bwd_block_sizes):
     """Backward over the zigzag layout: same liveness decomposition as the
     forward (_ring_zigzag), per-pair fused backward against the global LSE,
     dK/dV halves accumulated in the traveling carry."""
@@ -307,7 +321,8 @@ def _ring_bwd_zigzag(q, k, v, o, lse, do, *, axis_name, sm_scale):
 
     # Step 0: local causal over the in-order [early | late] concat.
     dq_0, dk_0, dv_0 = _pair_bwd(
-        q, k, v, o, lse, do, causal=True, sm_scale=sm_scale
+        q, k, v, o, lse, do, causal=True, sm_scale=sm_scale,
+        bwd_block_sizes=bwd_block_sizes,
     )
     dq = dq_0.astype(jnp.float32)
     dk_c = dk_0.astype(jnp.float32)
@@ -325,7 +340,8 @@ def _ring_bwd_zigzag(q, k, v, o, lse, do, *, axis_name, sm_scale):
 
         # Always live: late Q against the arriving early KV chunk.
         dq_a, dk_a, dv_a = _pair_bwd(
-            q_l, k_e, v_e, o_l, lse_l, do_l, causal=False, sm_scale=sm_scale
+            q_l, k_e, v_e, o_l, lse_l, do_l, causal=False, sm_scale=sm_scale,
+            bwd_block_sizes=bwd_block_sizes,
         )
         dq = dq.at[:, :, c:].add(dq_a.astype(jnp.float32))
         dk_c = dk_c.at[:, :, :c].add(dk_a.astype(jnp.float32))
@@ -338,12 +354,14 @@ def _ring_bwd_zigzag(q, k, v, o, lse, do, *, axis_name, sm_scale):
             return _pair_bwd(
                 q_e, k_e, v_e, o_e, lse_e, do_e,
                 causal=False, sm_scale=sm_scale,
+                bwd_block_sizes=bwd_block_sizes,
             )
 
         def late_case(_):
             return _pair_bwd(
                 q_l, k_l, v_l, o_l, lse_l, do_l,
                 causal=False, sm_scale=sm_scale,
+                bwd_block_sizes=bwd_block_sizes,
             )
 
         dq_c2, dk_c2, dv_c2 = jax.lax.cond(early_live, early_case, late_case, None)
@@ -458,6 +476,7 @@ def make_ring_attention(
     model_axis: str = "model",
     data_axis: str = "data",
     block_sizes=None,
+    bwd_block_sizes=None,
     zigzag: bool = False,
 ):
     """jit-wrapped ring attention over [B, H, S, D] with S sharded on the
@@ -479,6 +498,7 @@ def make_ring_attention(
         causal=causal,
         sm_scale=sm_scale,
         block_sizes=block_sizes,
+        bwd_block_sizes=bwd_block_sizes,
         zigzag=zigzag,
     )
 

@@ -124,3 +124,21 @@ def test_paged_long_prompt_interleaves_with_decode(model):
     want = dense.run([short, long_req])
     for rid in (1, 2):
         assert got[rid].tokens == want[rid].tokens, f"request {rid}"
+
+
+def test_paged_small_page_chunks_fall_back_to_gather(model):
+    """page_size=64 makes every chunk a page multiple but NOT a 128
+    multiple: the in-place paged prefill kernel can't take it (128-aligned
+    Q grid), so the layer must fall back to the dense-gather path and stay
+    exact vs the dense engine."""
+    cfg, params = model
+    prompt = tuple(int(x) for x in (np.arange(150) * 7) % 128)
+    reqs = [Request(id=1, prompt=prompt, max_new_tokens=4)]
+    paged = PagedServingEngine(
+        params, cfg, max_slots=1, num_pages=8, pages_per_slot=6,
+        page_size=64, prefill_chunk=64,
+    )
+    got = paged.run(reqs)
+    dense = ServingEngine(params, cfg, max_slots=1, max_seq=384, prefill_chunk=64)
+    want = dense.run(reqs)
+    assert got[1].tokens == want[1].tokens

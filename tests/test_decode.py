@@ -235,3 +235,31 @@ def test_packed_widen_row_order():
         np.testing.assert_allclose(
             np.asarray(b1.astype(jnp.float32)) * factor, true[pos0 + 1], rtol=1e-2
         )
+
+
+def test_rejects_misaligned_block_kv():
+    """A non-128-multiple block_kv override must raise, not hang the
+    divisor walk (which steps by 128) at trace time."""
+    q, k, v = make_qkv(3, 2, 4, 1, 128, kv_seq=256)
+    lengths = jnp.full((2,), 256, jnp.int32)
+    with pytest.raises(ValueError, match="block_kv"):
+        decode_attention(q[:, :, 0, :], k, v, lengths, block_kv=100)
+    with pytest.raises(ValueError, match="block_kv"):
+        decode_attention(q[:, :, 0, :], k, v, lengths, block_kv=-128)
+
+
+@pytest.mark.parametrize("mode", ["fp8_e4m3", "fp8_e5m2"])
+def test_fp8_decode_odd_divisor_cache(mode):
+    """max_seq = 4224 = 128*33: every 128-multiple divisor is an ODD
+    multiple of 128 (128*{1,3,11,33}), so the SIMD-packed widen's halved
+    scale block would be lane-misaligned — the dispatch must fall back to
+    the unpacked widen and stay correct."""
+    q, k, v = make_qkv(41, 1, 2, 1, 128, kv_seq=4224)
+    q = q[:, :, 0, :]
+    lengths = jnp.array([4000], jnp.int32)
+    kq, vq = quantize_kv(k, v, mode)
+    got = decode_attention(q, kq, vq, lengths)
+    want = _decode_oracle(
+        q, dequantize(kq, k.dtype), dequantize(vq, v.dtype), lengths
+    )
+    assert_close(got, want, tolerance=0.02, msg=f"odd-divisor {mode}")

@@ -407,3 +407,19 @@ def test_paged_prefill_softcap():
     k_vis, v_vis = paged_gather_kv(cache, 0, 512)
     want = flash_attention(q, k_vis, v_vis, causal=True, logit_softcap=25.0)
     assert_close(got, want)
+
+
+def test_paged_prefill_rejects_bad_kv_end():
+    """A concrete kv_end below chunk_len (negative chunk_start) or beyond
+    the slot capacity must raise instead of returning silent zeros."""
+    from flash_attention_tpu.ops.paged import paged_prefill_attention
+
+    cache = init_paged_cache(
+        num_pages=8, num_slots=2, pages_per_slot=4, kv_heads=2,
+        page_size=128, head_dim=128,
+    )
+    q = jnp.zeros((1, 4, 256, 128), jnp.bfloat16)
+    with pytest.raises(ValueError, match="kv_end"):
+        paged_prefill_attention(q, cache, 0, 128, chunk_len=256)
+    with pytest.raises(ValueError, match="capacity"):
+        paged_prefill_attention(q, cache, 0, 4096, chunk_len=256)

@@ -251,3 +251,28 @@ def test_zigzag_training_loop():
             np.asarray(p_zig[name]), np.asarray(p_ref[name]),
             atol=5e-4, rtol=1e-3, err_msg=f"param {name} after 2 SGD steps",
         )
+
+
+def test_ring_grad_honors_bwd_block_sizes():
+    """bwd_block_sizes must reach the per-pair fused backward (a caller
+    whose default bwd tier OOMs scoped VMEM relies on this override)."""
+    mesh = make_mesh(data=1, model=1, context=4)
+    q, k, v = make_qkv(62, 1, 2, 512, 128)
+    fn = make_ring_attention(
+        mesh, causal=True, block_sizes=BS,
+        bwd_block_sizes=BlockSizes(block_q=128, block_kv=128, block_h=2),
+    )
+    w = jax.random.normal(jax.random.key(5), q.shape)
+
+    def loss(q, k, v):
+        return jnp.sum(fn(q, k, v).astype(jnp.float32) * w)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(
+            reference_attention(q, k, v, causal=True).astype(jnp.float32) * w
+        )
+
+    got = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    want = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for g, wnt, name in zip(got, want, "qkv"):
+        assert_close(g, wnt, msg=f"ring grad override d{name}")

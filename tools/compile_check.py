@@ -183,6 +183,16 @@ def part_decode():
         ),
         q2[:, :, 0, :], k2, v2, jnp.full((b,), 6144, jnp.int32),
     )
+    # 4224 = 128*33 has no 256-multiple divisor, so packed fp8 must fall
+    # back to the unpacked widen — the packed scale block would be a
+    # lane-misaligned 128*odd/2 and Mosaic rejects it only at real compile.
+    q3, k3, v3 = make_qkv(0, b, hq, 1, d, num_kv_heads=hkv, kv_seq=4224)
+    k3q, v3q = quantize_kv(k3, v3, "fp8_e4m3")
+    check(
+        "decode fp8_e4m3 seq=4224 (odd divisor)",
+        lambda q, kq, vq, l: decode_attention(q, kq, vq, l),
+        q3[:, :, 0, :], k3q, v3q, jnp.full((b,), 4224, jnp.int32),
+    )
 
 
 def part_paged():
