@@ -111,7 +111,7 @@ def _bwd_dq_kernel(
             doi = jax.lax.slice_in_dim(do, i * w, (i + 1) * w, axis=1)
             lse_i = lse_ref[:, i * w : (i + 1) * w]
             delta_i = delta_ref[:, i * w : (i + 1) * w]
-            width = min(kv_block, -(-(diag_offset + (i + 1) * w) // 128) * 128)
+            width = min(kv_block, ceil_to(diag_offset + (i + 1) * w, 128))
             ki = jax.lax.slice_in_dim(k, 0, width, axis=1)
             vi = jax.lax.slice_in_dim(v, 0, width, axis=1)
             raw = jax.lax.dot_general(
@@ -628,7 +628,7 @@ def _bwd_fused_kernel(
         do = do_ref[...]
         kv_block = k.shape[1]
         for i in range(block_q // w):
-            width = min(kv_block, -(-(diag_offset + (i + 1) * w) // 128) * 128)
+            width = min(kv_block, ceil_to(diag_offset + (i + 1) * w, 128))
             qi = jax.lax.slice_in_dim(q, i * w, (i + 1) * w, axis=1)
             doi = jax.lax.slice_in_dim(do, i * w, (i + 1) * w, axis=1)
             ki = jax.lax.slice_in_dim(k, 0, width, axis=1)
@@ -874,6 +874,15 @@ def flash_attention_bwd(
     batch, num_q_heads, q_len, head_dim = q.shape
     _, num_kv_heads, kv_len, _ = k.shape
     group = num_q_heads // num_kv_heads
+
+    # Fully-masked q rows (e.g. a packed-segment id absent from the KV side)
+    # carry lse2 = -inf from the forward; the kernels' p = exp2(s2 - lse)
+    # would then be exp2(+inf) = inf, turning dq into NaN and poisoning the
+    # dk/dv accumulators for every kv position sharing the head batch. With
+    # lse = 0 those rows' masked scores give p = exp2(MASK * log2e) = 0, so
+    # dead rows contribute exactly zero gradient — the backward counterpart
+    # of the forward's l == 0 guard (ops/common.py).
+    lse2 = jnp.where(jnp.isneginf(lse2), 0.0, lse2)
 
     block_q = min(block_sizes.block_q, ceil_to(q_len, 128))
     block_kv = min(block_sizes.block_kv, ceil_to(kv_len, 128))

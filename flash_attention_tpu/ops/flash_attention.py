@@ -93,15 +93,13 @@ def _fwd_kernel(
         is_diag = (flags & 4) != 0
         should_run = True
     else:
+        # Non-causal only: every causal call routes through the tri grid
+        # (tri = causal in _fwd_impl), so every (iq, ikv) block here is live.
         iq = pl.program_id(1)
         ikv = pl.program_id(2)
         is_first = ikv == 0
         is_last = ikv == num_kv_blocks - 1
-        if causal:
-            # Block is live iff its first KV column can be <= some Q row's diag.
-            should_run = ikv * block_kv <= (iq + 1) * block_q - 1 + diag_offset
-        else:
-            should_run = True
+        should_run = True
 
     if subtile:
         # Causal single-superblock sub-tiling: the whole (q, kv) problem is

@@ -192,3 +192,51 @@ def test_train_forward_packed_grads_finite():
     assert np.isfinite(float(val))
     for leaf in jax.tree_util.tree_leaves(grads):
         assert np.isfinite(np.asarray(leaf)).all()
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_grads_finite_on_dead_segment_rows(causal):
+    """Q rows whose segment id appears nowhere in the KV ids are fully
+    masked: the forward emits zeros with lse2 = -inf, and the backward must
+    treat them as zero-gradient rows — not exp2(+inf) = inf poisoning dq
+    (NaN) and every dk/dv accumulator sharing the head batch."""
+    q, k, v = make_qkv(13, 1, 2, 128, 128)
+    q_ids = jnp.concatenate(
+        [jnp.zeros((1, 64), jnp.int32), jnp.full((1, 64), 2, jnp.int32)],
+        axis=1,
+    )
+    kv_ids = jnp.zeros((1, 128), jnp.int32)
+    w = jax.random.normal(jax.random.key(4), q.shape)
+
+    def loss(q, k, v):
+        out = flash_attention(
+            q, k, v, causal=causal, segment_ids=(q_ids, kv_ids)
+        )
+        return jnp.sum(out.astype(jnp.float32) * w)
+
+    dq, dk, dv = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    for g, name in ((dq, "dq"), (dk, "dk"), (dv, "dv")):
+        assert bool(jnp.all(jnp.isfinite(g.astype(jnp.float32)))), name
+    # Dead rows get exactly zero gradient...
+    assert bool(jnp.all(dq[:, :, 64:] == 0))
+
+    # ...and the live half matches an oracle over only the live rows. For
+    # the causal case restrict KV to the same prefix (the oracle END-aligns
+    # causal when Sq != Skv, which is the decode convention, not this one);
+    # live row i sees cols <= i <= 63 either way.
+    kv_keep = 64 if causal else 128
+    k_live, v_live = k[:, :, :kv_keep], v[:, :, :kv_keep]
+
+    def loss_ref(q_live, k_live, v_live):
+        out = reference_attention(q_live, k_live, v_live, causal=causal)
+        return jnp.sum(out.astype(jnp.float32) * w[:, :, :64])
+
+    rq, rk, rv = jax.grad(loss_ref, argnums=(0, 1, 2))(
+        q[:, :, :64], k_live, v_live
+    )
+    assert_close(dq[:, :, :64], rq, msg="dq live")
+    assert_close(dk[:, :, :kv_keep], rk, msg="dk")
+    assert_close(dv[:, :, :kv_keep], rv, msg="dv")
+    # KV columns no live row can reach carry zero gradient.
+    assert bool(jnp.all(dk[:, :, kv_keep:] == 0))
+    assert bool(jnp.all(dv[:, :, kv_keep:] == 0))
