@@ -14,11 +14,10 @@ import functools
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from flash_attention_tpu.ops.decode import decode_attention
 from flash_attention_tpu.ops.flash_attention import flash_attention
-from flash_attention_tpu.ops.quant import QuantizedTensor
 
 
 def make_sharded_flash_attention(

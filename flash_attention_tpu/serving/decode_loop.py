@@ -25,6 +25,86 @@ import numpy as np
 from flash_attention_tpu.serving.sampling import sample_tokens
 
 
+def start_prefill(eng, req, slot: int) -> None:
+    """Admit one request into a prefill state (shared by both engines).
+
+    The prompt is right-padded to the engine's chunk grid, CLAMPED to the
+    slot capacity: the grid need not divide max_seq (dense) and may
+    overshoot the page table (paged) — the final chunk is simply shorter.
+    Without the clamp a 900-token prompt at max_seq=1000, chunk=256 padded
+    to 1024 rows: a trace-time dynamic-slice error on the dense cache, and
+    on the paged engine an out-of-bounds page index whose clamped gather
+    can overwrite a REAL page with padding garbage.
+    """
+    from flash_attention_tpu.serving.engine import _PrefillState
+
+    n_chunks = max(1, -(-len(req.prompt) // eng.chunk))
+    padded_len = min(n_chunks * eng.chunk, eng.max_seq)
+    padded = np.zeros((padded_len,), np.int32)
+    padded[: len(req.prompt)] = req.prompt
+    eng._prefills[slot] = _PrefillState(req=req, padded=padded)
+    eng._dev_dirty = True
+    sp = req.sampling
+    eng._temps[slot] = sp.temperature
+    eng._topk[slot] = sp.top_k
+    eng._topp[slot] = sp.top_p
+    eng._seeds[slot] = sp.seed
+
+
+def advance_prefill(eng, slot: int, out) -> None:
+    """Run ONE chunk of the pending prefill on `slot` (shared host loop).
+
+    Engine-specific pieces ride the shared attribute surface:
+    `_prefill_chunk_step` (dense vs paged chunk jit), `_set_slot_length_fn`
+    (cache-donating length fix), and `_on_slot_finished` (page release for
+    the paged engine) — same hook pattern as run_decode_block.
+    """
+    from flash_attention_tpu.serving.engine import Completion
+
+    st = eng._prefills[slot]
+    c = st.next_chunk
+    lo = c * eng.chunk
+    hi = min((c + 1) * eng.chunk, len(st.padded))
+    toks = jnp.asarray(st.padded[None, lo:hi])
+    logits, eng.caches = eng._prefill_chunk_step(
+        eng.params, toks, eng.caches, jnp.int32(slot), jnp.int32(lo), hi
+    )
+    st.next_chunk += 1
+    eng.events.append(("chunk", slot))
+    if st.next_chunk * eng.chunk < len(st.padded):
+        return
+    # Last chunk done: fix the true length, sample the first token.
+    req = st.req
+    true_len = len(req.prompt)
+    eng.caches = eng._set_slot_length_fn(
+        eng.caches, jnp.int32(slot), jnp.int32(true_len)
+    )
+    local_idx = (true_len - 1) - (st.next_chunk - 1) * eng.chunk
+    first = int(
+        eng._sample_first(
+            logits[:, local_idx],
+            jnp.float32(eng._temps[slot]),
+            jnp.int32(eng._topk[slot]),
+            jnp.float32(eng._topp[slot]),
+            jnp.int32(eng._seeds[slot]),
+            jnp.int32(true_len),
+        )
+    )
+    del eng._prefills[slot]
+    eng.sched.prefill_done(slot)
+    eng._dev_dirty = True
+    eng._cur_len[slot] = true_len
+    eng._remaining[slot] = req.max_new_tokens - 1
+    out.setdefault(req.id, Completion(req.id, [], False))
+    out[req.id].tokens.append(first)
+    eng.last_token[slot] = first
+    is_eos = eng.eos_id is not None and first == eng.eos_id
+    if is_eos:
+        out[req.id].finished_by_eos = True
+    if eng.sched.record_token(slot, is_eos):
+        eng._on_slot_finished(slot)
+
+
 def make_decode_multi(model_cfg, decode_logits_fn):
     """Build the jitted k-step decode block for one engine.
 
@@ -45,8 +125,13 @@ def make_decode_multi(model_cfg, decode_logits_fn):
             logits, new_caches = decode_logits_fn(
                 params, model_cfg, tok[:, None], caches
             )
+            # Fold the position the sampled token will OCCUPY (old length
+            # + 1): the prompt's first sampled token already folded
+            # position == true_len in _sample_first, so folding the raw old
+            # length here would reuse that exact Gumbel vector for the
+            # second token of every completion.
             nt = sample_tokens(
-                logits, temps, topk, topp, seeds, old_lengths[0]
+                logits, temps, topk, topp, seeds, old_lengths[0] + 1
             )
             nt = jnp.where(active, nt, tok)
             fixed = [

@@ -41,7 +41,12 @@ from flash_attention_tpu.models.transformer import (
     init_caches,
 )
 from flash_attention_tpu.models.transformer import prefill_chunk as _prefill_chunk_fn
-from flash_attention_tpu.serving.decode_loop import make_decode_multi, run_decode_block
+from flash_attention_tpu.serving.decode_loop import (
+    advance_prefill,
+    make_decode_multi,
+    run_decode_block,
+    start_prefill,
+)
 from flash_attention_tpu.serving.sampling import GREEDY, SamplingParams, sample_tokens
 from flash_attention_tpu.serving.scheduler import ContinuousBatchScheduler
 
@@ -147,6 +152,7 @@ class ServingEngine:
             )[0]
 
         self._prefill_chunk_step = _prefill_chunk_step
+        self._set_slot_length_fn = _set_slot_length
         self._decode_multi = make_decode_multi(model_cfg, decode_step_logits)
         self._sample_first = _sample_first
 
@@ -158,57 +164,11 @@ class ServingEngine:
         return self.sched.submit(req.id, len(req.prompt), req.max_new_tokens)
 
     def _start_prefill(self, req: Request, slot: int) -> None:
-        n_chunks = max(1, -(-len(req.prompt) // self.chunk))
-        padded = np.zeros((n_chunks * self.chunk,), np.int32)
-        padded[: len(req.prompt)] = req.prompt
-        self._prefills[slot] = _PrefillState(req=req, padded=padded)
-        self._dev_dirty = True
-        sp = req.sampling
-        self._temps[slot] = sp.temperature
-        self._topk[slot] = sp.top_k
-        self._topp[slot] = sp.top_p
-        self._seeds[slot] = sp.seed
+        start_prefill(self, req, slot)
 
     def _advance_prefill(self, slot: int, out: dict[int, Completion]) -> None:
-        """Run ONE chunk of the pending prefill on `slot`."""
-        st = self._prefills[slot]
-        c = st.next_chunk
-        lo, hi = c * self.chunk, (c + 1) * self.chunk
-        toks = jnp.asarray(st.padded[None, lo:hi])
-        logits, self.caches = self._prefill_chunk_step(
-            self.params, toks, self.caches, jnp.int32(slot), jnp.int32(lo), hi
-        )
-        st.next_chunk += 1
-        self.events.append(("chunk", slot))
-        if st.next_chunk * self.chunk < len(st.padded):
-            return
-        # Last chunk done: fix the true length, sample the first token.
-        req = st.req
-        true_len = len(req.prompt)
-        self.caches = _set_slot_length(self.caches, slot, true_len)
-        local_idx = (true_len - 1) - (st.next_chunk - 1) * self.chunk
-        first = int(
-            self._sample_first(
-                logits[:, local_idx],
-                jnp.float32(self._temps[slot]),
-                jnp.int32(self._topk[slot]),
-                jnp.float32(self._topp[slot]),
-                jnp.int32(self._seeds[slot]),
-                jnp.int32(true_len),
-            )
-        )
-        del self._prefills[slot]
-        self.sched.prefill_done(slot)
-        self._dev_dirty = True
-        self._cur_len[slot] = true_len
-        self._remaining[slot] = req.max_new_tokens - 1
-        out.setdefault(req.id, Completion(req.id, [], False))
-        out[req.id].tokens.append(first)
-        self.last_token[slot] = first
-        is_eos = self.eos_id is not None and first == self.eos_id
-        if is_eos:
-            out[req.id].finished_by_eos = True
-        self.sched.record_token(slot, is_eos)
+        """Run ONE chunk of the pending prefill on `slot` (shared loop)."""
+        advance_prefill(self, slot, out)
 
     def run(self, requests: list[Request]) -> dict[int, Completion]:
         """Serve a batch of requests to completion; returns {id: Completion}."""
@@ -242,7 +202,7 @@ class ServingEngine:
         return out
 
 
-@jax.jit
+@functools.partial(jax.jit, donate_argnums=(0,))
 def _set_slot_length(caches, slot, true_len):
     slot = jnp.asarray(slot, jnp.int32)
     val = jnp.asarray(true_len, jnp.int32)[None]

@@ -29,6 +29,7 @@ import faulthandler
 import os
 import sys
 import threading
+import traceback
 import time
 from contextlib import contextmanager
 
@@ -142,6 +143,10 @@ def fail_fast(context: str = "step loop", *, _exit_fn=None):
             file=sys.stderr,
             flush=True,
         )
+        # The raised exception's own traceback first (os._exit never
+        # unwinds, so this is the only record of the raise site);
+        # dump_traceback below shows the OTHER threads' stacks.
+        traceback.print_exc(file=sys.stderr)
         faulthandler.dump_traceback(file=sys.stderr)
         exit_fn(1)
 

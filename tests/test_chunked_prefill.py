@@ -142,3 +142,37 @@ def test_paged_small_page_chunks_fall_back_to_gather(model):
     dense = ServingEngine(params, cfg, max_slots=1, max_seq=384, prefill_chunk=64)
     want = dense.run(reqs)
     assert got[1].tokens == want[1].tokens
+
+
+def test_dense_chunk_grid_clamped_to_max_seq(model):
+    """max_seq need not be a chunk multiple: a prompt whose padded chunk
+    grid would overshoot max_seq must clamp the final chunk (it used to
+    trace a dynamic-slice past the cache and crash the whole run)."""
+    cfg, params = model
+    prompt = tuple(int(x) for x in (np.arange(70) * 13) % 128)
+    reqs = [Request(id=1, prompt=prompt, max_new_tokens=8)]
+    eng = ServingEngine(params, cfg, max_slots=1, max_seq=80, prefill_chunk=32)
+    got = eng.run(reqs)  # ceil(70/32)*32 = 96 > 80: final chunk is 16 rows
+    want = ServingEngine(
+        params, cfg, max_slots=1, max_seq=128, prefill_chunk=128
+    ).run(reqs)
+    assert got[1].tokens == want[1].tokens
+
+
+def test_paged_chunk_grid_clamped_to_capacity(model):
+    """Paged: a padded chunk grid past the page table used to clamp the
+    out-of-bounds page gather onto the slot's LAST real page, silently
+    overwriting live prompt KV with padding garbage."""
+    cfg, params = model
+    prompt = tuple(int(x) for x in (np.arange(300) * 17) % 128)
+    reqs = [Request(id=1, prompt=prompt, max_new_tokens=20)]
+    paged = PagedServingEngine(
+        params, cfg, max_slots=1, num_pages=4, pages_per_slot=3,
+        page_size=128, prefill_chunk=256,
+    )  # capacity 384; ceil(300/256)*256 = 512 > 384: final chunk is 128
+    got = paged.run(reqs)
+    dense = ServingEngine(
+        params, cfg, max_slots=1, max_seq=512, prefill_chunk=256
+    )
+    want = dense.run(reqs)
+    assert got[1].tokens == want[1].tokens

@@ -124,3 +124,53 @@ def test_engine_mixed_greedy_and_sampled_slots(model):
     want = solo.run([reqs[0]])
     assert got[1].tokens == want[1].tokens
     assert len(got[2].tokens) == 6
+
+
+def test_decode_block_folds_fresh_positions():
+    """The multi-step decode block must fold the position the sampled token
+    will OCCUPY (old length + 1): the first decode step used to re-fold the
+    same position _sample_first already consumed, so with temperature > 0
+    and similar logits, token 2 duplicated token 1's Gumbel draw."""
+    from typing import NamedTuple
+
+    from flash_attention_tpu.serving.decode_loop import make_decode_multi
+
+    vocab, length0, seed = 101, 7, 3
+
+    class StubCache(NamedTuple):
+        lengths: jax.Array
+
+    def stub_logits(params, cfg, tok, caches):
+        # Constant uniform logits: the sampled token is a pure function of
+        # the folded (seed, position) Gumbel vector.
+        logits = jnp.zeros((tok.shape[0], vocab), jnp.float32)
+        return logits, [c._replace(lengths=c.lengths + 1) for c in caches]
+
+    decode_multi = make_decode_multi(None, stub_logits)
+    first = int(
+        sample_tokens(
+            jnp.zeros((1, vocab), jnp.float32),
+            jnp.ones((1,), jnp.float32),  # temperature 1
+            jnp.zeros((1,), jnp.int32),
+            jnp.ones((1,), jnp.float32),
+            jnp.full((1,), seed, jnp.int32),
+            jnp.full((1,), length0, jnp.int32),  # _sample_first folds L
+        )[0]
+    )
+    caches = [StubCache(lengths=jnp.full((1,), length0, jnp.int32))]
+    toks, _, _ = decode_multi(
+        None,
+        jnp.full((1,), first, jnp.int32),
+        caches,
+        jnp.ones((1,), bool),
+        jnp.ones((1,), jnp.float32),
+        jnp.zeros((1,), jnp.int32),
+        jnp.ones((1,), jnp.float32),
+        jnp.full((1,), seed, jnp.int32),
+        2,
+    )
+    toks = [int(t) for t in np.asarray(toks)[:, 0]]
+    # Identical logits every step: only the fold position distinguishes the
+    # draws. Token 2 must NOT reuse the first token's (seed, L) Gumbel.
+    assert toks[0] != first, "first decode step re-folded _sample_first's position"
+    assert toks[1] != toks[0]
