@@ -72,19 +72,14 @@ def init_attention_params(key, cfg: AttentionConfig):
 
 
 def init_kv_cache(cfg: AttentionConfig, batch: int, max_seq: int) -> KVCache:
+    from flash_attention_tpu.ops.quant import payload_dtype
+
+    payload = payload_dtype(cfg.kv_quant) or cfg.jnp_dtype
     quant = cfg.kv_quant != "none"
-    if cfg.kv_quant == "int8":
-        payload_dtype = jnp.int8
-    elif cfg.kv_quant == "fp8_e4m3":
-        payload_dtype = jnp.float8_e4m3fn
-    elif cfg.kv_quant == "fp8_e5m2":
-        payload_dtype = jnp.float8_e5m2
-    else:
-        payload_dtype = cfg.jnp_dtype
     shape = (batch, cfg.num_kv_heads, max_seq, cfg.head_dim)
     return KVCache(
-        k=jnp.zeros(shape, payload_dtype),
-        v=jnp.zeros(shape, payload_dtype),
+        k=jnp.zeros(shape, payload),
+        v=jnp.zeros(shape, payload),
         k_scales=jnp.ones((batch, cfg.num_kv_heads, max_seq, 1), jnp.float32) if quant else None,
         v_scales=jnp.ones((batch, cfg.num_kv_heads, max_seq, 1), jnp.float32) if quant else None,
         lengths=jnp.zeros((batch,), jnp.int32),
@@ -92,34 +87,48 @@ def init_kv_cache(cfg: AttentionConfig, batch: int, max_seq: int) -> KVCache:
 
 
 def _quantize_for_cache(cfg: AttentionConfig, x: jax.Array):
-    if cfg.kv_quant == "none":
+    from flash_attention_tpu.ops.quant import payload_dtype, quantize_values
+
+    payload = payload_dtype(cfg.kv_quant)
+    if payload is None:
         return x.astype(cfg.jnp_dtype), None
-    if cfg.kv_quant == "int8":
-        qt = quantize_int8(x)
-    elif cfg.kv_quant == "fp8_e4m3":
-        qt = quantize_fp8(x, dtype=jnp.float8_e4m3fn)
-    elif cfg.kv_quant == "fp8_e5m2":
-        qt = quantize_fp8(x, dtype=jnp.float8_e5m2)
-    else:
-        raise ValueError(cfg.kv_quant)
+    qt = quantize_values(x, payload)
     return qt.values, qt.scales
 
 
 def write_cache(cfg: AttentionConfig, cache: KVCache, k_new, v_new, start_positions) -> KVCache:
-    """Insert [B, Hkv, T, D] new K/V rows at per-sequence start positions."""
+    """Insert [B, Hkv, T, D] new K/V rows at per-sequence start positions.
+
+    Decode writes (T == 1) at or past capacity are DROPPED and the length
+    freezes at max_seq — dynamic_update_slice would instead clamp the
+    position and silently overwrite the last live row's K/V. Prefill writes
+    (T > 1) must satisfy start + T <= max_seq (the engines clamp their
+    chunk grids to guarantee it); lengths clamp to max_seq either way.
+    """
     kq, ks = _quantize_for_cache(cfg, k_new)
     vq, vs = _quantize_for_cache(cfg, v_new)
     t = k_new.shape[2]
+    max_seq = cache.k.shape[2]
 
-    def upd(buf, new):
-        def one(buf_b, new_b, pos):
-            return jax.lax.dynamic_update_slice(buf_b, new_b, (0, pos, 0))
-        return jax.vmap(one)(buf, new, start_positions)
+    if t == 1:
+        batch_idx = jnp.arange(k_new.shape[0])
+
+        def upd(buf, new):
+            # start == max_seq is out of bounds -> dropped (not clamped).
+            return buf.at[batch_idx, :, start_positions, :].set(
+                new[:, :, 0, :].astype(buf.dtype), mode="drop"
+            )
+    else:
+
+        def upd(buf, new):
+            def one(buf_b, new_b, pos):
+                return jax.lax.dynamic_update_slice(buf_b, new_b.astype(buf_b.dtype), (0, pos, 0))
+            return jax.vmap(one)(buf, new, start_positions)
 
     cache = cache._replace(
-        k=upd(cache.k, kq.astype(cache.k.dtype)),
-        v=upd(cache.v, vq.astype(cache.v.dtype)),
-        lengths=start_positions + t,
+        k=upd(cache.k, kq),
+        v=upd(cache.v, vq),
+        lengths=jnp.minimum(start_positions + t, max_seq),
     )
     if cache.k_scales is not None:
         cache = cache._replace(

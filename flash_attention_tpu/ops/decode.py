@@ -299,7 +299,7 @@ def decode_attention(
             return decode_attention_split(
                 q, k_cache, v_cache, lengths,
                 num_splits=ns, sm_scale=sm_scale, block_kv=block_kv,
-                interpret=interpret,
+                interpret=interpret, d64_unpadded=d64_unpadded,
             )
     if num_q_heads % num_kv_heads:
         raise ValueError(f"q_heads={num_q_heads} % kv_heads={num_kv_heads} != 0")
@@ -515,6 +515,7 @@ def decode_attention_split(
     sm_scale: float | None = None,
     block_kv: int | None = None,
     interpret: bool | None = None,
+    d64_unpadded: bool = False,
 ):
     """Flash-decoding: split the KV range, attend per split, LSE-merge.
 
@@ -556,7 +557,7 @@ def decode_attention_split(
     o, lse2 = decode_attention(
         q_r, k_r, v_r, lengths_r,
         sm_scale=sm_scale, block_kv=min(block_kv, split_len),
-        save_residuals=True, interpret=interpret,
+        save_residuals=True, interpret=interpret, d64_unpadded=d64_unpadded,
     )
     o = o.reshape(batch, num_splits, num_q_heads, head_dim)
     lse2 = lse2.reshape(batch, num_splits, num_q_heads)

@@ -95,16 +95,9 @@ def init_paged_cache(
     dtype=jnp.bfloat16,
     kv_quant: str = "none",
 ) -> PagedKVCache:
-    if kv_quant == "int8":
-        payload = jnp.int8
-    elif kv_quant == "fp8_e4m3":
-        payload = jnp.float8_e4m3fn
-    elif kv_quant == "fp8_e5m2":
-        payload = jnp.float8_e5m2
-    elif kv_quant == "none":
-        payload = dtype
-    else:
-        raise ValueError(f"unknown kv_quant {kv_quant!r}")
+    from flash_attention_tpu.ops.quant import payload_dtype
+
+    payload = payload_dtype(kv_quant) or dtype
     shape = (num_pages, kv_heads, page_size, head_dim)
     quant = kv_quant != "none"
     sshape = (num_pages, kv_heads, 1, page_size)
@@ -120,12 +113,9 @@ def init_paged_cache(
 
 def _quantize_rows(x, payload_dtype):
     """Per-token (last-axis) symmetric quantization -> (payload, scales)."""
-    from flash_attention_tpu.ops.quant import quantize_fp8, quantize_int8
+    from flash_attention_tpu.ops.quant import quantize_values
 
-    if payload_dtype == jnp.int8:
-        qt = quantize_int8(x)
-    else:
-        qt = quantize_fp8(x, dtype=payload_dtype)
+    qt = quantize_values(x, payload_dtype)
     return qt.values, qt.scales
 
 
@@ -150,30 +140,38 @@ def paged_write_tokens(
     # a single parallel scatter — at max_slots=256 the chained form was 256
     # dependent updates per decode step.
     pos = cache.lengths[slots]  # [n]
-    # Clamp: a slot at capacity (or an inactive slot whose length froze at
-    # its final value) must not index past its page table — the write lands
-    # in its last page's tail and is masked by ``lengths``.
+    # A slot at capacity must not write AT ALL: clamping the page index
+    # alone would wrap the offset to 0 and overwrite the LIVE row at
+    # position (pages_per_slot-1)*page_size. Redirect out-of-capacity
+    # writes to a guaranteed out-of-bounds page id, dropped by the
+    # mode='drop' scatters below, and freeze the slot's length.
+    in_range = pos < cache.pages_per_slot * page_size  # [n]
     logical = jnp.minimum(pos // page_size, cache.pages_per_slot - 1)
     offset = pos % page_size  # [n]
-    phys = cache.page_table[slots, logical]  # [n]
+    num_pages = cache.k_pages.shape[0]
+    phys = jnp.where(in_range, cache.page_table[slots, logical], num_pages)
 
     if quant:
         kq, ks = jax.vmap(lambda x: _quantize_rows(x, cache.k_pages.dtype))(k_new)
         vq, vs = jax.vmap(lambda x: _quantize_rows(x, cache.v_pages.dtype))(v_new)
         # ks/vs: [n, H, 1] -> scatter into [pages, H, 1, page_size] lanes.
-        k_scales = cache.k_scales.at[phys, :, 0, offset].set(ks[:, :, 0])
-        v_scales = cache.v_scales.at[phys, :, 0, offset].set(vs[:, :, 0])
+        k_scales = cache.k_scales.at[phys, :, 0, offset].set(
+            ks[:, :, 0], mode="drop"
+        )
+        v_scales = cache.v_scales.at[phys, :, 0, offset].set(
+            vs[:, :, 0], mode="drop"
+        )
         cache = cache._replace(k_scales=k_scales, v_scales=v_scales)
     else:
         kq, vq = k_new, v_new
 
     k_pages = cache.k_pages.at[phys, :, offset, :].set(
-        kq.astype(cache.k_pages.dtype)
+        kq.astype(cache.k_pages.dtype), mode="drop"
     )
     v_pages = cache.v_pages.at[phys, :, offset, :].set(
-        vq.astype(cache.v_pages.dtype)
+        vq.astype(cache.v_pages.dtype), mode="drop"
     )
-    lengths = cache.lengths.at[slots].add(1)
+    lengths = cache.lengths.at[slots].add(in_range.astype(cache.lengths.dtype))
     return cache._replace(k_pages=k_pages, v_pages=v_pages, lengths=lengths)
 
 
@@ -462,21 +460,18 @@ def _paged_prefill_attention_jit(
     if d_pad != head_dim:
         qg = jnp.pad(qg, ((0, 0), (0, 0), (0, 0), (0, d_pad - head_dim)))
 
+    # Pages are indexed in their NATIVE [P, H, page, D] layout (the block
+    # index map picks (phys, h)): pre-transposing to head-major would
+    # materialize a full HBM relayout copy of the ENTIRE pool on every
+    # chunk call, inverting the O(visible pages) win this kernel exists
+    # for. Scales stay native [P, H, 1, page] the same way ((1,1,1,page)
+    # blocks satisfy Mosaic's trailing-dims constraint).
     k_pages, v_pages = cache.k_pages, cache.v_pages
     if d_pad != head_dim:
         pads = ((0, 0), (0, 0), (0, 0), (0, d_pad - head_dim))
         k_pages = jnp.pad(k_pages, pads)
         v_pages = jnp.pad(v_pages, pads)
-    k_hp = jnp.swapaxes(k_pages, 0, 1)  # [H, P, page, D]
-    v_hp = jnp.swapaxes(v_pages, 0, 1)
     quant = cache.quantized()
-    if quant:
-        # 4D [H, P, 1, page]: Mosaic requires the last two BLOCK dims to
-        # divide (8, 128) or equal the array dims — (1, 1, 1, page) over
-        # [H, P, 1, page] satisfies that where (1, 1, page) over [H, P, page]
-        # does not (the same constraint as the segment-id blocks).
-        k_sc_hp = jnp.swapaxes(cache.k_scales, 0, 1)  # [H, P, 1, page]
-        v_sc_hp = jnp.swapaxes(cache.v_scales, 0, 1)
 
     table = cache.page_table[slot].astype(jnp.int32)  # [pages_per_slot]
     kv_end_arr = jnp.asarray(kv_end, jnp.int32).reshape(1)
@@ -495,18 +490,12 @@ def _paged_prefill_attention_jit(
             last_live = row_hi // page_size
             pj = jnp.minimum(ip * fanout + j, pages_per_slot - 1)
             pj = jnp.minimum(pj, last_live)
-            return (h, table_ref[pj], 0, 0)
+            return (table_ref[pj], h, 0, 0)
 
         return kv_map
 
     def make_sc_map(j):
-        kv_map = make_kv_map(j)
-
-        def sc_map(h, g, iq, ip, length_ref, table_ref):
-            hh, phys, _, _ = kv_map(h, g, iq, ip, length_ref, table_ref)
-            return (hh, phys, 0, 0)
-
-        return sc_map
+        return make_kv_map(j)  # scales share the (phys, h, 0, 0) map
 
     q_spec = pl.BlockSpec(
         (1, 1, block_q, d_pad), lambda h, g, iq, ip, L, T: (h, g, iq, 0)
@@ -551,15 +540,15 @@ def _paged_prefill_attention_jit(
         )
 
     in_specs = [q_spec] + list(kv_specs)
-    inputs = [qg] + [k_hp] * fanout
+    inputs = [qg] + [k_pages] * fanout
     if quant:
         in_specs += list(sc_specs)
-        inputs += [k_sc_hp] * fanout
+        inputs += [cache.k_scales] * fanout
     in_specs += list(kv_specs)
-    inputs += [v_hp] * fanout
+    inputs += [v_pages] * fanout
     if quant:
         in_specs += list(sc_specs)
-        inputs += [v_sc_hp] * fanout
+        inputs += [cache.v_scales] * fanout
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -924,14 +913,7 @@ def paged_decode_attention(
         pads = ((0, 0), (0, 0), (0, 0), (0, d_pad - head_dim))
         k_pages = jnp.pad(k_pages, pads)
         v_pages = jnp.pad(v_pages, pads)
-    # [P, H, page, D] -> [H, P, page, D]: head-major so one (head, page) block
-    # is contiguous per grid step.
-    k_hp = jnp.swapaxes(k_pages, 0, 1)
-    v_hp = jnp.swapaxes(v_pages, 0, 1)
     quant = cache.quantized()
-    if quant:
-        k_sc_hp = jnp.swapaxes(cache.k_scales, 0, 1)  # [H, P, 1, page]
-        v_sc_hp = jnp.swapaxes(cache.v_scales, 0, 1)
 
     table_flat = cache.page_table.reshape(-1).astype(jnp.int32)
     lengths = cache.lengths.astype(jnp.int32)
@@ -1093,18 +1075,13 @@ def paged_decode_attention(
             if sliding_window is not None:
                 lo = jnp.maximum(lengths_ref[b] - sliding_window, 0) // page_size
                 ip_c = jnp.maximum(ip_c, lo)
-            return (h, table_ref[b * pages_per_slot + ip_c], 0, 0)
+            # Native [P, H, page, D] pool indexing — no pre-transpose copy.
+            return (table_ref[b * pages_per_slot + ip_c], h, 0, 0)
 
         return kv_map
 
     def make_sc_map(j):
-        kv_map = make_kv_map(j)
-
-        def sc_map(b, h, ip, lengths_ref, table_ref):
-            hh, phys, _, _ = kv_map(b, h, ip, lengths_ref, table_ref)
-            return (hh, phys, 0, 0)
-
-        return sc_map
+        return make_kv_map(j)  # scales share the (phys, h, 0, 0) map
 
     q_spec = pl.BlockSpec(
         (1, 1, group_pad, d_pad), lambda b, h, ip, L, T: (b, h, 0, 0)
@@ -1162,15 +1139,15 @@ def paged_decode_attention(
         )
 
     in_specs = [q_spec] + list(kv_specs)
-    inputs = [qg] + [k_hp] * fanout
+    inputs = [qg] + [k_pages] * fanout
     if quant:
         in_specs += list(sc_specs)
-        inputs += [k_sc_hp] * fanout
+        inputs += [cache.k_scales] * fanout
     in_specs += list(kv_specs)
-    inputs += [v_hp] * fanout
+    inputs += [v_pages] * fanout
     if quant:
         in_specs += list(sc_specs)
-        inputs += [v_sc_hp] * fanout
+        inputs += [cache.v_scales] * fanout
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,

@@ -61,16 +61,32 @@ def dequantize(qt: QuantizedTensor, dtype=jnp.float32) -> jax.Array:
 
 def quantize_kv(k: jax.Array, v: jax.Array, mode: str):
     """Quantize K/V caches. mode in {'int8', 'fp8_e4m3', 'fp8_e5m2', 'none'}."""
-    if mode == "none":
+    payload = payload_dtype(mode)
+    if payload is None:
         return k, v
+    return quantize_values(k, payload), quantize_values(v, payload)
+
+def payload_dtype(mode: str):
+    """Storage dtype for a KV quant mode; None for mode 'none'.
+
+    The single source of truth for the mode -> dtype mapping (cache
+    initializers and writers in models/attention.py and ops/paged.py all
+    key off this instead of repeating the if/elif ladder).
+    """
     if mode == "int8":
-        return quantize_int8(k), quantize_int8(v)
+        return jnp.int8
     if mode == "fp8_e4m3":
-        return quantize_fp8(k, dtype=jnp.float8_e4m3fn), quantize_fp8(
-            v, dtype=jnp.float8_e4m3fn
-        )
+        return jnp.float8_e4m3fn
     if mode == "fp8_e5m2":
-        return quantize_fp8(k, dtype=jnp.float8_e5m2), quantize_fp8(
-            v, dtype=jnp.float8_e5m2
-        )
+        return jnp.float8_e5m2
+    if mode == "none":
+        return None
     raise ValueError(f"unknown quantization mode {mode!r}")
+
+
+def quantize_values(x: jax.Array, payload) -> QuantizedTensor:
+    """Per-token quantization to an explicit payload dtype."""
+    if payload == jnp.int8:
+        return quantize_int8(x)
+    return quantize_fp8(x, dtype=payload)
+

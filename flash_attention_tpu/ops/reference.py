@@ -60,6 +60,11 @@ def reference_attention(
         raise ValueError(f"Hq={num_q_heads} not a multiple of Hkv={num_kv_heads}")
     if sm_scale is None:
         sm_scale = 1.0 / (head_dim**0.5)
+    if sliding_window is not None and not causal:
+        # Match the fused kernel's contract (flash_attention raises too) —
+        # silently computing FULL attention here would make the oracle bless
+        # a config the kernel rejects.
+        raise ValueError("sliding_window requires causal=True")
     if out_dtype is None:
         out_dtype = q.dtype
 
@@ -96,6 +101,13 @@ def reference_attention(
         scores = jnp.where(mask, scores, DEFAULT_MASK_VALUE)
 
     weights = jax.nn.softmax(scores, axis=-1)
+    if mask is not None:
+        # Fully-masked rows (zero-length KV slots, dead packed-segment rows)
+        # emit ZEROS — the kernels' l == 0 guard (ops/common.py) — where bare
+        # softmax over uniformly-masked scores would return the unweighted
+        # mean of V.
+        any_live = jnp.any(mask, axis=-1, keepdims=True)
+        weights = jnp.where(any_live, weights, 0.0)
     out = jnp.einsum("bhqk,bhkd->bhqd", weights, vf, precision=jax.lax.Precision.HIGHEST)
     return out.astype(out_dtype)
 
@@ -144,4 +156,11 @@ def reference_attention_with_lse(
     l = jnp.sum(p, axis=-1)
     out = jnp.einsum("bhqk,bhkd->bhqd", p, vf, precision=jax.lax.Precision.HIGHEST) / l[..., None]
     lse2 = m + jnp.log2(l)
+    if mask is not None:
+        # Fully-masked rows: out 0 and lse2 = -inf (the empty-range marker
+        # merge_partial_attention and the kernels use), not a huge finite
+        # negative from the mask constant.
+        any_live = jnp.any(mask, axis=-1)
+        out = jnp.where(any_live[..., None], out, 0.0)
+        lse2 = jnp.where(any_live, lse2, -jnp.inf)
     return out.astype(q.dtype), lse2

@@ -297,7 +297,7 @@ def select_bwd_block_sizes(seq: int, *, causal: bool, head_dim: int = 128) -> Bl
     return BlockSizes(block_q=512, block_kv=512, block_h=4, block_sub=128)
 
 
-def select_decode_block_sizes(kv_seq: int, *, head_dim: int = 128) -> DecodeBlockSizes:
+def select_decode_block_sizes(kv_seq: int) -> DecodeBlockSizes:
     """Decode KV block: as large as VMEM comfortably allows.
 
     Decode is grid-step-overhead bound at small blocks (~0.6us/step floor on

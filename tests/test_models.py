@@ -96,3 +96,25 @@ def test_tiny_lm_greedy_decode_runs():
         next_tok, caches = decode_step(params, cfg, next_tok, caches)
     assert next_tok.shape == (2, 1)
     assert int(caches[0].lengths[0]) == 11
+
+
+def test_write_cache_decode_at_capacity_drops():
+    """A dense-cache decode write at max_seq must be dropped with the length
+    frozen — dynamic_update_slice would clamp the position and silently
+    replace the LAST live token's K/V."""
+    from flash_attention_tpu.models.attention import (
+        AttentionConfig,
+        init_kv_cache,
+        write_cache,
+    )
+
+    cfg = AttentionConfig(model_dim=64, num_q_heads=2, num_kv_heads=2, head_dim=32)
+    cache = init_kv_cache(cfg, batch=2, max_seq=16)
+    k1 = jnp.full((2, 2, 1, 32), 3.0, jnp.bfloat16)
+    cache = write_cache(cfg, cache, k1, k1, jnp.asarray([15, 16], jnp.int32))
+    # Batch 0 (pos 15, last row): written, length 16.
+    assert float(cache.k[0, 0, 15, 0]) == 3.0
+    assert int(cache.lengths[0]) == 16
+    # Batch 1 (pos 16, AT capacity): dropped, last live row intact, frozen.
+    assert float(cache.k[1, 0, 15, 0]) == 0.0
+    assert int(cache.lengths[1]) == 16

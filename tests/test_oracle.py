@@ -68,3 +68,31 @@ def test_oracle_lse_consistent(causal):
     )
     assert lse2.shape == (1, 2, 48)
     assert np.all(np.isfinite(np.asarray(lse2)))
+
+
+def test_oracle_fully_masked_rows_are_zero():
+    """Zero-length KV slots and dead packed rows emit ZEROS from the oracle,
+    matching the kernels' l == 0 guard (bare softmax over uniformly-masked
+    scores would return the unweighted mean of V)."""
+    q, k, v = make_qkv(21, 2, 2, 4, 32)
+    out = reference_attention(q, k, v, kv_length=jnp.asarray([0, 3], jnp.int32))
+    assert np.all(np.asarray(out[0]) == 0.0)
+    assert not np.all(np.asarray(out[1]) == 0.0)
+
+    from flash_attention_tpu.ops.reference import reference_attention_with_lse
+
+    out2, lse2 = reference_attention_with_lse(
+        q, k, v, kv_length=jnp.asarray([0, 3], jnp.int32)
+    )
+    assert np.all(np.asarray(out2[0]) == 0.0)
+    assert np.all(np.isneginf(np.asarray(lse2[0])))
+
+
+def test_oracle_rejects_noncausal_window():
+    """Match the fused kernel's contract instead of silently computing FULL
+    attention for a config the kernel rejects."""
+    import pytest
+
+    q, k, v = make_qkv(22, 1, 2, 8, 32)
+    with pytest.raises(ValueError, match="sliding_window"):
+        reference_attention(q, k, v, causal=False, sliding_window=4)

@@ -423,3 +423,28 @@ def test_paged_prefill_rejects_bad_kv_end():
         paged_prefill_attention(q, cache, 0, 128, chunk_len=256)
     with pytest.raises(ValueError, match="capacity"):
         paged_prefill_attention(q, cache, 0, 4096, chunk_len=256)
+
+
+def test_paged_write_tokens_at_capacity_drops():
+    """A slot at page-table capacity must DROP the write and freeze its
+    length: clamping only the page index would wrap the offset to 0 and
+    overwrite the LIVE row at position (pages_per_slot-1)*page_size."""
+    from flash_attention_tpu.ops.paged import paged_write_tokens
+
+    cache = init_paged_cache(
+        num_pages=4, num_slots=2, pages_per_slot=2, kv_heads=1,
+        page_size=128, head_dim=128,
+    )
+    cache = cache._replace(
+        page_table=jnp.asarray([[1, 2], [3, 3]], jnp.int32),
+        lengths=jnp.asarray([256, 10], jnp.int32),  # slot 0 AT capacity
+    )
+    k_sent = jnp.full((2, 1, 128), 7.0, jnp.bfloat16)
+    before_live_row = np.asarray(cache.k_pages[2, 0, 0])
+    new = paged_write_tokens(cache, k_sent, k_sent, jnp.asarray([0, 1]))
+    # Slot 0: nothing written anywhere, length frozen at capacity.
+    np.testing.assert_array_equal(np.asarray(new.k_pages[2, 0, 0]), before_live_row)
+    assert int(new.lengths[0]) == 256
+    # Slot 1 (in range) still works: row at pos 10 of its page written.
+    assert float(new.k_pages[3, 0, 10, 0]) == 7.0
+    assert int(new.lengths[1]) == 11
