@@ -254,11 +254,8 @@ def bench_decode(on_tpu):
             fn, (q, kq, vq), est_s=kv_payload / (0.6 * 819e9), chain="add"
         )
         toks_per_s = batch / t
-        # decode attention reads the whole KV cache once per step
-        kv_bytes = (
-            sum(x.size * x.dtype.itemsize for x in jax.tree_util.tree_leaves((kq, vq)))
-        )
-        bw = kv_bytes / t / 1e9
+        # decode attention reads the whole KV cache (kv_payload) once per step
+        bw = kv_payload / t / 1e9
         rows.append(
             dict(
                 kind="decode", kv_quant=mode, batch=batch, seq=seq,
@@ -281,6 +278,8 @@ def bench_paged(on_tpu):
     if not on_tpu:
         return rows
     import numpy as np
+
+    peak = detect_mxu_peak_tflops()
 
     from flash_attention_tpu.ops.paged import (
         init_paged_cache,
@@ -337,7 +336,7 @@ def bench_paged(on_tpu):
         )
         t = scan_timer(
             fnp, (qc, cache, jnp.int32(kv_end)),
-            est_s=max(fl / (0.2 * 197e12), 20e-6), chain="add",
+            est_s=max(fl / (0.2 * peak * 1e12), 20e-6), chain="add",
         )
         rows.append(
             dict(
@@ -364,6 +363,7 @@ def bench_engine(on_tpu):
     rows = []
     if not on_tpu:
         return rows
+    import numpy as np
     import time
 
     from flash_attention_tpu.models.transformer import (
@@ -385,21 +385,26 @@ def bench_engine(on_tpu):
         num_pages=batch * (ctx // page) + 1,
         pages_per_slot=ctx // page, page_size=page, prefill_chunk=1024,
     )
-    rng = jax.random.key(9)
-    prompts = jax.random.randint(rng, (batch, prompt_len), 0, cfg.vocab_size)
+    rng = np.random.RandomState(9)
     reqs = [
-        Request(id=i, prompt=tuple(int(x) for x in prompts[i, :8]) * (prompt_len // 8),
-                max_new_tokens=max_new)
+        Request(
+            id=i,
+            prompt=tuple(int(x) for x in rng.randint(0, cfg.vocab_size, 8))
+            * (prompt_len // 8),
+            max_new_tokens=max_new,
+        )
         for i in range(batch)
     ]
     # Warmup: compile the prefill + decode programs on a throwaway batch,
     # then zero the counters — the first decode step's one-time compile
     # (~15 s) otherwise lands in the decode-phase denominator and reads as
     # a ~4x throughput loss (measured 280 ms/step avg vs 65 ms steady).
-    # max_new=16 walks the block length through every pow2 k (8, 4, 2, 1)
-    # so no k-variant compile lands in the timed run's tail either.
+    # max_new=15 walks the block length through every pow2 k: remaining
+    # 15 -> k=8, 7 -> 4, 3 -> 2, 1 -> 1 (16 would decode as 8+8 and leave
+    # the tail ks uncompiled), so no k-variant compile can land in a timed
+    # run regardless of its max_new.
     engine.run([
-        Request(id=10_000 + i, prompt=(1, 2, 3, 4) * 256, max_new_tokens=16)
+        Request(id=10_000 + i, prompt=(1, 2, 3, 4) * 256, max_new_tokens=15)
         for i in range(batch)
     ])
     engine.decode_tokens = 0
@@ -461,7 +466,9 @@ def main():
         geomean_tflops=geo,
         vs_baseline=vs,
     )
-    pathlib.Path("BENCH_DETAIL.json").write_text(json.dumps(detail, indent=2))
+    (pathlib.Path(__file__).resolve().parent / "BENCH_DETAIL.json").write_text(
+        json.dumps(detail, indent=2)
+    )
 
     print(
         json.dumps(

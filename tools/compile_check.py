@@ -33,16 +33,50 @@ import jax.numpy as jnp
 from flash_attention_tpu.ops.flash_attention import flash_attention
 from flash_attention_tpu.ops.decode import decode_attention
 from flash_attention_tpu.ops.paged import (
-    init_paged_cache,
     paged_decode_attention,
     paged_prefill_attention,
-    paged_write_prefill,
 )
-from flash_attention_tpu.ops.quant import quantize_kv
+from flash_attention_tpu.ops.paged import PagedKVCache
+from flash_attention_tpu.ops.quant import QuantizedTensor, payload_dtype
 from flash_attention_tpu.ops.tuning import select_decode_block_sizes
-from flash_attention_tpu.utils.testing import make_qkv
 
 FAILED = []
+
+
+def aval(*shape, dtype=jnp.bfloat16):
+    return jax.ShapeDtypeStruct(shape, dtype)
+
+
+def qkv_avals(batch, q_heads, seq, d, kv_heads=None, kv_seq=None):
+    """ShapeDtypeStruct stand-ins for make_qkv: lower() compiles from
+    avals alone — no device arrays, no data upload over the tunnel."""
+    kv_heads = kv_heads or q_heads
+    kv_seq = kv_seq or seq
+    return (
+        aval(batch, q_heads, seq, d),
+        aval(batch, kv_heads, kv_seq, d),
+        aval(batch, kv_heads, kv_seq, d),
+    )
+
+
+def quant_aval(batch, kv_heads, seq, d, mode):
+    return QuantizedTensor(
+        values=aval(batch, kv_heads, seq, d, dtype=payload_dtype(mode)),
+        scales=aval(batch, kv_heads, seq, 1, dtype=jnp.float32),
+    )
+
+
+def paged_cache_avals(num_pages, num_slots, pages_per_slot, kv_heads, page, d, mode):
+    payload = payload_dtype(mode or "none") or jnp.bfloat16
+    quant = mode is not None
+    return PagedKVCache(
+        k_pages=aval(num_pages, kv_heads, page, d, dtype=payload),
+        v_pages=aval(num_pages, kv_heads, page, d, dtype=payload),
+        page_table=aval(num_slots, pages_per_slot, dtype=jnp.int32),
+        lengths=aval(num_slots, dtype=jnp.int32),
+        k_scales=aval(num_pages, kv_heads, 1, page, dtype=jnp.float32) if quant else None,
+        v_scales=aval(num_pages, kv_heads, 1, page, dtype=jnp.float32) if quant else None,
+    )
 
 
 def check(tag, fn, *args, **kwargs):
@@ -62,7 +96,7 @@ SEQS = (512, 768, 1024, 2048, 4096, 8192, 16384)
 def part_fwd():
     for seq in SEQS:
         for causal in (False, True):
-            q, k, v = make_qkv(0, 1, 32, seq, 128)
+            q, k, v = qkv_avals(1, 32, seq, 128)
             check(
                 f"fwd seq={seq} causal={int(causal)}",
                 lambda q, k, v, c=causal: flash_attention(q, k, v, causal=c),
@@ -75,7 +109,7 @@ def part_resid():
     # VMEM-cliff trigger. This is also the under-grad forward.
     for seq in (512, 1024, 2048, 4096, 8192):
         for causal in (False, True):
-            q, k, v = make_qkv(0, 1, 32, seq, 128)
+            q, k, v = qkv_avals(1, 32, seq, 128)
             check(
                 f"fwd+lse seq={seq} causal={int(causal)}",
                 lambda q, k, v, c=causal: flash_attention(
@@ -88,7 +122,7 @@ def part_resid():
 def part_bwd():
     for seq in (512, 1024, 2048, 4096, 8192):
         for causal in (False, True):
-            q, k, v = make_qkv(0, 1, 32, seq, 128)
+            q, k, v = qkv_avals(1, 32, seq, 128)
 
             def train(q, k, v, c=causal):
                 def loss(q, k, v):
@@ -105,7 +139,7 @@ def part_gqa():
     for seq in (2048, 8192):
         for group, hkv in ((4, 8), (8, 4)):
             for causal in (False, True):
-                q, k, v = make_qkv(0, 1, 32, seq, 128, num_kv_heads=hkv)
+                q, k, v = qkv_avals(1, 32, seq, 128, kv_heads=hkv)
                 check(
                     f"gqa g={group} seq={seq} causal={int(causal)}",
                     lambda q, k, v, c=causal: flash_attention(q, k, v, causal=c),
@@ -116,8 +150,8 @@ def part_gqa():
 def part_feat():
     # window / softcap / segments each add per-tile temporaries.
     for seq in (2048, 4096):
-        q, k, v = make_qkv(0, 1, 32, seq, 128)
-        seg = jnp.zeros((1, seq), jnp.int32).at[:, seq // 2 :].set(1)
+        q, k, v = qkv_avals(1, 32, seq, 128)
+        seg = aval(1, seq, dtype=jnp.int32)
         check(
             f"window seq={seq}",
             lambda q, k, v, s=seq: flash_attention(
@@ -132,8 +166,8 @@ def part_feat():
         )
         check(
             f"segments seq={seq}",
-            lambda q, k, v, s=seg: flash_attention(q, k, v, causal=True, segment_ids=s),
-            q, k, v,
+            lambda q, k, v, s: flash_attention(q, k, v, causal=True, segment_ids=s),
+            q, k, v, seg,
         )
 
         def win_grad(q, k, v, s=seq):
@@ -153,7 +187,7 @@ def part_feat():
 def part_d64():
     for seq in (1024, 4096):
         for causal in (False, True):
-            q, k, v = make_qkv(0, 1, 32, seq, 64)
+            q, k, v = qkv_avals(1, 32, seq, 64)
             check(
                 f"d64 seq={seq} causal={int(causal)}",
                 lambda q, k, v, c=causal: flash_attention(q, k, v, causal=c),
@@ -163,63 +197,52 @@ def part_d64():
 
 def part_decode():
     b, hq, hkv, seq, d = 32, 32, 8, 8192, 128
-    q, k, v = make_qkv(0, b, hq, 1, d, num_kv_heads=hkv, kv_seq=seq)
-    q1 = q[:, :, 0, :]
-    lengths = jnp.full((b,), seq, jnp.int32)
-    check("decode bf16 seq=8192", lambda q, k, v, l: decode_attention(q, k, v, l), q1, k, v, lengths)
+    q1 = aval(b, hq, d)
+    lengths = aval(b, dtype=jnp.int32)
+    k = aval(b, hkv, seq, d)
+    check("decode bf16 seq=8192", lambda q, k, v, l: decode_attention(q, k, v, l), q1, k, k, lengths)
     for mode in ("int8", "fp8_e4m3", "fp8_e5m2"):
-        kq, vq = quantize_kv(k, v, mode)
+        kq = quant_aval(b, hkv, seq, d, mode)
         check(
             f"decode {mode} seq=8192",
             lambda q, kq, vq, l: decode_attention(q, kq, vq, l),
-            q1, kq, vq, lengths,
+            q1, kq, kq, lengths,
         )
     # Odd cache length: block_kv must divide the padded length.
-    q2, k2, v2 = make_qkv(0, b, hq, 1, d, num_kv_heads=hkv, kv_seq=6144)
+    k2 = aval(b, hkv, 6144, d)
     check(
         "decode bf16 seq=6144 (non-pow2)",
         lambda q, k, v, l: decode_attention(
             q, k, v, l, block_kv=select_decode_block_sizes(6144).block_kv
         ),
-        q2[:, :, 0, :], k2, v2, jnp.full((b,), 6144, jnp.int32),
+        q1, k2, k2, lengths,
     )
     # 4224 = 128*33 has no 256-multiple divisor, so packed fp8 must fall
     # back to the unpacked widen — the packed scale block would be a
     # lane-misaligned 128*odd/2 and Mosaic rejects it only at real compile.
-    q3, k3, v3 = make_qkv(0, b, hq, 1, d, num_kv_heads=hkv, kv_seq=4224)
-    k3q, v3q = quantize_kv(k3, v3, "fp8_e4m3")
+    k3q = quant_aval(b, hkv, 4224, d, "fp8_e4m3")
     check(
         "decode fp8_e4m3 seq=4224 (odd divisor)",
         lambda q, kq, vq, l: decode_attention(q, kq, vq, l),
-        q3[:, :, 0, :], k3q, v3q, jnp.full((b,), 4224, jnp.int32),
+        q1, k3q, k3q, lengths,
     )
 
 
 def part_paged():
     hq, hkv, d, page = 32, 8, 128, 1024
     for mode in (None, "int8", "fp8_e4m3"):
-        cache = init_paged_cache(
-            num_pages=64, num_slots=8, pages_per_slot=8, kv_heads=hkv,
-            page_size=page, head_dim=d, kv_quant=mode or "none",
-        )
-        k, v = (
-            jnp.zeros((hkv, 4096, d), jnp.bfloat16),
-            jnp.zeros((hkv, 4096, d), jnp.bfloat16),
-        )
-        cache = paged_write_prefill(cache, k, v, 0, jnp.int32(4096))
-        q = jnp.zeros((8, hq, d), jnp.bfloat16)
+        cache = paged_cache_avals(64, 8, 8, hkv, page, d, mode)
+        q = aval(8, hq, d)
         check(
             f"paged decode {mode or 'bf16'}",
             lambda q, c: paged_decode_attention(q, c),
             q, cache,
         )
-        qc = jnp.zeros((1, hq, 512, d), jnp.bfloat16)
+        qc = aval(1, hq, 512, d)
         check(
             f"paged prefill chunk {mode or 'bf16'}",
-            lambda q, c: paged_prefill_attention(
-                q, c, 0, jnp.int32(4096), chunk_len=512
-            ),
-            qc, cache,
+            lambda q, c, ke: paged_prefill_attention(q, c, 0, ke, chunk_len=512),
+            qc, cache, aval(dtype=jnp.int32),
         )
 
 

@@ -91,7 +91,12 @@ def bench_decode(n, *, seq, batch_per_chip, wiring):
         jax.block_until_ready(fn(q, kq, vq, lengths))
         return {"ok": True, "mesh": f"dp={data} tp={model}"}
     kv_bytes = 2 * batch * KV_HEADS * seq * HEAD_DIM  # int8 payload
-    t = scan_timer(fn, (q, kq, vq, lengths), est_s=kv_bytes / 700e9 / n)
+    # chain="add": the int8 cache must stay a loop-invariant ARGUMENT —
+    # barrier-chaining a multi-hundred-MB cache through the scan carry
+    # hangs XLA's loop optimizer (see bench.py's bench_decode).
+    t = scan_timer(
+        fn, (q, kq, vq, lengths), est_s=kv_bytes / 700e9 / n, chain="add"
+    )
     return {
         "mesh": f"dp={data} tp={model}",
         "time_us": t * 1e6,
@@ -155,9 +160,10 @@ def run(wiring: bool, seq: int, decode_seq: int, ring_seq_per_chip: int):
 
 def main():
     wiring = "--wiring" in sys.argv or jax.default_backend() != "tpu"
-    seq = 4096
-    decode_seq = 8192
-    ring_seq_per_chip = 1024
+    # Wiring mode defaults to tiny shapes (it only validates mesh wiring +
+    # sharding), but an EXPLICIT --seq/--decode-seq/--ring-seq-per-chip
+    # always wins so specific dispatch tiers can be wiring-checked too.
+    seq = decode_seq = ring_seq_per_chip = None
     for a in sys.argv[1:]:
         if a.startswith("--seq="):
             seq = int(a.split("=")[1])
@@ -165,9 +171,10 @@ def main():
             decode_seq = int(a.split("=")[1])
         if a.startswith("--ring-seq-per-chip="):
             ring_seq_per_chip = int(a.split("=")[1])
-    if wiring:
-        # Tiny shapes: this mode only validates mesh wiring + sharding.
-        seq, decode_seq, ring_seq_per_chip = 256, 256, 128
+    defaults = (256, 256, 128) if wiring else (4096, 8192, 1024)
+    seq = defaults[0] if seq is None else seq
+    decode_seq = defaults[1] if decode_seq is None else decode_seq
+    ring_seq_per_chip = defaults[2] if ring_seq_per_chip is None else ring_seq_per_chip
     run(wiring, seq, decode_seq, ring_seq_per_chip)
 
 
