@@ -496,6 +496,11 @@ def _fwd_impl(
             constant_values=-2,
         )[:, None, :]
 
+    # LSE residual width: 1 lane (lse_narrow) or LANES-broadcast. The kernel
+    # writes broadcast_to(lse2, lse_ref.shape) either way; only the out
+    # block/shape change, and the [:, :, 0] consumer slice works for both.
+    lse_lanes = 1 if block_sizes.lse_narrow else LANES
+
     # Head-batching (block_h heads per grid step). MHA: any block_h dividing
     # batch*heads. GQA: block_h must span whole KV groups within one batch
     # element (kv heads expand in-kernel via jnp.repeat — a cheap VPU copy
@@ -587,7 +592,8 @@ def _fwd_impl(
             (hb, block_q, d_pad), lambda bh, t, iq_m, ikv_m, f_m: (bh, iq_m[t], 0)
         )
         lse_spec = pl.BlockSpec(
-            (hb, block_q, LANES), lambda bh, t, iq_m, ikv_m, f_m: (bh, iq_m[t], 0)
+            (hb, block_q, lse_lanes),
+            lambda bh, t, iq_m, ikv_m, f_m: (bh, iq_m[t], 0),
         )
         seg_q_spec = pl.BlockSpec(
             (1, 1, block_q),
@@ -614,7 +620,7 @@ def _fwd_impl(
         )
         o_spec = pl.BlockSpec((hb, block_q, d_pad), lambda bh, iq, ikv: (bh, iq, 0))
         lse_spec = pl.BlockSpec(
-            (hb, block_q, LANES), lambda bh, iq, ikv: (bh, iq, 0)
+            (hb, block_q, lse_lanes), lambda bh, iq, ikv: (bh, iq, 0)
         )
         seg_q_spec = pl.BlockSpec(
             (1, 1, block_q), lambda bh, iq, ikv: (batch_index(bh), 0, iq)
@@ -637,7 +643,9 @@ def _fwd_impl(
     out_specs = [o_spec]
     if save_residuals:
         out_shapes.append(
-            jax.ShapeDtypeStruct((batch * num_q_heads, q_pad, LANES), jnp.float32)
+            jax.ShapeDtypeStruct(
+                (batch * num_q_heads, q_pad, lse_lanes), jnp.float32
+            )
         )
         out_specs.append(lse_spec)
 

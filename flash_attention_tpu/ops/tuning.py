@@ -80,6 +80,14 @@ class BlockSizes:
     # Off by default pending the on-chip sweep (d=64 configs fall back to
     # generic tiers today — tuning is keyed at d=128).
     d64_unpadded: bool = False
+    # Residuals forward: emit the LSE output 1 lane wide ([B*H, S, 1])
+    # instead of LANES(128)-broadcast. The broadcast write moves 512 B/row
+    # of pure padding — 2x the output tensor's own bytes at d=128 bf16 —
+    # on EVERY jax.grad forward. The backward already consumes 1-lane
+    # blocks, so only the forward's out BlockSpec changes. Off by default
+    # pending the on-chip sweep (narrow stores can hit Mosaic layout
+    # quirks; verify standalone compile + bench before dispatching).
+    lse_narrow: bool = False
 
     def __post_init__(self):
         if self.block_q % 128 or self.block_kv % 128:

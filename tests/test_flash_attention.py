@@ -305,3 +305,45 @@ def test_rejects_batch_or_head_dim_mismatch():
         flash_attention(q, k[:1], v[:1], causal=True)
     with pytest.raises(ValueError, match="q/kv shape mismatch"):
         flash_attention(q[:, :, :, :64], k, v, causal=True)
+
+
+def test_lse_narrow_matches_default():
+    """lse_narrow emits the LSE residual 1 lane wide instead of
+    LANES-broadcast; values and downstream gradients must be identical."""
+    import dataclasses
+
+    q, k, v = make_qkv(31, 1, 4, 512, 128)
+    base = BS
+    narrow = dataclasses.replace(BS, lse_narrow=True)
+    for causal in (False, True):
+        o0, l0 = flash_attention(
+            q, k, v, causal=causal, block_sizes=base, save_residuals=True
+        )
+        o1, l1 = flash_attention(
+            q, k, v, causal=causal, block_sizes=narrow, save_residuals=True
+        )
+        assert_close(o0, o1, tolerance=1e-6)
+        np.testing.assert_allclose(np.asarray(l0), np.asarray(l1), atol=1e-6)
+
+    # Gradients through the narrow residuals path (res_block_sizes is the
+    # under-grad forward config).
+    import jax
+
+    w = jax.random.normal(jax.random.key(6), q.shape)
+
+    def loss(bs):
+        def f(q, k, v):
+            return jnp.sum(
+                flash_attention(q, k, v, causal=True, block_sizes=bs).astype(
+                    jnp.float32
+                )
+                * w
+            )
+        return jax.grad(f, argnums=(0, 1, 2))(q, k, v)
+
+    g0 = loss(base)
+    g1 = loss(narrow)
+    for a, b in zip(g0, g1):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32), atol=1e-6
+        )

@@ -106,17 +106,30 @@ def part_fwd():
 
 def part_resid():
     # save_residuals adds an fp32 LSE output block per tile — the canonical
-    # VMEM-cliff trigger. This is also the under-grad forward.
+    # VMEM-cliff trigger. This is also the under-grad forward. Both LSE
+    # widths compile: LANES-broadcast (default) and lse_narrow (1-lane
+    # store — the Mosaic store-path risk the flag is gated on).
+    import dataclasses
+
+    from flash_attention_tpu.ops.tuning import select_block_sizes
+
     for seq in (512, 1024, 2048, 4096, 8192):
         for causal in (False, True):
             q, k, v = qkv_avals(1, 32, seq, 128)
-            check(
-                f"fwd+lse seq={seq} causal={int(causal)}",
-                lambda q, k, v, c=causal: flash_attention(
-                    q, k, v, causal=c, save_residuals=True
-                ),
-                q, k, v,
-            )
+            for tag, narrow in (("", False), (" narrow", True)):
+                bs = dataclasses.replace(
+                    select_block_sizes(
+                        seq, causal=causal, save_residuals=True
+                    ),
+                    lse_narrow=narrow,
+                )
+                check(
+                    f"fwd+lse seq={seq} causal={int(causal)}{tag}",
+                    lambda q, k, v, c=causal, b=bs: flash_attention(
+                        q, k, v, causal=c, save_residuals=True, block_sizes=b
+                    ),
+                    q, k, v,
+                )
 
 
 def part_bwd():
