@@ -182,6 +182,43 @@ def bench_gqa(on_tpu):
     return rows
 
 
+def bench_window(on_tpu):
+    """Sliding-window rows (Mistral-class): long context, fixed attention
+    band. The tri grid enumerates only the live (q, kv) block pairs inside
+    the band, so time should scale with the band area (window·seq), not
+    seq² — the detail row records band-FLOPs TFLOPS plus the speedup over
+    the full-causal row at the same seq."""
+    rows = []
+    if not on_tpu:
+        return rows
+    peak = detect_mxu_peak_tflops()
+    for seq, window in ((16384, 4096), (16384, 1024)):
+        q, k, v = make_qkv(11, BATCH, HEADS, seq, HEAD_DIM)
+        fn = lambda q, k, v, w=window: flash_attention(
+            q, k, v, causal=True, sliding_window=w
+        )
+        fl = attention_flops(
+            BATCH, HEADS, seq, HEAD_DIM, causal=True, window=window
+        )
+        try:
+            t = scan_timer(fn, (q, k, v), est_s=fl / (0.3 * peak * 1e12))
+        except Exception as e:  # new row: never abort the whole bench run
+            log(f"window seq={seq} w={window}: FAIL {e!r}")
+            continue
+        tf = fl / t / 1e12
+        rows.append(
+            dict(
+                kind="window_forward", seq=seq, window=window,
+                time_us=t * 1e6, tflops=tf, roofline_frac=tf / peak,
+            )
+        )
+        log(
+            f"window seq={seq} w={window:5d}: {t*1e6:9.1f}us "
+            f"{tf:7.2f} band-TFLOPS ({tf/peak*100:4.1f}% roofline)"
+        )
+    return rows
+
+
 def bench_training(on_tpu):
     """Training rows: forward + backward through the custom VJP.
 
@@ -437,6 +474,7 @@ def main():
     smoke_rows = smoke_correctness(on_tpu)
     fwd_rows = bench_forward(on_tpu)
     gqa_rows = bench_gqa(on_tpu)
+    win_rows = bench_window(on_tpu)
     train_rows = bench_training(on_tpu)
     dec_rows = bench_decode(on_tpu)
     dec_rows += bench_paged(on_tpu)
@@ -459,6 +497,7 @@ def main():
         smoke=smoke_rows,
         forward=fwd_rows,
         gqa_forward=gqa_rows,
+        window_forward=win_rows,
         train=train_rows,
         decode=[r for r in dec_rows if r["kind"] == "decode"],
         paged_prefill=[r for r in dec_rows if r["kind"] == "paged_prefill"],

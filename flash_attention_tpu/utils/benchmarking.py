@@ -17,11 +17,20 @@ import jax
 
 
 def attention_flops(
-    batch: int, heads: int, seq: int, head_dim: int, *, causal: bool, kv_seq: int | None = None
+    batch: int, heads: int, seq: int, head_dim: int, *, causal: bool,
+    kv_seq: int | None = None, window: int | None = None,
 ) -> float:
     """The reference's FLOPs formula: 4·B·H·Sq·Skv·D, halved for causal
-    (flash_attention.cu:938-939)."""
+    (flash_attention.cu:938-939). With a causal sliding window only the
+    live band counts: row r attends to min(r+1, window) columns, so the
+    band area is W(W+1)/2 + (S-W)·W for S >= W."""
     kv = seq if kv_seq is None else kv_seq
+    if window is not None:
+        if not causal or kv_seq is not None:
+            raise ValueError("window FLOPs accounting assumes causal self-attention")
+        w = min(window, seq)
+        band = w * (w + 1) / 2 + (seq - w) * w
+        return 4.0 * batch * heads * band * head_dim
     flops = 4.0 * batch * heads * seq * kv * head_dim
     if causal:
         flops /= 2
