@@ -219,6 +219,78 @@ def bench_window(on_tpu):
     return rows
 
 
+def bench_packed(on_tpu):
+    """Packed-sequence rows: 4 documents of 2048 packed into one 8192 row.
+    FLOPs accounting counts only the live per-document causal areas (4 x
+    causal(2048)), so the TFLOPS read near the full-causal rate only if the
+    segment-aware block skipping actually removes the ~2/3 dead cross-doc
+    work (without skipping the same rows read ~0.35x)."""
+    rows = []
+    if not on_tpu:
+        return rows
+    import numpy as np
+
+    peak = detect_mxu_peak_tflops()
+    seq, doc = 8192, 2048
+    q, k, v = make_qkv(13, BATCH, HEADS, seq, HEAD_DIM)
+    seg = jnp.asarray(
+        np.repeat(np.arange(seq // doc, dtype=np.int32), doc)[None]
+    )
+    fl = (seq // doc) * attention_flops(
+        BATCH, HEADS, doc, HEAD_DIM, causal=True
+    )
+
+    fn = lambda q, k, v: flash_attention(q, k, v, causal=True, segment_ids=seg)
+    try:
+        t = scan_timer(fn, (q, k, v), est_s=fl / (0.3 * peak * 1e12))
+        tf = fl / t / 1e12
+        rows.append(
+            dict(
+                kind="packed_forward", seq=seq, doc_len=doc, time_us=t * 1e6,
+                tflops=tf, roofline_frac=tf / peak,
+            )
+        )
+        log(
+            f"packed fwd 4x{doc} @ {seq}: {t*1e6:9.1f}us "
+            f"{tf:7.2f} live-TFLOPS ({tf/peak*100:4.1f}% roofline)"
+        )
+    except Exception as e:
+        log(f"packed fwd: FAIL {e!r}")
+
+    def fwd_bwd(q, k, v):
+        def f(q, k, v):
+            return jnp.sum(
+                flash_attention(
+                    q, k, v, causal=True, segment_ids=seg
+                ).astype(jnp.float32)
+            )
+
+        dq, dk, dv = jax.grad(f, argnums=(0, 1, 2))(q, k, v)
+        probe = (
+            dk[0, 0, 0, 0].astype(jnp.float32)
+            + dv[0, 0, 0, 0].astype(jnp.float32)
+        ) * 0.0
+        return dq.at[0, 0, 0, 0].add(probe.astype(dq.dtype))
+
+    eff_fl = 3.5 * fl
+    try:
+        t = scan_timer(fwd_bwd, (q, k, v), est_s=eff_fl / (0.25 * peak * 1e12))
+        tf = eff_fl / t / 1e12
+        rows.append(
+            dict(
+                kind="packed_train", seq=seq, doc_len=doc, time_us=t * 1e6,
+                eff_tflops=tf, roofline_frac=tf / peak,
+            )
+        )
+        log(
+            f"packed train 4x{doc} @ {seq}: {t*1e6:9.1f}us "
+            f"{tf:7.2f} live-eff-TFLOPS ({tf/peak*100:4.1f}% roofline)"
+        )
+    except Exception as e:
+        log(f"packed train: FAIL {e!r}")
+    return rows
+
+
 def bench_training(on_tpu):
     """Training rows: forward + backward through the custom VJP.
 
@@ -475,6 +547,7 @@ def main():
     fwd_rows = bench_forward(on_tpu)
     gqa_rows = bench_gqa(on_tpu)
     win_rows = bench_window(on_tpu)
+    packed_rows = bench_packed(on_tpu)
     train_rows = bench_training(on_tpu)
     dec_rows = bench_decode(on_tpu)
     dec_rows += bench_paged(on_tpu)
@@ -498,6 +571,7 @@ def main():
         forward=fwd_rows,
         gqa_forward=gqa_rows,
         window_forward=win_rows,
+        packed=packed_rows,
         train=train_rows,
         decode=[r for r in dec_rows if r["kind"] == "decode"],
         paged_prefill=[r for r in dec_rows if r["kind"] == "paged_prefill"],

@@ -85,6 +85,8 @@ def _bwd_dq_kernel(
     softcap_in: float | None = None,
     cap_out2: float | None = None,
     seg_refs=None,
+    seg_live_ref=None,  # [B, nq, nkv] int32 block liveness (packed skipping)
+    seg_heads: int = 1,
     subtile: int = 0,
     diag_subtile: int = 0,
 ):
@@ -168,6 +170,14 @@ def _bwd_dq_kernel(
             should_run = jnp.logical_and(
                 should_run,
                 (ikv + 1) * block_kv - 1 > iq * block_q + diag_offset - window,
+            )
+        if seg_live_ref is not None:
+            # Packed-sequence block skipping: fully cross-document blocks
+            # (disjoint segment-id ranges) contribute nothing — skip their
+            # five MMAs (the clamped index maps already skip their DMA).
+            b = pl.program_id(0) // seg_heads
+            should_run = jnp.logical_and(
+                should_run, seg_live_ref[b, iq, ikv] != 0
             )
     else:
         should_run = True
@@ -321,6 +331,8 @@ def _bwd_dkv_kernel(
     softcap_in: float | None = None,
     cap_out2: float | None = None,
     seg_refs=None,
+    seg_live_ref=None,  # [B, nq, nkv] int32 block liveness (packed skipping)
+    seg_heads: int = 1,
     subtile: int = 0,
     diag_subtile: int = 0,
 ):
@@ -412,6 +424,12 @@ def _bwd_dkv_kernel(
         # The Q block overlaps the live (col <= row) region iff its LAST row
         # reaches the kv block's first column.
         should_run = (iq + 1) * block_q - 1 + diag_offset >= ikv * block_kv
+        if seg_live_ref is not None:
+            # Packed-sequence block skipping (see _bwd_dq_kernel).
+            b = pl.program_id(0) // seg_heads
+            should_run = jnp.logical_and(
+                should_run, seg_live_ref[b, iq, ikv] != 0
+            )
         if window is not None:
             # ... and its FIRST row must be within the window of the kv
             # block's last column (col > row - window for some pair).
@@ -938,6 +956,33 @@ def flash_attention_bwd(
             constant_values=-2,
         )[:, None, :]
 
+    # Packed-sequence block skipping (the backward twin of the forward's
+    # runtime tri-grid compaction): block id-RANGE intersection marks fully
+    # cross-document (iq, ikv) pairs dead — exact for standard contiguous
+    # packing, conservative for arbitrary ids. The liveness table rides
+    # scalar prefetch: kernels gate their MMAs on it, and the index maps
+    # clamp dead blocks' DMA (dq: kv blocks before the q block's first live
+    # doc; dkv: q blocks after the kv block's last live doc). Grids stay
+    # dense and static — one compile serves every packing layout; dead
+    # steps cost only the ~sub-us grid-step overhead.
+    packed = (
+        segments is not None and causal
+        and (num_q_blocks > 1 or num_kv_blocks > 1)
+    )
+    if packed:
+        sq_blk = seg_q[:, 0, :].reshape(batch, num_q_blocks, block_q)
+        skv_blk = seg_kv[:, 0, :].reshape(batch, num_kv_blocks, block_kv)
+        qmin, qmax = sq_blk.min(-1), sq_blk.max(-1)  # [B, nq]
+        kmin, kmax = skv_blk.min(-1), skv_blk.max(-1)  # [B, nkv]
+        seg_live = jnp.logical_and(
+            qmin[:, :, None] <= kmax[:, None, :],
+            kmin[:, None, :] <= qmax[:, :, None],
+        ).astype(jnp.int32)  # [B, nq, nkv]
+        dq_first_live = jnp.argmax(seg_live, axis=2).astype(jnp.int32)
+        dkv_last_live = (
+            num_q_blocks - 1 - jnp.argmax(seg_live[:, ::-1, :], axis=1)
+        ).astype(jnp.int32)  # [B, nkv]
+
     # Sublane-oriented ([bh, Sq, 1]) for the dq kernel, lane-oriented
     # ([bh, 1, Sq]) for the transposed dkv kernel — avoids in-kernel relayouts.
     lse_col = lse_f[:, :, None]
@@ -1097,27 +1142,40 @@ def flash_attention_bwd(
         subtile=subtile,
         diag_subtile=diag_subtile,
     )
+    def dq_kv_block(bh, iq, ikv, *refs):
+        # `refs` = (live, first_live) scalar-prefetch refs in packed mode:
+        # clamp kv blocks before the q block's first live document so the
+        # dead prefix re-issues no DMA (compute is gated in-kernel).
+        idx = kv_block_index(iq, ikv)
+        if packed:
+            idx = jnp.maximum(idx, refs[1][bh // num_q_heads, iq])
+        return idx
+
     dq_in_specs = [
-        pl.BlockSpec((hb, block_q, d_pad), lambda bh, iq, ikv: (bh, iq, 0)),
+        pl.BlockSpec(
+            (hb, block_q, d_pad), lambda bh, iq, ikv, *r: (bh, iq, 0)
+        ),
         pl.BlockSpec(
             (hb, block_kv, d_pad),
-            lambda bh, iq, ikv: (
+            lambda bh, iq, ikv, *r: (
                 (bh if hb > 1 else kv_head_index(bh)),
-                kv_block_index(iq, ikv),
+                dq_kv_block(bh, iq, ikv, *r),
                 0,
             ),
         ),
         pl.BlockSpec(
             (hb, block_kv, d_pad),
-            lambda bh, iq, ikv: (
+            lambda bh, iq, ikv, *r: (
                 (bh if hb > 1 else kv_head_index(bh)),
-                kv_block_index(iq, ikv),
+                dq_kv_block(bh, iq, ikv, *r),
                 0,
             ),
         ),
-        pl.BlockSpec((hb, block_q, d_pad), lambda bh, iq, ikv: (bh, iq, 0)),
-        pl.BlockSpec((hb, block_q, 1), lambda bh, iq, ikv: (bh, iq, 0)),
-        pl.BlockSpec((hb, block_q, 1), lambda bh, iq, ikv: (bh, iq, 0)),
+        pl.BlockSpec(
+            (hb, block_q, d_pad), lambda bh, iq, ikv, *r: (bh, iq, 0)
+        ),
+        pl.BlockSpec((hb, block_q, 1), lambda bh, iq, ikv, *r: (bh, iq, 0)),
+        pl.BlockSpec((hb, block_q, 1), lambda bh, iq, ikv, *r: (bh, iq, 0)),
     ]
     dq_inputs = [qq, kk, vv, dodo, lse_col, delta_col]
     if segments is None:
@@ -1126,37 +1184,72 @@ def flash_attention_bwd(
         dq_in_specs += [
             pl.BlockSpec(
                 (1, 1, block_q),
-                lambda bh, iq, ikv: (bh // num_q_heads, 0, iq),
+                lambda bh, iq, ikv, *r: (bh // num_q_heads, 0, iq),
             ),
             pl.BlockSpec(
                 (1, 1, block_kv),
-                lambda bh, iq, ikv: (
-                    bh // num_q_heads, 0, kv_block_index(iq, ikv)
+                lambda bh, iq, ikv, *r: (
+                    bh // num_q_heads, 0, dq_kv_block(bh, iq, ikv, *r)
                 ),
             ),
         ]
         dq_inputs += [seg_q, seg_kv]
 
-        def dq_kernel(q_r, k_r, v_r, do_r, lse_r, d_r, sq_r, skv_r, dq_r, acc):
-            dq_base(
-                q_r, k_r, v_r, do_r, lse_r, d_r, dq_r, acc,
-                seg_refs=(sq_r, skv_r),
-            )
+        if packed:
+            def dq_kernel(
+                live_r, first_r, q_r, k_r, v_r, do_r, lse_r, d_r,
+                sq_r, skv_r, dq_r, acc,
+            ):
+                dq_base(
+                    q_r, k_r, v_r, do_r, lse_r, d_r, dq_r, acc,
+                    seg_refs=(sq_r, skv_r),
+                    seg_live_ref=live_r, seg_heads=num_q_heads,
+                )
+        else:
+            def dq_kernel(
+                q_r, k_r, v_r, do_r, lse_r, d_r, sq_r, skv_r, dq_r, acc
+            ):
+                dq_base(
+                    q_r, k_r, v_r, do_r, lse_r, d_r, dq_r, acc,
+                    seg_refs=(sq_r, skv_r),
+                )
 
-    dq = pl.pallas_call(
-        dq_kernel,
-        grid=(batch * num_q_heads // hb, num_q_blocks, num_kv_blocks),
-        in_specs=dq_in_specs,
-        out_specs=pl.BlockSpec(
-            (hb, block_q, d_pad), lambda bh, iq, ikv: (bh, iq, 0)
-        ),
-        out_shape=jax.ShapeDtypeStruct((batch * num_q_heads, q_pad, d_pad), q.dtype),
-        scratch_shapes=[pltpu.VMEM((hb, block_q, d_pad), jnp.float32)],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
-        ),
-        interpret=interpret,
-    )(*dq_inputs)
+    dq_out_spec = pl.BlockSpec(
+        (hb, block_q, d_pad), lambda bh, iq, ikv, *r: (bh, iq, 0)
+    )
+    dq_out_shape = jax.ShapeDtypeStruct(
+        (batch * num_q_heads, q_pad, d_pad), q.dtype
+    )
+    dq_grid = (batch * num_q_heads // hb, num_q_blocks, num_kv_blocks)
+    dq_scratch = [pltpu.VMEM((hb, block_q, d_pad), jnp.float32)]
+    dq_params = pltpu.CompilerParams(
+        dimension_semantics=("parallel", "parallel", "arbitrary"),
+    )
+    if packed:
+        dq = pl.pallas_call(
+            dq_kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=2,
+                grid=dq_grid,
+                in_specs=dq_in_specs,
+                out_specs=dq_out_spec,
+                scratch_shapes=dq_scratch,
+            ),
+            out_shape=dq_out_shape,
+            compiler_params=dq_params,
+            interpret=interpret,
+        )(seg_live, dq_first_live, *dq_inputs)
+    else:
+        dq = pl.pallas_call(
+            dq_kernel,
+            grid=dq_grid,
+            in_specs=dq_in_specs,
+            out_specs=dq_out_spec,
+            out_shape=dq_out_shape,
+            scratch_shapes=dq_scratch,
+            compiler_params=dq_params,
+            interpret=interpret,
+        )(*dq_inputs)
 
     # ---------------- dk / dv ----------------
     num_steps = group * num_q_blocks
@@ -1188,16 +1281,29 @@ def flash_attention_bwd(
             iq = jnp.minimum(iq, jnp.maximum(last_live, 0))
         return iq
 
+    def dkv_q_block(bkv, ikv, t, *refs):
+        # `refs` = (live, last_live) scalar-prefetch refs in packed mode:
+        # clamp q blocks after the kv block's last live document so the dead
+        # suffix re-issues no DMA (compute is gated in-kernel).
+        iq = q_block_index(ikv, t)
+        if packed:
+            iq = jnp.minimum(iq, refs[1][bkv // num_kv_heads, ikv])
+        return iq
+
     q_spec = pl.BlockSpec(
         (hb, block_q, d_pad),
-        lambda bkv, ikv, t: (q_index(bkv, t), q_block_index(ikv, t), 0),
+        lambda bkv, ikv, t, *r: (
+            q_index(bkv, t), dkv_q_block(bkv, ikv, t, *r), 0
+        ),
     )
     stat_spec = pl.BlockSpec(
         (hb, 1, block_q),
-        lambda bkv, ikv, t: (q_index(bkv, t), 0, q_block_index(ikv, t)),
+        lambda bkv, ikv, t, *r: (
+            q_index(bkv, t), 0, dkv_q_block(bkv, ikv, t, *r)
+        ),
     )
     kv_spec = pl.BlockSpec(
-        (hb, block_kv, d_pad), lambda bkv, ikv, t: (bkv, ikv, 0)
+        (hb, block_kv, d_pad), lambda bkv, ikv, t, *r: (bkv, ikv, 0)
     )
 
     dkv_base = functools.partial(
@@ -1226,43 +1332,75 @@ def flash_attention_bwd(
         dkv_in_specs += [
             pl.BlockSpec(
                 (1, 1, block_q),
-                lambda bkv, ikv, t: (
-                    bkv // num_kv_heads, 0, q_block_index(ikv, t)
+                lambda bkv, ikv, t, *r: (
+                    bkv // num_kv_heads, 0, dkv_q_block(bkv, ikv, t, *r)
                 ),
             ),
             pl.BlockSpec(
                 (1, 1, block_kv),
-                lambda bkv, ikv, t: (bkv // num_kv_heads, 0, ikv),
+                lambda bkv, ikv, t, *r: (bkv // num_kv_heads, 0, ikv),
             ),
         ]
         dkv_inputs += [seg_q, seg_kv]
 
-        def dkv_kernel(
-            q_r, k_r, v_r, do_r, lse_r, d_r, sq_r, skv_r, dk_r, dv_r, dks, dvs
-        ):
-            dkv_base(
-                q_r, k_r, v_r, do_r, lse_r, d_r, dk_r, dv_r, dks, dvs,
-                seg_refs=(sq_r, skv_r),
-            )
+        if packed:
+            def dkv_kernel(
+                live_r, last_r, q_r, k_r, v_r, do_r, lse_r, d_r,
+                sq_r, skv_r, dk_r, dv_r, dks, dvs,
+            ):
+                dkv_base(
+                    q_r, k_r, v_r, do_r, lse_r, d_r, dk_r, dv_r, dks, dvs,
+                    seg_refs=(sq_r, skv_r),
+                    seg_live_ref=live_r, seg_heads=num_kv_heads,
+                )
+        else:
+            def dkv_kernel(
+                q_r, k_r, v_r, do_r, lse_r, d_r, sq_r, skv_r,
+                dk_r, dv_r, dks, dvs,
+            ):
+                dkv_base(
+                    q_r, k_r, v_r, do_r, lse_r, d_r, dk_r, dv_r, dks, dvs,
+                    seg_refs=(sq_r, skv_r),
+                )
 
-    dk, dv = pl.pallas_call(
-        dkv_kernel,
-        grid=(batch * num_kv_heads // hb, num_kv_blocks, num_steps),
-        in_specs=dkv_in_specs,
-        out_specs=[kv_spec, kv_spec],
-        out_shape=[
-            jax.ShapeDtypeStruct((batch * num_kv_heads, kv_padded, d_pad), k.dtype),
-            jax.ShapeDtypeStruct((batch * num_kv_heads, kv_padded, d_pad), v.dtype),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((hb, block_kv, d_pad), jnp.float32),
-            pltpu.VMEM((hb, block_kv, d_pad), jnp.float32),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
-        ),
-        interpret=interpret,
-    )(*dkv_inputs)
+    dkv_grid = (batch * num_kv_heads // hb, num_kv_blocks, num_steps)
+    dkv_out_specs = [kv_spec, kv_spec]
+    dkv_out_shapes = [
+        jax.ShapeDtypeStruct((batch * num_kv_heads, kv_padded, d_pad), k.dtype),
+        jax.ShapeDtypeStruct((batch * num_kv_heads, kv_padded, d_pad), v.dtype),
+    ]
+    dkv_scratch = [
+        pltpu.VMEM((hb, block_kv, d_pad), jnp.float32),
+        pltpu.VMEM((hb, block_kv, d_pad), jnp.float32),
+    ]
+    dkv_params = pltpu.CompilerParams(
+        dimension_semantics=("parallel", "parallel", "arbitrary"),
+    )
+    if packed:
+        dk, dv = pl.pallas_call(
+            dkv_kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=2,
+                grid=dkv_grid,
+                in_specs=dkv_in_specs,
+                out_specs=dkv_out_specs,
+                scratch_shapes=dkv_scratch,
+            ),
+            out_shape=dkv_out_shapes,
+            compiler_params=dkv_params,
+            interpret=interpret,
+        )(seg_live, dkv_last_live, *dkv_inputs)
+    else:
+        dk, dv = pl.pallas_call(
+            dkv_kernel,
+            grid=dkv_grid,
+            in_specs=dkv_in_specs,
+            out_specs=dkv_out_specs,
+            out_shape=dkv_out_shapes,
+            scratch_shapes=dkv_scratch,
+            compiler_params=dkv_params,
+            interpret=interpret,
+        )(*dkv_inputs)
 
     dq = dq[:, :q_len, :head_dim].reshape(batch, num_q_heads, q_len, head_dim)
     dk = dk[:, :kv_len, :head_dim].reshape(batch, num_kv_heads, kv_len, head_dim)

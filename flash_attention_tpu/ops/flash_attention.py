@@ -76,6 +76,9 @@ def _fwd_kernel(
     softcap_out: float | None = None,
     subtile: int = 0,
     diag_subtile: int = 0,
+    packed: bool = False,
+    packed_hb: int = 1,
+    packed_heads: int = 1,
 ):
     # Decode/chunked-prefill convention: the last Q row aligns with the last
     # KV row (offset = kv_len - q_len, both true lengths).
@@ -83,15 +86,25 @@ def _fwd_kernel(
     if tri_refs is not None:
         # Triangular enumeration: grid axis 1 walks only LIVE (iq, ikv)
         # pairs; every step computes, init/epilogue come from prefetch flags.
+        # Packed mode (segment-aware block skipping): the enumeration is a
+        # RUNTIME per-batch-row [B, T] compaction — live steps first, the
+        # dead tail clamped to the last live pair (bit 8 = dead: no compute,
+        # no scratch/epilogue touch; the clamped index maps re-issue no DMA).
         iq_ref, ikv_ref, flags_ref = tri_refs
         t = pl.program_id(1)
-        iq = iq_ref[t]
-        ikv = ikv_ref[t]
-        flags = flags_ref[t]
+        if packed:
+            b = (pl.program_id(0) * packed_hb) // packed_heads
+            iq = iq_ref[b, t]
+            ikv = ikv_ref[b, t]
+            flags = flags_ref[b, t]
+        else:
+            iq = iq_ref[t]
+            ikv = ikv_ref[t]
+            flags = flags_ref[t]
         is_first = (flags & 1) != 0
         is_last = (flags & 2) != 0
         is_diag = (flags & 4) != 0
-        should_run = True
+        should_run = (flags & 8) == 0 if packed else True
     else:
         # Non-causal only: every causal call routes through the tri grid
         # (tri = causal in _fwd_impl), so every (iq, ikv) block here is live.
@@ -432,6 +445,61 @@ def _fwd_kernel(
             lse_ref[...] = jnp.broadcast_to(lse2, lse_ref.shape)
 
 
+def _packed_tri_enumeration(
+    seg_q, seg_kv, tri_iq, tri_ikv, tri_flags, *,
+    num_q_blocks, num_kv_blocks, block_q, block_kv,
+):
+    """Runtime per-batch-row compaction of the static causal enumeration.
+
+    seg_q/seg_kv: [B, 1, S_pad] padded segment ids; tri_*: the static [T]
+    iq-major causal enumeration. Returns [B, T] (iq, ikv, flags) where live
+    steps come first (stable order, so iq-major contiguity and kv order
+    survive), the dead tail repeats the last live pair (clamped index maps
+    re-issue no DMA), and flags carry bit1 = first-live / bit2 = last-live
+    per q block, bit8 = dead. Liveness is block id-RANGE intersection —
+    exact for standard contiguous packing, conservative (never wrongly
+    dead) for arbitrary ids, since a shared id must lie in both ranges.
+    Diagonal (bit2) steps are forced live so every q block keeps its
+    init/epilogue and fully-masked rows still take the l==0 -> zeros /
+    lse=-inf contract instead of skipping the write.
+    """
+    batch = seg_q.shape[0]
+    sq_blk = seg_q[:, 0, :].reshape(batch, num_q_blocks, block_q)
+    skv_blk = seg_kv[:, 0, :].reshape(batch, num_kv_blocks, block_kv)
+    qmin, qmax = sq_blk.min(-1), sq_blk.max(-1)  # [B, nq]
+    kmin, kmax = skv_blk.min(-1), skv_blk.max(-1)  # [B, nk]
+    live = jnp.logical_and(
+        qmin[:, tri_iq] <= kmax[:, tri_ikv],
+        kmin[:, tri_ikv] <= qmax[:, tri_iq],
+    )  # [B, T]
+    live = jnp.logical_or(live, ((tri_flags & 2) != 0)[None])
+    order = jnp.argsort(
+        jnp.logical_not(live).astype(jnp.int32), axis=1, stable=True
+    )
+    live2 = jnp.take_along_axis(live, order, 1)
+    iq2 = tri_iq[order]  # [B, T]
+    ikv2 = tri_ikv[order]
+    last_pos = (jnp.sum(live, axis=1, dtype=jnp.int32) - 1)[:, None]
+    iq2 = jnp.where(live2, iq2, jnp.take_along_axis(iq2, last_pos, 1))
+    ikv2 = jnp.where(live2, ikv2, jnp.take_along_axis(ikv2, last_pos, 1))
+    neg1 = jnp.full((batch, 1), -1, jnp.int32)
+    prev_iq = jnp.concatenate([neg1, iq2[:, :-1]], axis=1)
+    next_iq = jnp.concatenate([iq2[:, 1:], neg1], axis=1)
+    next_live = jnp.concatenate(
+        [live2[:, 1:], jnp.zeros((batch, 1), bool)], axis=1
+    )
+    first = jnp.logical_and(live2, iq2 != prev_iq)
+    last = jnp.logical_and(
+        live2, jnp.logical_or(iq2 != next_iq, jnp.logical_not(next_live))
+    )
+    flags2 = (
+        first.astype(jnp.int32)
+        + last.astype(jnp.int32) * 2
+        + jnp.logical_not(live2).astype(jnp.int32) * 8
+    )
+    return iq2, ikv2, flags2
+
+
 def _fwd_impl(
     q: jax.Array,
     k: jax.Array,
@@ -543,6 +611,7 @@ def _fwd_impl(
     # reference's grid-swap/reversed-Q causal balancing (flash_attention.cu:
     # 103-111), but stronger: the reference still launched the masked CTAs.
     tri = causal
+    packed_skip = False
     if tri:
         iq_list, ikv_list, flag_list = [], [], []
         for iq_i in range(num_q_blocks):
@@ -574,35 +643,103 @@ def _fwd_impl(
         tri_flags = jnp.asarray(flag_list, jnp.int32)
         num_steps = len(iq_list)
 
-        q_spec = pl.BlockSpec(
-            (hb, block_q, d_pad), lambda bh, t, iq_m, ikv_m, f_m: (bh, iq_m[t], 0)
-        )
-        k_spec = pl.BlockSpec(
-            (hb_kv, block_kv, d_pad),
-            # hb > 1 spans whole KV groups, so block index bh maps 1:1 onto
-            # the hb_kv-blocked KV array; only unbatched GQA needs the
-            # per-head mapping.
-            lambda bh, t, iq_m, ikv_m, f_m: (
-                (bh if hb > 1 or group == 1 else kv_head_index(bh)),
-                ikv_m[t],
-                0,
-            ),
-        )
-        o_spec = pl.BlockSpec(
-            (hb, block_q, d_pad), lambda bh, t, iq_m, ikv_m, f_m: (bh, iq_m[t], 0)
-        )
-        lse_spec = pl.BlockSpec(
-            (hb, block_q, lse_lanes),
-            lambda bh, t, iq_m, ikv_m, f_m: (bh, iq_m[t], 0),
-        )
-        seg_q_spec = pl.BlockSpec(
-            (1, 1, block_q),
-            lambda bh, t, iq_m, ikv_m, f_m: (batch_index(bh), 0, iq_m[t]),
-        )
-        seg_kv_spec = pl.BlockSpec(
-            (1, 1, block_kv),
-            lambda bh, t, iq_m, ikv_m, f_m: (batch_index(bh), 0, ikv_m[t]),
-        )
+        # Packed-sequence block skipping (splash-attention-class): with
+        # segment ids on a multi-block causal grid, most (iq, ikv) pairs are
+        # fully cross-document — provably all-masked. The static enumeration
+        # above is the worst case; here it becomes a RUNTIME per-batch-row
+        # [B, T] enumeration computed from the segment ids: live steps
+        # compacted to the front (stable, so iq-major contiguity and kv
+        # order survive), the dead tail clamped to the last live pair so its
+        # index maps re-issue no DMA, flag bit 8 marking it no-op. T stays
+        # the static worst case — ONE compile serves every packing layout.
+        # Liveness is block id-RANGE intersection: exact for standard
+        # contiguous packing, conservative (never wrongly dead) for
+        # arbitrary ids, since a common id would lie in both ranges.
+        # (num_steps > num_q_blocks also rules out every single-step /
+        # single-KV-block shape, where the kernel's plain-softmax branches
+        # bypass the flag machinery.)
+        packed_skip = segments is not None and num_steps > num_q_blocks
+        if packed_skip:
+            tri_iq, tri_ikv, tri_flags = _packed_tri_enumeration(
+                seg_q, seg_kv, tri_iq, tri_ikv, tri_flags,
+                num_q_blocks=num_q_blocks, num_kv_blocks=num_kv_blocks,
+                block_q=block_q, block_kv=block_kv,
+            )
+
+        if packed_skip:
+            # batch_index(bh) picks the row of the runtime enumeration (the
+            # segments hb step-down guarantees a head block never straddles
+            # two batch rows).
+            q_spec = pl.BlockSpec(
+                (hb, block_q, d_pad),
+                lambda bh, t, iq_m, ikv_m, f_m: (
+                    bh, iq_m[batch_index(bh), t], 0
+                ),
+            )
+            k_spec = pl.BlockSpec(
+                (hb_kv, block_kv, d_pad),
+                lambda bh, t, iq_m, ikv_m, f_m: (
+                    (bh if hb > 1 or group == 1 else kv_head_index(bh)),
+                    ikv_m[batch_index(bh), t],
+                    0,
+                ),
+            )
+            o_spec = pl.BlockSpec(
+                (hb, block_q, d_pad),
+                lambda bh, t, iq_m, ikv_m, f_m: (
+                    bh, iq_m[batch_index(bh), t], 0
+                ),
+            )
+            lse_spec = pl.BlockSpec(
+                (hb, block_q, lse_lanes),
+                lambda bh, t, iq_m, ikv_m, f_m: (
+                    bh, iq_m[batch_index(bh), t], 0
+                ),
+            )
+            seg_q_spec = pl.BlockSpec(
+                (1, 1, block_q),
+                lambda bh, t, iq_m, ikv_m, f_m: (
+                    batch_index(bh), 0, iq_m[batch_index(bh), t]
+                ),
+            )
+            seg_kv_spec = pl.BlockSpec(
+                (1, 1, block_kv),
+                lambda bh, t, iq_m, ikv_m, f_m: (
+                    batch_index(bh), 0, ikv_m[batch_index(bh), t]
+                ),
+            )
+        else:
+            q_spec = pl.BlockSpec(
+                (hb, block_q, d_pad),
+                lambda bh, t, iq_m, ikv_m, f_m: (bh, iq_m[t], 0),
+            )
+            k_spec = pl.BlockSpec(
+                (hb_kv, block_kv, d_pad),
+                # hb > 1 spans whole KV groups, so block index bh maps 1:1
+                # onto the hb_kv-blocked KV array; only unbatched GQA needs
+                # the per-head mapping.
+                lambda bh, t, iq_m, ikv_m, f_m: (
+                    (bh if hb > 1 or group == 1 else kv_head_index(bh)),
+                    ikv_m[t],
+                    0,
+                ),
+            )
+            o_spec = pl.BlockSpec(
+                (hb, block_q, d_pad),
+                lambda bh, t, iq_m, ikv_m, f_m: (bh, iq_m[t], 0),
+            )
+            lse_spec = pl.BlockSpec(
+                (hb, block_q, lse_lanes),
+                lambda bh, t, iq_m, ikv_m, f_m: (bh, iq_m[t], 0),
+            )
+            seg_q_spec = pl.BlockSpec(
+                (1, 1, block_q),
+                lambda bh, t, iq_m, ikv_m, f_m: (batch_index(bh), 0, iq_m[t]),
+            )
+            seg_kv_spec = pl.BlockSpec(
+                (1, 1, block_kv),
+                lambda bh, t, iq_m, ikv_m, f_m: (batch_index(bh), 0, ikv_m[t]),
+            )
         grid = (num_h_blocks, num_steps)
         dim_semantics = ("parallel", "arbitrary")
     else:
@@ -713,6 +850,9 @@ def _fwd_impl(
             softcap_out=None if softcap is None else softcap / sm_scale,
             subtile=subtile,
             diag_subtile=diag_subtile,
+            packed=packed_skip,
+            packed_hb=hb,
+            packed_heads=num_q_heads,
         )
 
     def make_wrapped(

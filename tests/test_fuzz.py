@@ -76,6 +76,17 @@ def run_case(c):
         k2: v2 for k2, v2 in kwargs.items()
     })
     assert_close(got, want, msg=f"fuzz case {c}")
+    if c["segments"] is not None and c["causal"] and c["q_len"] > 128:
+        # Force a multi-block grid so the packed block-skipping path (the
+        # runtime tri compaction) sees the same random layout — the default
+        # dispatch tiers at fuzz-sized seqs are single-superblock and never
+        # take it.
+        from flash_attention_tpu.ops.tuning import BlockSizes
+
+        got2 = flash_attention(
+            q, k, v, block_sizes=BlockSizes(128, 128), **kwargs
+        )
+        assert_close(got2, want, msg=f"fuzz packed-skip case {c}")
 
 
 @pytest.mark.parametrize("idx", range(24))

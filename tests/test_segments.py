@@ -194,6 +194,128 @@ def test_train_forward_packed_grads_finite():
         assert np.isfinite(np.asarray(leaf)).all()
 
 
+def test_packed_skip_multiblock_fwd_bwd():
+    """Packed block skipping (runtime tri compaction fwd, prefetch-gated bwd
+    grids): multi-block grids with per-batch-row layouts, doc boundaries
+    crossing block boundaries, vs the oracle — values AND gradients."""
+    q, k, v = make_qkv(41, 2, 2, 512, 128)
+    ids = np.zeros((2, 512), np.int32)
+    ids[0, 128:384] = 1
+    ids[0, 384:] = 2
+    ids[1, 300:] = 1  # boundary inside a block
+    seg = jnp.asarray(ids)
+    bs = BlockSizes(128, 128)
+    got = flash_attention(
+        q, k, v, causal=True, segment_ids=seg, block_sizes=bs
+    )
+    want = reference_attention(q, k, v, causal=True, segment_ids=seg)
+    assert_close(got, want)
+
+    w = jax.random.normal(jax.random.key(7), q.shape)
+
+    def f(q, k, v):
+        return jnp.sum(
+            flash_attention(
+                q, k, v, causal=True, segment_ids=seg,
+                block_sizes=bs, bwd_block_sizes=bs,
+            ).astype(jnp.float32) * w
+        )
+
+    def g(q, k, v):
+        return jnp.sum(
+            reference_attention(
+                q, k, v, causal=True, segment_ids=seg
+            ).astype(jnp.float32) * w
+        )
+
+    got_g = jax.grad(f, argnums=(0, 1, 2))(q, k, v)
+    want_g = jax.grad(g, argnums=(0, 1, 2))(q, k, v)
+    for name, a, b in zip("qkv", got_g, want_g):
+        err = float(
+            jnp.max(jnp.abs(a.astype(jnp.float32) - b.astype(jnp.float32)))
+        )
+        assert err < 0.1, f"d{name} max err {err}"
+
+
+def test_packed_skip_gqa_ragged():
+    """GQA + a seq that pads to the block grid (pad sentinels must read as
+    dead blocks, with the forced-live diagonal preserving the zero-output
+    contract for fully-masked rows)."""
+    q, k, v = make_qkv(42, 2, 4, 600, 128, num_kv_heads=2)
+    ids = np.zeros((2, 600), np.int32)
+    ids[0, 200:400] = 1
+    ids[0, 400:] = 2
+    ids[1, 450:] = 1
+    seg = jnp.asarray(ids)
+    bs = BlockSizes(128, 128, block_h=2)
+    got = flash_attention(
+        q, k, v, causal=True, segment_ids=seg, block_sizes=bs
+    )
+    want = reference_attention(q, k, v, causal=True, segment_ids=seg)
+    assert_close(got, want)
+
+
+def test_packed_skip_chunked_cross_lengths():
+    """q shorter than kv (chunked-prefill shape) with segment ids on both
+    sides still takes the skip path (single q block, multi kv block)."""
+    q, k, v = make_qkv(43, 1, 4, 256, 128, kv_seq=640)
+    sq = jnp.asarray(
+        np.concatenate([np.full(100, 7), np.full(156, 8)])[None].astype(
+            np.int32
+        )
+    )
+    skv = jnp.asarray(
+        np.concatenate(
+            [np.full(300, 6), np.full(184, 7), np.full(156, 8)]
+        )[None].astype(np.int32)
+    )
+    bs = BlockSizes(128, 128)
+    got = flash_attention(
+        q, k, v, causal=True, segment_ids=(sq, skv), block_sizes=bs
+    )
+    want = reference_attention(q, k, v, causal=True, segment_ids=(sq, skv))
+    assert_close(got, want)
+
+
+def test_packed_skip_enumeration_math():
+    """The runtime compaction invariants, checked directly on a hand-built
+    layout: live steps first and iq-major contiguous, dead tail clamped to
+    the last live pair, exactly one first/last flag per live q block, and
+    every truly-dead cross-doc pair excluded."""
+    from flash_attention_tpu.ops.flash_attention import (
+        _packed_tri_enumeration,
+    )
+
+    # Static causal enumeration for 4x4 blocks (iq-major), as _fwd_impl
+    # builds it: flags bit1 = first (ikv == 0), bit2 = last (diagonal).
+    iq_s, ikv_s, fl_s = [], [], []
+    for i in range(4):
+        for j in range(i + 1):
+            iq_s.append(i)
+            ikv_s.append(j)
+            fl_s.append((1 if j == 0 else 0) | (2 if j == i else 0))
+    seg = make_segments(1, 512, [256])[:, None, :]  # 2 docs of 2 blocks
+    iq2, ikv2, flags2 = _packed_tri_enumeration(
+        seg, seg,
+        jnp.asarray(iq_s, jnp.int32), jnp.asarray(ikv_s, jnp.int32),
+        jnp.asarray(fl_s, jnp.int32),
+        num_q_blocks=4, num_kv_blocks=4, block_q=128, block_kv=128,
+    )
+    iq, ikv, flags = np.asarray(iq2)[0], np.asarray(ikv2)[0], np.asarray(flags2)[0]
+    live = (flags & 8) == 0
+    # Static causal T=10; docs {0,1}x{2,3} kill blocks (2,0),(2,1),(3,0),(3,1)
+    # -> 6 live steps.
+    assert list(live) == [True] * 6 + [False] * 4
+    assert list(iq[live]) == [0, 1, 1, 2, 3, 3]
+    assert list(ikv[live]) == [0, 0, 1, 2, 2, 3]
+    # Dead tail clamps to the last live pair.
+    assert all(iq[~live] == 3) and all(ikv[~live] == 3)
+    # One first (bit 1) and one last (bit 2) per live q block, none dead.
+    assert list(flags[live] & 1) == [1, 1, 0, 1, 1, 0]
+    assert list(flags[live] & 2) == [2, 0, 2, 2, 0, 2]
+    assert all((flags[~live] & 3) == 0)
+
+
 @pytest.mark.parametrize("causal", [False, True])
 def test_grads_finite_on_dead_segment_rows(causal):
     """Q rows whose segment id appears nowhere in the KV ids are fully

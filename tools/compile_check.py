@@ -197,6 +197,53 @@ def part_feat():
         check(f"window+softcap grad seq={seq}", win_grad, q, k, v)
 
 
+def part_packed():
+    # Packed-sequence block skipping: the fwd's runtime [B, T] tri
+    # enumeration (argsort compaction feeding 2D scalar-prefetch index
+    # maps) and the bwd's prefetch-gated dense grids. Mosaic-lowering
+    # risks unique to this path: 2D SMEM reads inside index maps and
+    # kernels, prefetch args produced by argsort/take_along_axis.
+    for batch in (1, 2):
+        q, k, v = qkv_avals(batch, 32, 8192, 128)
+        seg = aval(batch, 8192, dtype=jnp.int32)
+        check(
+            f"packed fwd b={batch} seq=8192",
+            lambda q, k, v, s: flash_attention(
+                q, k, v, causal=True, segment_ids=s
+            ),
+            q, k, v, seg,
+        )
+
+    q, k, v = qkv_avals(2, 32, 8192, 128)
+    seg = aval(2, 8192, dtype=jnp.int32)
+
+    def packed_grad(q, k, v, s):
+        def loss(q, k, v):
+            return jnp.sum(
+                flash_attention(
+                    q, k, v, causal=True, segment_ids=s
+                ).astype(jnp.float32)
+            )
+
+        return jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+
+    check("packed grad b=2 seq=8192", packed_grad, q, k, v, seg)
+
+    qg, kg, vg = qkv_avals(2, 32, 8192, 128, kv_heads=8)
+
+    def packed_gqa_grad(q, k, v, s):
+        def loss(q, k, v):
+            return jnp.sum(
+                flash_attention(
+                    q, k, v, causal=True, segment_ids=s
+                ).astype(jnp.float32)
+            )
+
+        return jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+
+    check("packed gqa grad b=2 seq=8192", packed_gqa_grad, qg, kg, vg, seg)
+
+
 def part_d64():
     for seq in (1024, 4096):
         for causal in (False, True):
@@ -265,6 +312,7 @@ PARTS = {
     "bwd": part_bwd,
     "gqa": part_gqa,
     "feat": part_feat,
+    "packed": part_packed,
     "d64": part_d64,
     "decode": part_decode,
     "paged": part_paged,
