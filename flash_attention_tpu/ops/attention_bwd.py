@@ -171,16 +171,16 @@ def _bwd_dq_kernel(
                 should_run,
                 (ikv + 1) * block_kv - 1 > iq * block_q + diag_offset - window,
             )
-        if seg_live_ref is not None:
-            # Packed-sequence block skipping: fully cross-document blocks
-            # (disjoint segment-id ranges) contribute nothing — skip their
-            # five MMAs (the clamped index maps already skip their DMA).
-            b = pl.program_id(0) // seg_heads
-            should_run = jnp.logical_and(
-                should_run, seg_live_ref[b, iq, ikv] != 0
-            )
     else:
         should_run = True
+    if seg_live_ref is not None:
+        # Packed-sequence block skipping: fully cross-document blocks
+        # (disjoint segment-id ranges) contribute nothing — skip their
+        # five MMAs (the clamped index maps already skip their DMA).
+        b = pl.program_id(0) // seg_heads
+        should_run = jnp.logical_and(
+            should_run, seg_live_ref[b, iq, ikv] != 0
+        )
 
     def _dq_body(masked: bool):
         q = q_ref[...]
@@ -424,12 +424,6 @@ def _bwd_dkv_kernel(
         # The Q block overlaps the live (col <= row) region iff its LAST row
         # reaches the kv block's first column.
         should_run = (iq + 1) * block_q - 1 + diag_offset >= ikv * block_kv
-        if seg_live_ref is not None:
-            # Packed-sequence block skipping (see _bwd_dq_kernel).
-            b = pl.program_id(0) // seg_heads
-            should_run = jnp.logical_and(
-                should_run, seg_live_ref[b, iq, ikv] != 0
-            )
         if window is not None:
             # ... and its FIRST row must be within the window of the kv
             # block's last column (col > row - window for some pair).
@@ -439,6 +433,12 @@ def _bwd_dkv_kernel(
             )
     else:
         should_run = True
+    if seg_live_ref is not None:
+        # Packed-sequence block skipping (see _bwd_dq_kernel).
+        b = pl.program_id(0) // seg_heads
+        should_run = jnp.logical_and(
+            should_run, seg_live_ref[b, iq, ikv] != 0
+        )
 
     def _dkv_body(masked: bool):
         q = q_ref[...]
@@ -966,7 +966,7 @@ def flash_attention_bwd(
     # dense and static — one compile serves every packing layout; dead
     # steps cost only the ~sub-us grid-step overhead.
     packed = (
-        segments is not None and causal
+        segments is not None
         and (num_q_blocks > 1 or num_kv_blocks > 1)
     )
     if packed:
@@ -979,6 +979,10 @@ def flash_attention_bwd(
             kmin[:, None, :] <= qmax[:, :, None],
         ).astype(jnp.int32)  # [B, nq, nkv]
         dq_first_live = jnp.argmax(seg_live, axis=2).astype(jnp.int32)
+        dq_last_live = (
+            num_kv_blocks - 1 - jnp.argmax(seg_live[:, :, ::-1], axis=2)
+        ).astype(jnp.int32)  # [B, nq]
+        dkv_first_live = jnp.argmax(seg_live, axis=1).astype(jnp.int32)
         dkv_last_live = (
             num_q_blocks - 1 - jnp.argmax(seg_live[:, ::-1, :], axis=1)
         ).astype(jnp.int32)  # [B, nkv]
@@ -1143,12 +1147,13 @@ def flash_attention_bwd(
         diag_subtile=diag_subtile,
     )
     def dq_kv_block(bh, iq, ikv, *refs):
-        # `refs` = (live, first_live) scalar-prefetch refs in packed mode:
-        # clamp kv blocks before the q block's first live document so the
-        # dead prefix re-issues no DMA (compute is gated in-kernel).
+        # `refs` = (live, first, last) scalar-prefetch refs in packed mode:
+        # clamp kv blocks outside the q block's live-document band so the
+        # dead prefix/suffix re-issues no DMA (compute is gated in-kernel).
         idx = kv_block_index(iq, ikv)
         if packed:
-            idx = jnp.maximum(idx, refs[1][bh // num_q_heads, iq])
+            b = bh // num_q_heads
+            idx = jnp.clip(idx, refs[1][b, iq], refs[2][b, iq])
         return idx
 
     dq_in_specs = [
@@ -1197,7 +1202,7 @@ def flash_attention_bwd(
 
         if packed:
             def dq_kernel(
-                live_r, first_r, q_r, k_r, v_r, do_r, lse_r, d_r,
+                live_r, first_r, last_r, q_r, k_r, v_r, do_r, lse_r, d_r,
                 sq_r, skv_r, dq_r, acc,
             ):
                 dq_base(
@@ -1229,7 +1234,7 @@ def flash_attention_bwd(
         dq = pl.pallas_call(
             dq_kernel,
             grid_spec=pltpu.PrefetchScalarGridSpec(
-                num_scalar_prefetch=2,
+                num_scalar_prefetch=3,
                 grid=dq_grid,
                 in_specs=dq_in_specs,
                 out_specs=dq_out_spec,
@@ -1238,7 +1243,7 @@ def flash_attention_bwd(
             out_shape=dq_out_shape,
             compiler_params=dq_params,
             interpret=interpret,
-        )(seg_live, dq_first_live, *dq_inputs)
+        )(seg_live, dq_first_live, dq_last_live, *dq_inputs)
     else:
         dq = pl.pallas_call(
             dq_kernel,
@@ -1282,12 +1287,13 @@ def flash_attention_bwd(
         return iq
 
     def dkv_q_block(bkv, ikv, t, *refs):
-        # `refs` = (live, last_live) scalar-prefetch refs in packed mode:
-        # clamp q blocks after the kv block's last live document so the dead
-        # suffix re-issues no DMA (compute is gated in-kernel).
+        # `refs` = (live, first, last) scalar-prefetch refs in packed mode:
+        # clamp q blocks outside the kv block's live-document band so the
+        # dead prefix/suffix re-issues no DMA (compute is gated in-kernel).
         iq = q_block_index(ikv, t)
         if packed:
-            iq = jnp.minimum(iq, refs[1][bkv // num_kv_heads, ikv])
+            b = bkv // num_kv_heads
+            iq = jnp.clip(iq, refs[1][b, ikv], refs[2][b, ikv])
         return iq
 
     q_spec = pl.BlockSpec(
@@ -1345,7 +1351,7 @@ def flash_attention_bwd(
 
         if packed:
             def dkv_kernel(
-                live_r, last_r, q_r, k_r, v_r, do_r, lse_r, d_r,
+                live_r, first_r, last_r, q_r, k_r, v_r, do_r, lse_r, d_r,
                 sq_r, skv_r, dk_r, dv_r, dks, dvs,
             ):
                 dkv_base(
@@ -1380,7 +1386,7 @@ def flash_attention_bwd(
         dk, dv = pl.pallas_call(
             dkv_kernel,
             grid_spec=pltpu.PrefetchScalarGridSpec(
-                num_scalar_prefetch=2,
+                num_scalar_prefetch=3,
                 grid=dkv_grid,
                 in_specs=dkv_in_specs,
                 out_specs=dkv_out_specs,
@@ -1389,7 +1395,7 @@ def flash_attention_bwd(
             out_shape=dkv_out_shapes,
             compiler_params=dkv_params,
             interpret=interpret,
-        )(seg_live, dkv_last_live, *dkv_inputs)
+        )(seg_live, dkv_first_live, dkv_last_live, *dkv_inputs)
     else:
         dk, dv = pl.pallas_call(
             dkv_kernel,

@@ -79,6 +79,7 @@ def _fwd_kernel(
     packed: bool = False,
     packed_hb: int = 1,
     packed_heads: int = 1,
+    nc_live_ref=None,  # [B, nq, nkv] int32 liveness (non-causal packed)
 ):
     # Decode/chunked-prefill convention: the last Q row aligns with the last
     # KV row (offset = kv_len - q_len, both true lengths).
@@ -106,13 +107,23 @@ def _fwd_kernel(
         is_diag = (flags & 4) != 0
         should_run = (flags & 8) == 0 if packed else True
     else:
-        # Non-causal only: every causal call routes through the tri grid
-        # (tri = causal in _fwd_impl), so every (iq, ikv) block here is live.
+        # Non-causal: tri enumeration does not apply (every causal call
+        # routes through the tri grid above). With packed segments the dense
+        # (iq, ikv) walk is instead gated through a prefetched liveness
+        # table — dead cross-document blocks skip their MMAs, and the index
+        # maps clamp their DMA into the [first, last]-live band (the same
+        # pattern as the backward grids). Init/epilogue stay grid-position
+        # based, so fully-dead q blocks still write the l==0 -> zeros /
+        # lse=-inf contract.
         iq = pl.program_id(1)
         ikv = pl.program_id(2)
         is_first = ikv == 0
         is_last = ikv == num_kv_blocks - 1
-        should_run = True
+        if nc_live_ref is not None:
+            b = (pl.program_id(0) * packed_hb) // packed_heads
+            should_run = nc_live_ref[b, iq, ikv] != 0
+        else:
+            should_run = True
 
     if subtile:
         # Causal single-superblock sub-tiling: the whole (q, kv) problem is
@@ -743,27 +754,60 @@ def _fwd_impl(
         grid = (num_h_blocks, num_steps)
         dim_semantics = ("parallel", "arbitrary")
     else:
-        # Non-causal only (tri = causal, so every causal call takes the tri
-        # branch above): no blocks are ever masked out, every (iq, ikv) pair
-        # is live, and the index maps are plain.
-        q_spec = pl.BlockSpec((hb, block_q, d_pad), lambda bh, iq, ikv: (bh, iq, 0))
+        # Non-causal (tri = causal, so every causal call takes the tri
+        # branch above). Without segments every (iq, ikv) pair is live and
+        # the index maps are plain. With packed segments on a multi-KV-block
+        # grid the dense walk is gated through a prefetched liveness table
+        # (encoder-style packed batches): dead cross-document blocks skip
+        # their MMAs in-kernel, and the KV index maps clamp their DMA into
+        # the [first, last]-live band per (batch row, iq) — the same
+        # pattern as the backward grids.
+        packed_skip = segments is not None and num_kv_blocks > 1
+        if packed_skip:
+            sq_blk = seg_q[:, 0, :].reshape(batch, num_q_blocks, block_q)
+            skv_blk = seg_kv[:, 0, :].reshape(batch, num_kv_blocks, block_kv)
+            qmin, qmax = sq_blk.min(-1), sq_blk.max(-1)
+            kmin, kmax = skv_blk.min(-1), skv_blk.max(-1)
+            nc_live = jnp.logical_and(
+                qmin[:, :, None] <= kmax[:, None, :],
+                kmin[:, None, :] <= qmax[:, :, None],
+            ).astype(jnp.int32)  # [B, nq, nkv]
+            nc_first = jnp.argmax(nc_live, axis=2).astype(jnp.int32)
+            nc_last = (
+                num_kv_blocks - 1 - jnp.argmax(nc_live[:, :, ::-1], axis=2)
+            ).astype(jnp.int32)
+
+        def nc_kv_block(bh, iq, ikv, *refs):
+            if not packed_skip:
+                return ikv
+            b = batch_index(bh)
+            return jnp.clip(ikv, refs[1][b, iq], refs[2][b, iq])
+
+        q_spec = pl.BlockSpec(
+            (hb, block_q, d_pad), lambda bh, iq, ikv, *r: (bh, iq, 0)
+        )
         k_spec = pl.BlockSpec(
             (hb_kv, block_kv, d_pad),
-            lambda bh, iq, ikv: (
+            lambda bh, iq, ikv, *r: (
                 (bh if hb > 1 or group == 1 else kv_head_index(bh)),
-                ikv,
+                nc_kv_block(bh, iq, ikv, *r),
                 0,
             ),
         )
-        o_spec = pl.BlockSpec((hb, block_q, d_pad), lambda bh, iq, ikv: (bh, iq, 0))
+        o_spec = pl.BlockSpec(
+            (hb, block_q, d_pad), lambda bh, iq, ikv, *r: (bh, iq, 0)
+        )
         lse_spec = pl.BlockSpec(
-            (hb, block_q, lse_lanes), lambda bh, iq, ikv: (bh, iq, 0)
+            (hb, block_q, lse_lanes), lambda bh, iq, ikv, *r: (bh, iq, 0)
         )
         seg_q_spec = pl.BlockSpec(
-            (1, 1, block_q), lambda bh, iq, ikv: (batch_index(bh), 0, iq)
+            (1, 1, block_q), lambda bh, iq, ikv, *r: (batch_index(bh), 0, iq)
         )
         seg_kv_spec = pl.BlockSpec(
-            (1, 1, block_kv), lambda bh, iq, ikv: (batch_index(bh), 0, ikv)
+            (1, 1, block_kv),
+            lambda bh, iq, ikv, *r: (
+                batch_index(bh), 0, nc_kv_block(bh, iq, ikv, *r)
+            ),
         )
         grid = (num_h_blocks, num_q_blocks, num_kv_blocks)
         dim_semantics = ("parallel", "parallel", "arbitrary")
@@ -831,9 +875,10 @@ def _fwd_impl(
 
     kv_repeat = hb // hb_kv if hb_kv != hb else 1
 
-    def make_kernel(tri_refs):
+    def make_kernel(tri_refs, nc_live_ref=None):
         return functools.partial(
             _fwd_kernel,
+            nc_live_ref=nc_live_ref,
             causal=causal,
             scale2=sm_scale * LOG2E,
             q_len=q_len,
@@ -856,11 +901,15 @@ def _fwd_impl(
         )
 
     def make_wrapped(
-        tri_mode: bool, with_lse: bool, with_scratch: bool, with_segs: bool
+        tri_mode: bool, with_lse: bool, with_scratch: bool, with_segs: bool,
+        nc_packed: bool,
     ):
         def wrapped(*refs):
-            idx = 3 if tri_mode else 0
+            idx = 3 if (tri_mode or nc_packed) else 0
             tri_r = refs[:3] if tri_mode else None
+            # Non-causal packed: the 3 prefetch refs are (live, first, last);
+            # the kernel gates on live, the index maps use first/last.
+            nc_live = refs[0] if nc_packed else None
             q_r, k_r, v_r = refs[idx : idx + 3]
             idx += 3
             if with_segs:
@@ -873,11 +922,16 @@ def _fwd_impl(
             lse_r = refs[idx] if with_lse else None
             idx += 1 if with_lse else 0
             scr = refs[idx : idx + 3] if with_scratch else (None, None, None)
-            make_kernel(tri_r)(q_r, k_r, v_r, sq_r, skv_r, o_r, lse_r, *scr)
+            make_kernel(tri_r, nc_live)(
+                q_r, k_r, v_r, sq_r, skv_r, o_r, lse_r, *scr
+            )
 
         return wrapped
 
-    wrapped = make_wrapped(tri, save_residuals, not single, segments is not None)
+    nc_packed = (not tri) and packed_skip
+    wrapped = make_wrapped(
+        tri, save_residuals, not single, segments is not None, nc_packed
+    )
 
     # The single-block branches (subtile / single_step) never touch the
     # online-softmax state; skip allocating it (up to ~3 MB VMEM back).
@@ -914,6 +968,23 @@ def _fwd_impl(
             cost_estimate=cost,
             interpret=interpret,
         )(tri_iq, tri_ikv, tri_flags, *call_inputs)
+    elif nc_packed:
+        results = pl.pallas_call(
+            wrapped,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=3,
+                grid=grid,
+                in_specs=in_specs,
+                out_specs=out_specs,
+                scratch_shapes=scratch_shapes,
+            ),
+            out_shape=out_shapes,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=dim_semantics,
+            ),
+            cost_estimate=cost,
+            interpret=interpret,
+        )(nc_live, nc_first, nc_last, *call_inputs)
     else:
         results = pl.pallas_call(
             wrapped,

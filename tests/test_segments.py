@@ -277,6 +277,49 @@ def test_packed_skip_chunked_cross_lengths():
     assert_close(got, want)
 
 
+def test_packed_skip_noncausal():
+    """Non-causal (encoder-style) packed batches: the dense grid is gated
+    through the prefetched liveness table with [first, last]-band DMA
+    clamps — values, residuals, and gradients vs the oracle."""
+    q, k, v = make_qkv(45, 2, 2, 512, 128)
+    ids = np.zeros((2, 512), np.int32)
+    ids[0, 128:384] = 1
+    ids[0, 384:] = 2
+    ids[1, 300:] = 1
+    seg = jnp.asarray(ids)
+    bs = BlockSizes(128, 128)
+    got = flash_attention(
+        q, k, v, causal=False, segment_ids=seg, block_sizes=bs
+    )
+    want = reference_attention(q, k, v, causal=False, segment_ids=seg)
+    assert_close(got, want)
+
+    w = jax.random.normal(jax.random.key(9), q.shape)
+
+    def f(q, k, v):
+        return jnp.sum(
+            flash_attention(
+                q, k, v, causal=False, segment_ids=seg,
+                block_sizes=bs, bwd_block_sizes=bs,
+            ).astype(jnp.float32) * w
+        )
+
+    def g(q, k, v):
+        return jnp.sum(
+            reference_attention(
+                q, k, v, causal=False, segment_ids=seg
+            ).astype(jnp.float32) * w
+        )
+
+    got_g = jax.grad(f, argnums=(0, 1, 2))(q, k, v)
+    want_g = jax.grad(g, argnums=(0, 1, 2))(q, k, v)
+    for name, a, b in zip("qkv", got_g, want_g):
+        err = float(
+            jnp.max(jnp.abs(a.astype(jnp.float32) - b.astype(jnp.float32)))
+        )
+        assert err < 0.1, f"d{name} max err {err}"
+
+
 def test_packed_skip_enumeration_math():
     """The runtime compaction invariants, checked directly on a hand-built
     layout: live steps first and iq-major contiguous, dead tail clamped to

@@ -229,6 +229,14 @@ def part_packed():
 
     check("packed grad b=2 seq=8192", packed_grad, q, k, v, seg)
 
+    check(
+        "packed nc fwd b=2 seq=8192",
+        lambda q, k, v, s: flash_attention(
+            q, k, v, causal=False, segment_ids=s
+        ),
+        q, k, v, seg,
+    )
+
     qg, kg, vg = qkv_avals(2, 32, 8192, 128, kv_heads=8)
 
     def packed_gqa_grad(q, k, v, s):
