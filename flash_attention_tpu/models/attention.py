@@ -33,6 +33,11 @@ class AttentionConfig:
     dtype: str = "bfloat16"
     sliding_window: int | None = None  # Mistral-style local attention
     logit_softcap: float | None = None  # Gemma-style attn logit cap
+    # Rolling (ring-buffer) KV cache: with sliding_window set, allocate only
+    # ~window rows per slot and store position p at slot p % buffer —
+    # O(window) cache memory however long the context runs (Mistral's
+    # rolling cache). `lengths` then counts TOTAL positions written.
+    rolling: bool = False
 
     @property
     def jnp_dtype(self):
@@ -71,12 +76,30 @@ def init_attention_params(key, cfg: AttentionConfig):
     }
 
 
-def init_kv_cache(cfg: AttentionConfig, batch: int, max_seq: int) -> KVCache:
+def rolling_buffer_len(cfg: AttentionConfig, max_seq: int, prefill_chunk: int = 0) -> int:
+    """Ring-buffer rows per slot: the window plus one prefill chunk of
+    slack (a chunk of T rows overwrites slots T behind the write head, so
+    the buffer must hold window + T rows for the chunk's own lookback),
+    128-aligned, capped at the logical context."""
+    need = cfg.sliding_window + max(prefill_chunk, 1)
+    return min(max_seq, -(-need // 128) * 128)
+
+
+def init_kv_cache(
+    cfg: AttentionConfig, batch: int, max_seq: int, *, prefill_chunk: int = 0
+) -> KVCache:
     from flash_attention_tpu.ops.quant import payload_dtype
 
+    if cfg.rolling and cfg.sliding_window is None:
+        raise ValueError("rolling cache requires sliding_window")
+    buf = (
+        rolling_buffer_len(cfg, max_seq, prefill_chunk)
+        if cfg.rolling else max_seq
+    )
     payload = payload_dtype(cfg.kv_quant) or cfg.jnp_dtype
     quant = cfg.kv_quant != "none"
-    shape = (batch, cfg.num_kv_heads, max_seq, cfg.head_dim)
+    shape = (batch, cfg.num_kv_heads, buf, cfg.head_dim)
+    max_seq = buf
     return KVCache(
         k=jnp.zeros(shape, payload),
         v=jnp.zeros(shape, payload),
@@ -109,15 +132,39 @@ def write_cache(cfg: AttentionConfig, cache: KVCache, k_new, v_new, start_positi
     vq, vs = _quantize_for_cache(cfg, v_new)
     t = k_new.shape[2]
     max_seq = cache.k.shape[2]
+    batch_idx = jnp.arange(k_new.shape[0])
 
-    if t == 1:
-        batch_idx = jnp.arange(k_new.shape[0])
+    if cfg.rolling:
+        # Ring buffer: position p lives at slot p % buffer; lengths count
+        # TOTAL positions (no capacity clamp — old rows roll out of the
+        # window instead of new writes dropping). A write longer than the
+        # buffer keeps only its LAST buffer-many rows (earlier ones would
+        # alias the same slots).
+        keep = min(t, max_seq)
+        if keep != t:
+            kq, vq = kq[:, :, t - keep :], vq[:, :, t - keep :]
+            if ks is not None:
+                ks, vs = ks[:, :, t - keep :], vs[:, :, t - keep :]
+        pos = (
+            start_positions[:, None] + (t - keep) + jnp.arange(keep)[None]
+        ) % max_seq  # [B, keep]
+
+        def upd(buf, new):
+            # new: [B, H, keep, *] -> scatter rows at per-batch slots.
+            return buf.at[batch_idx[:, None], :, pos, :].set(
+                jnp.swapaxes(new, 1, 2).astype(buf.dtype)
+            )
+
+        new_lengths = start_positions + t
+    elif t == 1:
 
         def upd(buf, new):
             # start == max_seq is out of bounds -> dropped (not clamped).
             return buf.at[batch_idx, :, start_positions, :].set(
                 new[:, :, 0, :].astype(buf.dtype), mode="drop"
             )
+
+        new_lengths = jnp.minimum(start_positions + t, max_seq)
     else:
 
         def upd(buf, new):
@@ -125,10 +172,12 @@ def write_cache(cfg: AttentionConfig, cache: KVCache, k_new, v_new, start_positi
                 return jax.lax.dynamic_update_slice(buf_b, new_b.astype(buf_b.dtype), (0, pos, 0))
             return jax.vmap(one)(buf, new, start_positions)
 
+        new_lengths = jnp.minimum(start_positions + t, max_seq)
+
     cache = cache._replace(
         k=upd(cache.k, kq),
         v=upd(cache.v, vq),
-        lengths=jnp.minimum(start_positions + t, max_seq),
+        lengths=new_lengths,
     )
     if cache.k_scales is not None:
         cache = cache._replace(
@@ -257,40 +306,90 @@ def attention_prefill_chunk(
     slot = jnp.asarray(slot, jnp.int32)
     start = jnp.asarray(start, jnp.int32)
     new_len = (start + t).astype(cache.lengths.dtype)
-    cache = cache._replace(
-        k=jax.lax.dynamic_update_slice(
-            cache.k, kq.astype(cache.k.dtype), (slot, 0, start, 0)
-        ),
-        v=jax.lax.dynamic_update_slice(
-            cache.v, vq.astype(cache.v.dtype), (slot, 0, start, 0)
-        ),
-        lengths=jax.lax.dynamic_update_slice(
-            cache.lengths, new_len[None], (slot,)
-        ),
-    )
-    if cache.k_scales is not None:
+    w_buf = cache.k.shape[2]
+    if cfg.rolling:
+        # Ring write: the chunk's rows land at their positions mod the
+        # buffer (a chunk may wrap the boundary, so scatter, not a slice).
+        if w_buf < cfg.sliding_window + t:
+            raise ValueError(
+                f"rolling buffer ({w_buf}) must hold window "
+                f"({cfg.sliding_window}) + chunk ({t}) rows — init the "
+                "cache with prefill_chunk set"
+            )
+        pos = (start + jnp.arange(t)) % w_buf  # [t]
+
+        def ring_upd(buf, new):
+            # new: [1, H, t, *] -> rows scattered at the slot's ring slots.
+            return buf.at[slot, :, pos, :].set(
+                jnp.swapaxes(new[0], 0, 1).astype(buf.dtype)
+            )
+
         cache = cache._replace(
-            k_scales=jax.lax.dynamic_update_slice(
-                cache.k_scales, ks, (slot, 0, start, 0)
-            ),
-            v_scales=jax.lax.dynamic_update_slice(
-                cache.v_scales, vs, (slot, 0, start, 0)
+            k=ring_upd(cache.k, kq),
+            v=ring_upd(cache.v, vq),
+            lengths=jax.lax.dynamic_update_slice(
+                cache.lengths, new_len[None], (slot,)
             ),
         )
+        if cache.k_scales is not None:
+            cache = cache._replace(
+                k_scales=ring_upd(cache.k_scales, ks),
+                v_scales=ring_upd(cache.v_scales, vs),
+            )
+    else:
+        cache = cache._replace(
+            k=jax.lax.dynamic_update_slice(
+                cache.k, kq.astype(cache.k.dtype), (slot, 0, start, 0)
+            ),
+            v=jax.lax.dynamic_update_slice(
+                cache.v, vq.astype(cache.v.dtype), (slot, 0, start, 0)
+            ),
+            lengths=jax.lax.dynamic_update_slice(
+                cache.lengths, new_len[None], (slot,)
+            ),
+        )
+        if cache.k_scales is not None:
+            cache = cache._replace(
+                k_scales=jax.lax.dynamic_update_slice(
+                    cache.k_scales, ks, (slot, 0, start, 0)
+                ),
+                v_scales=jax.lax.dynamic_update_slice(
+                    cache.v_scales, vs, (slot, 0, start, 0)
+                ),
+            )
 
     hkv, d = cache.k.shape[1], cache.k.shape[3]
 
-    def visible(buf, scales):
-        vis = jax.lax.dynamic_slice(buf, (slot, 0, 0, 0), (1, hkv, kv_end, d))
-        if scales is None:
-            return vis
-        # Quantized cache: dequantize the visible slice in-graph (one XLA
-        # pass; chunk attention is compute-bound so the widen is cheap
-        # relative to the TxS matmuls it feeds).
-        sc = jax.lax.dynamic_slice(
-            scales, (slot, 0, 0, 0), (1, hkv, kv_end, 1)
-        )
-        return (vis.astype(jnp.float32) * sc).astype(cfg.jnp_dtype)
+    if cfg.rolling:
+        # Visible window for the chunk: only the last min(kv_end, window+T)
+        # positions matter (the chunk's first row looks back `window`).
+        # Gather them in POSITION ORDER from the ring slots so the kernel
+        # sees an ordered, end-aligned KV slice.
+        g = min(kv_end, cfg.sliding_window + t)
+        gpos = ((kv_end - g) + jnp.arange(g)) % w_buf  # [g]
+
+        def visible(buf, scales):
+            vis = buf[slot, :, gpos, :]  # [g, hkv, d] (adv-index axis first)
+            vis = jnp.swapaxes(vis, 0, 1)[None]  # [1, hkv, g, d]
+            if scales is None:
+                return vis
+            sc = jnp.swapaxes(scales[slot, :, gpos, :], 0, 1)[None]
+            return (vis.astype(jnp.float32) * sc).astype(cfg.jnp_dtype)
+    else:
+
+        def visible(buf, scales):
+            vis = jax.lax.dynamic_slice(
+                buf, (slot, 0, 0, 0), (1, hkv, kv_end, d)
+            )
+            if scales is None:
+                return vis
+            # Quantized cache: dequantize the visible slice in-graph (one
+            # XLA pass; chunk attention is compute-bound so the widen is
+            # cheap relative to the TxS matmuls it feeds).
+            sc = jax.lax.dynamic_slice(
+                scales, (slot, 0, 0, 0), (1, hkv, kv_end, 1)
+            )
+            return (vis.astype(jnp.float32) * sc).astype(cfg.jnp_dtype)
 
     k_vis = visible(cache.k, cache.k_scales)
     v_vis = visible(cache.v, cache.v_scales)
@@ -411,5 +510,6 @@ def attention_decode(
         q[:, :, 0, :], cache.k_view(), cache.v_view(), cache.lengths,
         block_kv=block_kv,
         sliding_window=cfg.sliding_window, logit_softcap=cfg.logit_softcap,
+        ring_buffer=cfg.rolling,
     )
     return _output_proj_decode(params, o, x.dtype), cache

@@ -44,6 +44,7 @@ class ModelConfig:
     dtype: str = "bfloat16"
     sliding_window: int | None = None
     logit_softcap: float | None = None
+    rolling: bool = False  # O(window) ring-buffer KV cache (needs sliding_window)
 
     @property
     def jnp_dtype(self):
@@ -60,6 +61,7 @@ class ModelConfig:
             dtype=self.dtype,
             sliding_window=self.sliding_window,
             logit_softcap=self.logit_softcap,
+            rolling=self.rolling,
         )
 
     @staticmethod
@@ -118,9 +120,14 @@ def init_model_params(key, cfg: ModelConfig):
     }
 
 
-def init_caches(cfg: ModelConfig, batch: int, max_seq: int) -> list:
+def init_caches(
+    cfg: ModelConfig, batch: int, max_seq: int, *, prefill_chunk: int = 0
+) -> list:
     acfg = cfg.attention_config()
-    return [init_kv_cache(acfg, batch, max_seq) for _ in range(cfg.num_layers)]
+    return [
+        init_kv_cache(acfg, batch, max_seq, prefill_chunk=prefill_chunk)
+        for _ in range(cfg.num_layers)
+    ]
 
 
 def _trunk(params, cfg: ModelConfig, tokens: jax.Array, attn_fn, caches=None):

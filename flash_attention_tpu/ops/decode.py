@@ -74,6 +74,7 @@ def _decode_kernel(
     window: int | None = None,
     softcap_in: float | None = None,
     softcap_out: float | None = None,
+    ring_buf: int = 0,
 ):
     b = pl.program_id(0)
     ikv = pl.program_id(2)
@@ -85,7 +86,14 @@ def _decode_kernel(
         l_scr[...] = jnp.zeros_like(l_scr)
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
-    if window is None:
+    if ring_buf:
+        # Rolling (ring-buffer) cache: the buffer holds the LAST
+        # min(length, ring_buf) positions at slot p % ring_buf; `length`
+        # counts total positions written (it exceeds the buffer). All
+        # occupied slots are candidates — per-slot positions are
+        # reconstructed in the mask below.
+        live = ikv * block_kv < jnp.minimum(length, ring_buf)
+    elif window is None:
         live = ikv * block_kv < length
     else:
         live = jnp.logical_and(
@@ -140,9 +148,20 @@ def _decode_kernel(
                 col = ikv * block_kv + packed_pos(w, h, packed_order)
             else:
                 col = ikv * block_kv + w
-            ok = col < length
-            if window is not None:
-                ok = jnp.logical_and(ok, col >= length - window)
+            if ring_buf:
+                # Slot col holds the largest position p < length with
+                # p == col (mod ring_buf), i.e. length-1 - ((length-1-col)
+                # mod ring_buf). Empty slots (length <= ring_buf, col >=
+                # length) come out negative and fail the window bound
+                # below. Attention is permutation-invariant and keys carry
+                # RoPE applied at write time, so masking by reconstructed
+                # position is all a ring layout needs.
+                pos = length - 1 - jnp.remainder(length - 1 - col, ring_buf)
+                ok = pos >= jnp.maximum(0, length - window)
+            else:
+                ok = col < length
+                if window is not None:
+                    ok = jnp.logical_and(ok, col >= length - window)
             s_halves[h] = jnp.where(ok, s, MASK_VALUE)
 
         m_prev = m_scr[...]
@@ -239,6 +258,7 @@ def should_split_decode(
     static_argnames=(
         "sm_scale", "block_kv", "save_residuals", "interpret",
         "sliding_window", "logit_softcap", "auto_split", "d64_unpadded",
+        "ring_buffer",
     ),
 )
 def decode_attention(
@@ -255,6 +275,7 @@ def decode_attention(
     logit_softcap: float | None = None,
     auto_split: bool = False,
     d64_unpadded: bool = False,
+    ring_buffer: bool = False,
 ):
     """Single-token decode attention over a KV cache.
 
@@ -279,6 +300,14 @@ def decode_attention(
         cache is jnp.pad-copied to 128 wide EVERY decode step — for a
         multi-GiB cache the copy, not the kernel, is the step time. Off by
         default pending on-chip validation of the Mosaic layout.
+      ring_buffer: the cache is a ROLLING buffer (Mistral-class local
+        attention): position p lives at slot p % max_seq and `lengths`
+        counts TOTAL positions written (it may exceed max_seq). Requires
+        sliding_window <= max_seq (the buffer must hold the whole window)
+        and a 128-multiple max_seq. Keys carry RoPE applied at write time
+        and attention is permutation-invariant, so the kernel only remaps
+        the mask positions — memory stays O(window) however long the
+        sequence runs.
 
     Returns:
       [batch, q_heads, head_dim] output (q.dtype), plus LSE if requested.
@@ -289,8 +318,20 @@ def decode_attention(
     batch, num_q_heads, head_dim = q.shape
     _, num_kv_heads, max_seq, _ = k_vals.shape
 
+    if ring_buffer:
+        if sliding_window is None:
+            raise ValueError("ring_buffer requires sliding_window")
+        if max_seq % 128:
+            raise ValueError(
+                f"ring_buffer requires a 128-multiple buffer, got {max_seq}"
+            )
+        if sliding_window > max_seq:
+            raise ValueError(
+                f"ring buffer ({max_seq}) must hold the whole window "
+                f"({sliding_window})"
+            )
     if (
-        auto_split and not save_residuals
+        auto_split and not save_residuals and not ring_buffer
         and sliding_window is None and logit_softcap is None
     ):
         probe_kv = block_kv or select_decode_block_sizes(max_seq).block_kv
@@ -395,14 +436,19 @@ def decode_attention(
         v_scale_list = ()
 
     def last_live(b, lengths_ref):
-        return jnp.maximum(pl.cdiv(lengths_ref[b], block_kv) - 1, 0)
+        n = lengths_ref[b]
+        if ring_buffer:
+            # Occupied slots are [0, min(length, buffer)) — once wrapped,
+            # every slot is live (positions are remapped in the mask).
+            n = jnp.minimum(n, max_seq)
+        return jnp.maximum(pl.cdiv(n, block_kv) - 1, 0)
 
     def live_index(b, ikv, lengths_ref):
         # Clamp into the live range so fully-masked blocks repeat a live
         # index and issue no DMA: above the length (all modes) and below the
         # sliding window (local attention reads only ~window rows).
         idx = jnp.minimum(ikv, last_live(b, lengths_ref))
-        if sliding_window is not None:
+        if sliding_window is not None and not ring_buffer:
             lo = jnp.maximum(lengths_ref[b] - sliding_window, 0) // block_kv
             idx = jnp.maximum(idx, lo)
         return idx
@@ -474,6 +520,7 @@ def decode_attention(
             window=sliding_window,
             softcap_in=None if logit_softcap is None else sm_scale / logit_softcap,
             softcap_out=None if logit_softcap is None else logit_softcap / sm_scale,
+            ring_buf=max_seq if ring_buffer else 0,
         )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(

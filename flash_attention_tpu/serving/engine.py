@@ -108,7 +108,7 @@ class ServingEngine:
         self.eos_id = eos_id
         self.chunk = min(prefill_chunk, max_seq)
         self.sched = ContinuousBatchScheduler(max_slots, max_seq)
-        caches = init_caches(cfg, max_slots, max_seq)
+        caches = init_caches(cfg, max_slots, max_seq, prefill_chunk=self.chunk)
         if shard_caches is not None:
             caches = shard_caches(caches)
         self.caches = caches

@@ -276,6 +276,24 @@ def part_decode():
             lambda q, kq, vq, l: decode_attention(q, kq, vq, l),
             q1, kq, kq, lengths,
         )
+    # Rolling (ring-buffer) cache: Mistral-class W=4096 window in a
+    # 5120-row buffer — the remainder-remapped mask is new VPU work.
+    kr = aval(b, hkv, 5120, d)
+    check(
+        "decode ring w=4096 buf=5120",
+        lambda q, k, v, l: decode_attention(
+            q, k, v, l, sliding_window=4096, ring_buffer=True
+        ),
+        q1, kr, kr, lengths,
+    )
+    krq = quant_aval(b, hkv, 5120, d, "int8")
+    check(
+        "decode ring int8 w=4096 buf=5120",
+        lambda q, kq, vq, l: decode_attention(
+            q, kq, vq, l, sliding_window=4096, ring_buffer=True
+        ),
+        q1, krq, krq, lengths,
+    )
     # Odd cache length: block_kv must divide the padded length.
     k2 = aval(b, hkv, 6144, d)
     check(
