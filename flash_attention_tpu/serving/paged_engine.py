@@ -172,15 +172,33 @@ class PagedServingEngine:
 
     # ------------------------------------------------------------------
     def _admit_one(self, req: Request, slot: int) -> bool:
-        """Acquire the slot's page budget; False if the pool is exhausted."""
-        n_pages = -(-(len(req.prompt) + req.max_new_tokens) // self.page_size)
-        n_pages = min(n_pages, self.pages_per_slot)
-        pages = self.alloc.acquire(n_pages)
+        """Acquire the slot's page budget; False if the pool is exhausted.
+
+        Sliding-window models get a PAGED RING: the slot owns only
+        ceil((window + chunk) / page) + 2 physical pages and the table maps
+        logical page lp to pages[lp % n] for the request's whole logical
+        range — O(window) KV memory however long the context. No runtime
+        maintenance is needed: the kernels mask by POSITION (table-
+        independent), so a logical page that rolled out of the window
+        aliasing the physical page now holding newer rows is never scored,
+        and writes land exactly where the next window needs them. The live
+        span (window + one prefill chunk + page straddle) always fits the
+        ring by construction.
+        """
+        n_logical = -(-(len(req.prompt) + req.max_new_tokens) // self.page_size)
+        n_logical = min(n_logical, self.pages_per_slot)
+        window = self.cfg.sliding_window
+        n_phys = n_logical
+        if window is not None:
+            ring = -(-(window + self.chunk) // self.page_size) + 2
+            n_phys = min(n_logical, ring)
+        pages = self.alloc.acquire(n_phys)
         if pages is None:
             return False
         self.slot_pages[slot] = pages
         row = np.zeros((self.pages_per_slot,), np.int32)  # rest -> dump page
-        row[: len(pages)] = pages
+        for lp in range(n_logical):
+            row[lp] = pages[lp % n_phys]
         self.caches = self._set_slot_table(
             jnp.asarray(row), self.caches, jnp.int32(slot)
         )

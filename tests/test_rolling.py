@@ -163,6 +163,44 @@ def test_rolling_chunked_prefill_matches_dense():
         )
 
 
+def test_paged_ring_window_engine():
+    """Paged engine sliding-window ring: a window request owns only
+    ceil((window+chunk)/page)+2 physical pages with a modular page table —
+    the pool below admits a request the full-budget scheme could NOT
+    (6 logical pages, 4 physical), and tokens match the dense engine."""
+    from flash_attention_tpu.models.transformer import (
+        ModelConfig, init_model_params,
+    )
+    from flash_attention_tpu.serving.engine import Request, ServingEngine
+    from flash_attention_tpu.serving.paged_engine import PagedServingEngine
+
+    W = 128
+    cfg = ModelConfig(
+        vocab_size=128, model_dim=128, num_layers=2, num_q_heads=4,
+        num_kv_heads=2, head_dim=32, mlp_dim=256, dtype="float32",
+        sliding_window=W,
+    )
+    params = init_model_params(jax.random.key(5), cfg)
+    rng = np.random.RandomState(11)
+    req = lambda: [Request(
+        id=1, prompt=tuple(int(t) for t in rng.randint(0, 128, size=700)),
+        max_new_tokens=40,
+    )]
+    r0 = req()
+    dense = ServingEngine(params, cfg, max_slots=1, max_seq=1024)
+    want = dense.run(r0)
+
+    # ring budget = ceil((128+128)/128)+2 = 4 phys pages; logical need = 6.
+    paged = PagedServingEngine(
+        params, cfg, max_slots=1, num_pages=5, pages_per_slot=8,
+        page_size=128, prefill_chunk=128,
+    )
+    got = paged.run(r0)
+    assert len(paged.slot_pages) == 0  # released
+    assert paged.alloc.free_count == 4
+    assert list(got[1].tokens) == list(want[1].tokens)
+
+
 def test_rolling_engine_tokens_match_dense():
     """End-to-end: ServingEngine with a rolling cache emits token-identical
     output to the dense-cache engine (greedy sampling), while allocating a
