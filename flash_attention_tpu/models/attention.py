@@ -441,21 +441,24 @@ def attention_prefill_chunk_paged(
     paged_cache = paged_write_prefill(
         paged_cache, k[0], v[0], slot, jnp.asarray(start) + t, start=start
     )
-    if cfg.sliding_window is None and t % 128 == 0:
+    if t % 128 == 0:
         # In-place paged chunk attention: pages stream through the kernel's
         # scalar-prefetch page table, so chunk c moves O(visible pages) HBM
-        # bytes instead of re-densifying the whole O(c·chunk) prefix.
+        # bytes instead of re-densifying the whole O(c·chunk) prefix. With
+        # a sliding window the page walk is band-limited (O(window + chunk)
+        # pages) — which also makes it the REQUIRED path over the paged
+        # ring, whose rolled-out logical pages alias newer physical pages
+        # outside the band.
         from flash_attention_tpu.ops.paged import paged_prefill_attention
 
         o = paged_prefill_attention(
             q, paged_cache, slot, jnp.asarray(start) + t, chunk_len=t,
             logit_softcap=cfg.logit_softcap,
+            sliding_window=cfg.sliding_window,
         )
     else:
-        # Sliding window keeps the dense-gather path (the window bound is
-        # already a small visible range; gather cost is proportional to it).
         # Chunks that are a page multiple but NOT a 128 multiple (small
-        # page_size configs) also gather: the in-place kernel's Q grid
+        # page_size configs) gather densely: the in-place kernel's Q grid
         # requires 128-aligned chunks.
         k_vis, v_vis = paged_gather_kv(
             paged_cache, slot, kv_end, dtype=cfg.jnp_dtype

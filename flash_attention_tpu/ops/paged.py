@@ -287,6 +287,7 @@ def _paged_prefill_kernel(
     fanout: int,
     block_q: int,
     chunk_len: int,
+    window: int | None = None,
     softcap_in: float | None = None,
     softcap_out: float | None = None,
 ):
@@ -296,11 +297,15 @@ def _paged_prefill_kernel(
     chunk's Q rows. The chunk's rows sit at positions
     [kv_end - chunk_len, kv_end); causal masking uses that diag offset, and
     pages entirely above a row block's diagonal are skipped (their index
-    maps clamp, so they issue no DMA). This replaces the per-chunk dense
-    gather (paged_gather_kv): chunk c no longer re-materializes its whole
-    O(c·chunk) visible prefix in HBM — the pages stream straight into the
-    online-softmax loop, so per-chunk HBM traffic is the pages read once,
-    not gather-out + kernel-in.
+    maps clamp, so they issue no DMA). With a sliding window, pages
+    entirely BELOW the row block's window band are skipped the same way —
+    per-chunk traffic is O(window + chunk) pages, which also makes the
+    kernel safe over the paged RING (rolled-out logical pages alias newer
+    physical pages but sit below the band and are never touched). This
+    replaces the per-chunk dense gather (paged_gather_kv): chunk c no
+    longer re-materializes its whole O(c·chunk) visible prefix in HBM —
+    the pages stream straight into the online-softmax loop, so per-chunk
+    HBM traffic is the pages read once, not gather-out + kernel-in.
     """
     iq = pl.program_id(2)
     ip = pl.program_id(3)
@@ -316,9 +321,15 @@ def _paged_prefill_kernel(
     q = q_ref[0, 0]  # [block_q, D]
     # Last position visible to this row block (its final row's diagonal).
     row_hi = chunk_start + (iq + 1) * block_q - 1
+    # First row's position (the block's earliest window bound).
+    row_lo = chunk_start + iq * block_q
     for j in range(fanout):
         pj = ip * fanout + j
         live = pj * page_size <= row_hi
+        if window is not None:
+            live = jnp.logical_and(
+                live, (pj + 1) * page_size > row_lo + 1 - window
+            )
         if pages_per_slot % fanout:
             live = jnp.logical_and(live, pj < pages_per_slot)
 
@@ -349,7 +360,10 @@ def _paged_prefill_kernel(
                 + chunk_start
                 + iq * block_q
             )
-            s = jnp.where(col <= row, s, MASK_VALUE)
+            ok = col <= row
+            if window is not None:
+                ok = jnp.logical_and(ok, col > row - window)
+            s = jnp.where(ok, s, MASK_VALUE)
 
             m_prev = m_scr[...]
             l_prev = l_scr[...]
@@ -386,7 +400,7 @@ def _paged_prefill_kernel(
     jax.jit,
     static_argnames=(
         "chunk_len", "sm_scale", "block_q", "interpret", "logit_softcap",
-        "d64_unpadded",
+        "d64_unpadded", "sliding_window",
     ),
 )
 def _paged_prefill_attention_jit(
@@ -401,6 +415,7 @@ def _paged_prefill_attention_jit(
     interpret: bool | None = None,
     logit_softcap: float | None = None,
     d64_unpadded: bool = False,
+    sliding_window: int | None = None,
 ):
     """Causal chunk attention over a slot's paged KV, pages read in place.
 
@@ -484,12 +499,19 @@ def _paged_prefill_attention_jit(
         def kv_map(h, g, iq, ip, length_ref, table_ref):
             kv_end_ = length_ref[0]
             chunk_start = kv_end_ - chunk_len
-            # Clamp to the last live page for this row block: fully-masked
-            # pages repeat a live index and issue no DMA.
+            # Clamp into the live page band for this row block: fully-masked
+            # pages repeat a live index and issue no DMA — above the
+            # diagonal, and (windowed) below the first row's window bound.
             row_hi = chunk_start + (iq + 1) * block_q - 1
             last_live = row_hi // page_size
             pj = jnp.minimum(ip * fanout + j, pages_per_slot - 1)
             pj = jnp.minimum(pj, last_live)
+            if sliding_window is not None:
+                row_lo = chunk_start + iq * block_q
+                first_live = jnp.maximum(
+                    (row_lo + 1 - sliding_window) // page_size, 0
+                )
+                pj = jnp.maximum(pj, jnp.minimum(first_live, last_live))
             return (table_ref[pj], h, 0, 0)
 
         return kv_map
@@ -535,6 +557,7 @@ def _paged_prefill_attention_jit(
             fanout=fanout,
             block_q=block_q,
             chunk_len=chunk_len,
+            window=sliding_window,
             softcap_in=None if logit_softcap is None else sm_scale / logit_softcap,
             softcap_out=None if logit_softcap is None else logit_softcap / sm_scale,
         )
@@ -588,6 +611,7 @@ def paged_prefill_attention(
     interpret: bool | None = None,
     logit_softcap: float | None = None,
     d64_unpadded: bool = False,
+    sliding_window: int | None = None,
 ):
     """Un-jitted entry for :func:`_paged_prefill_attention_jit` (same
     signature and docstring) that validates a CONCRETE kv_end before
@@ -609,10 +633,12 @@ def paged_prefill_attention(
                 f"kv_end={end} exceeds slot capacity "
                 f"{cache.pages_per_slot} pages x {cache.page_size} rows"
             )
+    if sliding_window is not None and sliding_window < 1:
+        raise ValueError(f"sliding_window must be >= 1, got {sliding_window}")
     return _paged_prefill_attention_jit(
         q, cache, slot, kv_end, chunk_len=chunk_len, sm_scale=sm_scale,
         block_q=block_q, interpret=interpret, logit_softcap=logit_softcap,
-        d64_unpadded=d64_unpadded,
+        d64_unpadded=d64_unpadded, sliding_window=sliding_window,
     )
 
 

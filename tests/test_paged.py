@@ -306,6 +306,50 @@ def test_paged_prefill_matches_gather_path(quant):
         assert_close(got, oracle, msg=f"quant={quant} chunk={c} vs oracle")
 
 
+def test_paged_prefill_window_matches_gather_path():
+    """Sliding-window in-place paged prefill: band-limited page walk must
+    match the dense-gather window path chunk by chunk (windows crossing
+    page and chunk boundaries)."""
+    from flash_attention_tpu.ops.flash_attention import flash_attention
+    from flash_attention_tpu.ops.paged import (
+        paged_gather_kv,
+        paged_prefill_attention,
+        paged_write_prefill,
+    )
+
+    kv_heads, q_heads = 2, 4
+    pages_per_slot, chunk, window = 4, 128, 200  # band spans ~2-3 pages
+    max_len = pages_per_slot * PAGE
+    cache = init_paged_cache(
+        num_pages=16, num_slots=2, pages_per_slot=pages_per_slot,
+        kv_heads=kv_heads, page_size=PAGE, kv_quant="none",
+    )
+    rng = np.random.RandomState(6)
+    table = rng.permutation(16)[: 2 * pages_per_slot].reshape(2, pages_per_slot)
+    cache = cache._replace(page_table=jnp.asarray(table, jnp.int32))
+
+    q_full, k_full, v_full = make_qkv(32, 1, q_heads, max_len, 128,
+                                      num_kv_heads=kv_heads)
+    slot = 0
+    for c in range(max_len // chunk):
+        start = c * chunk
+        kv_end = start + chunk
+        cache = paged_write_prefill(
+            cache, k_full[0, :, start:kv_end], v_full[0, :, start:kv_end],
+            slot, kv_end, start=start,
+        )
+        q_chunk = q_full[:, :, start:kv_end]
+        got = paged_prefill_attention(
+            q_chunk, cache, slot, jnp.int32(kv_end), chunk_len=chunk,
+            sliding_window=window,
+        )
+        k_vis, v_vis = paged_gather_kv(cache, slot, kv_end)
+        want = flash_attention(
+            q_chunk, k_vis, v_vis, causal=True, sliding_window=window
+        )
+        assert_close(got, want, msg=f"window chunk={c}")
+
+
 def test_paged_decode_head_dim_64_unpadded():
     """d64_unpadded: 64-wide pages stay 64-wide in-kernel (no per-step page
     pool pad copy); must match the padded path and the oracle."""

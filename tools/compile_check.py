@@ -330,6 +330,16 @@ def part_paged():
             lambda q, c, ke: paged_prefill_attention(q, c, 0, ke, chunk_len=512),
             qc, cache, aval(dtype=jnp.int32),
         )
+    # Sliding-window band-limited page walk (the paged-ring prefill path).
+    cache = paged_cache_avals(64, 8, 8, hkv, page, d, "int8")
+    qc = aval(1, hq, 512, d)
+    check(
+        "paged prefill chunk int8 window=4096",
+        lambda q, c, ke: paged_prefill_attention(
+            q, c, 0, ke, chunk_len=512, sliding_window=4096
+        ),
+        qc, cache, aval(dtype=jnp.int32),
+    )
 
 
 PARTS = {
