@@ -4,7 +4,9 @@ Built from scratch in JAX/Pallas with the capabilities of the
 ``flash-attention-cuda`` reference (see /root/repo/SURVEY.md): a fused
 QKᵀ → online-softmax → PV forward pass (causal + non-causal), fused backward
 kernels (custom VJP), an adaptive block-size dispatcher, split-KV partial
-attention with log-sum-exp merge, quantized KV-cache decode, a
+attention with log-sum-exp merge, quantized KV-cache decode, packed-sequence
+attention with segment-aware block skipping, sliding-window attention with
+O(window) rolling KV caches (dense ring buffer + paged ring), a
 continuous-batching serving engine with a native C++ scheduler, and
 multi-chip sharding over a ``jax.sharding.Mesh``.
 
@@ -34,7 +36,7 @@ from flash_attention_tpu.utils.distributed import (
     initialize_distributed,
 )
 
-__version__ = "0.4.0"
+__version__ = "0.5.0"
 
 __all__ = [
     "reference_attention",
