@@ -16,7 +16,9 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from flash_attention_tpu.ops.common import ceil_to as _ceil_to
 from flash_attention_tpu.ops.decode import decode_attention
+from flash_attention_tpu.ops.merge import merge_two
 from flash_attention_tpu.ops.flash_attention import flash_attention
 from flash_attention_tpu.ops.quant import QuantizedTensor, quantize_fp8, quantize_int8
 from flash_attention_tpu.models.rope import apply_rope
@@ -38,6 +40,13 @@ class AttentionConfig:
     # O(window) cache memory however long the context runs (Mistral's
     # rolling cache). `lengths` then counts TOTAL positions written.
     rolling: bool = False
+    # StreamingLLM attention sinks (requires rolling): keep the first
+    # `attention_sinks` positions permanently resident and attended next to
+    # the sliding window — unbounded streaming generation without the
+    # quality collapse of evicting the sink tokens. Decode masks
+    # sinks ∪ (len-window, len]; chunked prefill merges a sink pass with
+    # the window-band pass through the C5 LSE merge (ops/merge.py).
+    attention_sinks: int = 0
 
     @property
     def jnp_dtype(self):
@@ -80,9 +89,13 @@ def rolling_buffer_len(cfg: AttentionConfig, max_seq: int, prefill_chunk: int = 
     """Ring-buffer rows per slot: the window plus one prefill chunk of
     slack (a chunk of T rows overwrites slots T behind the write head, so
     the buffer must hold window + T rows for the chunk's own lookback),
-    128-aligned, capped at the logical context."""
+    128-aligned, capped at the logical context. Attention sinks add their
+    own 128-padded region in front of the ring."""
     need = cfg.sliding_window + max(prefill_chunk, 1)
-    return min(max_seq, -(-need // 128) * 128)
+    ring = -(-need // 128) * 128
+    if cfg.attention_sinks:
+        ring += -(-cfg.attention_sinks // 128) * 128
+    return min(max_seq, ring)
 
 
 def init_kv_cache(
@@ -92,6 +105,17 @@ def init_kv_cache(
 
     if cfg.rolling and cfg.sliding_window is None:
         raise ValueError("rolling cache requires sliding_window")
+    if cfg.attention_sinks:
+        if not cfg.rolling:
+            raise ValueError("attention_sinks requires rolling=True")
+        if cfg.attention_sinks + max(prefill_chunk, 1) > cfg.sliding_window:
+            # The chunked-prefill sink merge needs every chunk past the
+            # window to start at or after the sink region.
+            raise ValueError(
+                f"attention_sinks ({cfg.attention_sinks}) + prefill chunk "
+                f"({prefill_chunk}) must not exceed sliding_window "
+                f"({cfg.sliding_window})"
+            )
     buf = (
         rolling_buffer_len(cfg, max_seq, prefill_chunk)
         if cfg.rolling else max_seq
@@ -134,7 +158,28 @@ def write_cache(cfg: AttentionConfig, cache: KVCache, k_new, v_new, start_positi
     max_seq = cache.k.shape[2]
     batch_idx = jnp.arange(k_new.shape[0])
 
-    if cfg.rolling:
+    if cfg.rolling and cfg.attention_sinks:
+        # StreamingLLM two-region layout: positions [0, sinks) at their own
+        # slots, the rest in a ring over the remaining buffer. Rows a long
+        # write would itself evict (neither sink nor within the last
+        # ring-modulus rows) map out of bounds and drop.
+        sinks = cfg.attention_sinks
+        spad = _ceil_to(sinks, 128)
+        mod = max_seq - spad
+        p = start_positions[:, None] + jnp.arange(t)[None]  # [B, t]
+        slot_idx = jnp.where(p < sinks, p, spad + (p - sinks) % mod)
+        keep = jnp.logical_or(
+            p < sinks, p >= (start_positions[:, None] + t) - mod
+        )
+        pos = jnp.where(keep, slot_idx, max_seq)  # OOB -> dropped
+
+        def upd(buf, new):
+            return buf.at[batch_idx[:, None], :, pos, :].set(
+                jnp.swapaxes(new, 1, 2).astype(buf.dtype), mode="drop"
+            )
+
+        new_lengths = start_positions + t
+    elif cfg.rolling:
         # Ring buffer: position p lives at slot p % buffer; lengths count
         # TOTAL positions (no capacity clamp — old rows roll out of the
         # window instead of new writes dropping). A write longer than the
@@ -230,6 +275,12 @@ def attention_prefill(
     Returns (output [B, T, model_dim], updated cache).
     """
     batch, t, _ = x.shape
+    if cfg.attention_sinks and t > cfg.sliding_window:
+        raise ValueError(
+            "attention_sinks prompts longer than the window must prefill in "
+            "chunks (attention_prefill_chunk applies the sinks ∪ window "
+            "mask; the one-shot path would mask the sinks out)"
+        )
     q, k, v = _project_qkv(params, cfg, x, jnp.arange(t)[None, None, :])
 
     o = flash_attention(
@@ -307,16 +358,26 @@ def attention_prefill_chunk(
     start = jnp.asarray(start, jnp.int32)
     new_len = (start + t).astype(cache.lengths.dtype)
     w_buf = cache.k.shape[2]
+    sinks = cfg.attention_sinks
+    spad = _ceil_to(sinks, 128) if sinks else 0
+    ring_mod = w_buf - spad
     if cfg.rolling:
-        # Ring write: the chunk's rows land at their positions mod the
-        # buffer (a chunk may wrap the boundary, so scatter, not a slice).
-        if w_buf < cfg.sliding_window + t:
+        # Ring write: the chunk's rows land at their positions mod the ring
+        # (a chunk may wrap the boundary, so scatter, not a slice); with
+        # attention sinks, positions below `sinks` keep their own slots.
+        if ring_mod < cfg.sliding_window + t:
             raise ValueError(
-                f"rolling buffer ({w_buf}) must hold window "
-                f"({cfg.sliding_window}) + chunk ({t}) rows — init the "
-                "cache with prefill_chunk set"
+                f"rolling ring ({ring_mod} of buffer {w_buf}) must hold "
+                f"window ({cfg.sliding_window}) + chunk ({t}) rows — init "
+                "the cache with prefill_chunk set"
             )
-        pos = (start + jnp.arange(t)) % w_buf  # [t]
+        p_abs = start + jnp.arange(t)  # [t]
+        if sinks:
+            pos = jnp.where(
+                p_abs < sinks, p_abs, spad + (p_abs - sinks) % ring_mod
+            )
+        else:
+            pos = p_abs % w_buf
 
         def ring_upd(buf, new):
             # new: [1, H, t, *] -> rows scattered at the slot's ring slots.
@@ -360,21 +421,62 @@ def attention_prefill_chunk(
 
     hkv, d = cache.k.shape[1], cache.k.shape[3]
 
-    if cfg.rolling:
-        # Visible window for the chunk: only the last min(kv_end, window+T)
-        # positions matter (the chunk's first row looks back `window`).
-        # Gather them in POSITION ORDER from the ring slots so the kernel
-        # sees an ordered, end-aligned KV slice.
-        g = min(kv_end, cfg.sliding_window + t)
-        gpos = ((kv_end - g) + jnp.arange(g)) % w_buf  # [g]
+    def gather_positions(gpos):
+        """Gather ring rows at slot indices `gpos` in position order."""
 
-        def visible(buf, scales):
+        def one(buf, scales):
             vis = buf[slot, :, gpos, :]  # [g, hkv, d] (adv-index axis first)
             vis = jnp.swapaxes(vis, 0, 1)[None]  # [1, hkv, g, d]
             if scales is None:
                 return vis
             sc = jnp.swapaxes(scales[slot, :, gpos, :], 0, 1)[None]
             return (vis.astype(jnp.float32) * sc).astype(cfg.jnp_dtype)
+
+        return (
+            one(cache.k, cache.k_scales), one(cache.v, cache.v_scales)
+        )
+
+    def slot_of(p_abs):
+        if sinks:
+            return jnp.where(
+                p_abs < sinks, p_abs, spad + (p_abs - sinks) % ring_mod
+            )
+        return p_abs % w_buf
+
+    if cfg.rolling and sinks and kv_end > cfg.sliding_window:
+        # StreamingLLM chunk attention past the window: every chunk row
+        # attends sinks ∪ its window band. Run the band pass (causal +
+        # window, end-aligned) and the sink pass (full visibility — the
+        # init-time sinks+chunk <= window check guarantees the chunk starts
+        # past the sink region) and combine through the C5 LSE merge.
+        g = min(cfg.sliding_window + t, kv_end - sinks)
+        k_band, v_band = gather_positions(
+            slot_of((kv_end - g) + jnp.arange(g))
+        )
+        o_band, lse_band = flash_attention(
+            q, k_band, v_band, causal=True, block_sizes=block_sizes,
+            sliding_window=cfg.sliding_window,
+            logit_softcap=cfg.logit_softcap, save_residuals=True,
+        )
+        k_sink, v_sink = gather_positions(jnp.arange(sinks))
+        o_sink, lse_sink = flash_attention(
+            q, k_sink, v_sink, causal=False,
+            logit_softcap=cfg.logit_softcap, save_residuals=True,
+        )
+        o, _ = merge_two(o_band, lse_band, o_sink, lse_sink)
+        o = o.astype(q.dtype)
+        return _output_proj(params, o, x.dtype), cache
+    elif cfg.rolling:
+        # Visible window for the chunk: only the last min(kv_end, window+T)
+        # positions matter (the chunk's first row looks back `window`; with
+        # sinks, kv_end <= window here so nothing is evicted yet and the
+        # plain causal+window mask is exact). Gather them in POSITION ORDER
+        # from the ring slots so the kernel sees an ordered, end-aligned
+        # KV slice.
+        g = min(kv_end, cfg.sliding_window + t)
+        k_vis, v_vis = gather_positions(
+            slot_of((kv_end - g) + jnp.arange(g))
+        )
     else:
 
         def visible(buf, scales):
@@ -391,8 +493,8 @@ def attention_prefill_chunk(
             )
             return (vis.astype(jnp.float32) * sc).astype(cfg.jnp_dtype)
 
-    k_vis = visible(cache.k, cache.k_scales)
-    v_vis = visible(cache.v, cache.v_scales)
+        k_vis = visible(cache.k, cache.k_scales)
+        v_vis = visible(cache.v, cache.v_scales)
 
     o = flash_attention(
         q, k_vis, v_vis, causal=True, block_sizes=block_sizes,
@@ -513,6 +615,6 @@ def attention_decode(
         q[:, :, 0, :], cache.k_view(), cache.v_view(), cache.lengths,
         block_kv=block_kv,
         sliding_window=cfg.sliding_window, logit_softcap=cfg.logit_softcap,
-        ring_buffer=cfg.rolling,
+        ring_buffer=cfg.rolling, attention_sinks=cfg.attention_sinks,
     )
     return _output_proj_decode(params, o, x.dtype), cache

@@ -45,6 +45,7 @@ class ModelConfig:
     sliding_window: int | None = None
     logit_softcap: float | None = None
     rolling: bool = False  # O(window) ring-buffer KV cache (needs sliding_window)
+    attention_sinks: int = 0  # StreamingLLM sinks (needs rolling)
 
     @property
     def jnp_dtype(self):
@@ -62,6 +63,7 @@ class ModelConfig:
             sliding_window=self.sliding_window,
             logit_softcap=self.logit_softcap,
             rolling=self.rolling,
+            attention_sinks=self.attention_sinks,
         )
 
     @staticmethod

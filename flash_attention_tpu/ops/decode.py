@@ -75,6 +75,8 @@ def _decode_kernel(
     softcap_in: float | None = None,
     softcap_out: float | None = None,
     ring_buf: int = 0,
+    ring_sinks: int = 0,
+    ring_sinks_pad: int = 0,
 ):
     b = pl.program_id(0)
     ikv = pl.program_id(2)
@@ -91,8 +93,21 @@ def _decode_kernel(
         # min(length, ring_buf) positions at slot p % ring_buf; `length`
         # counts total positions written (it exceeds the buffer). All
         # occupied slots are candidates — per-slot positions are
-        # reconstructed in the mask below.
-        live = ikv * block_kv < jnp.minimum(length, ring_buf)
+        # reconstructed in the mask below. With attention SINKS
+        # (StreamingLLM), slots [0, sinks_pad) permanently hold positions
+        # [0, sinks) and the ring occupies the remaining slots with
+        # modulus ring_buf - sinks_pad.
+        if ring_sinks:
+            # Occupied slots: the sink region (conservatively all of its
+            # padded span — padding columns are masked below) plus the
+            # filled ring span.
+            ring_mod = ring_buf - ring_sinks_pad
+            bound = ring_sinks_pad + jnp.minimum(
+                jnp.maximum(length - ring_sinks, 0), ring_mod
+            )
+            live = ikv * block_kv < bound
+        else:
+            live = ikv * block_kv < jnp.minimum(length, ring_buf)
     elif window is None:
         live = ikv * block_kv < length
     else:
@@ -148,7 +163,27 @@ def _decode_kernel(
                 col = ikv * block_kv + packed_pos(w, h, packed_order)
             else:
                 col = ikv * block_kv + w
-            if ring_buf:
+            if ring_buf and ring_sinks:
+                # StreamingLLM two-region layout: slots [0, sinks_pad) hold
+                # positions [0, sinks) verbatim (always attended); the ring
+                # occupies the rest with modulus ring_buf - sinks_pad over
+                # positions >= sinks. Region-2 positions reconstruct as in
+                # the plain ring (shifted by sinks); slots whose
+                # reconstruction falls below `sinks` are empty/stale.
+                ring_mod = ring_buf - ring_sinks_pad
+                sink_ok = jnp.logical_and(
+                    col < ring_sinks, col < length
+                )
+                s2 = col - ring_sinks_pad
+                pos = length - 1 - jnp.remainder(
+                    length - 1 - ring_sinks - s2, ring_mod
+                )
+                ring_ok = jnp.logical_and(
+                    pos >= ring_sinks,
+                    pos >= jnp.maximum(ring_sinks, length - window),
+                )
+                ok = jnp.where(col < ring_sinks_pad, sink_ok, ring_ok)
+            elif ring_buf:
                 # Slot col holds the largest position p < length with
                 # p == col (mod ring_buf), i.e. length-1 - ((length-1-col)
                 # mod ring_buf). Empty slots (length <= ring_buf, col >=
@@ -258,7 +293,7 @@ def should_split_decode(
     static_argnames=(
         "sm_scale", "block_kv", "save_residuals", "interpret",
         "sliding_window", "logit_softcap", "auto_split", "d64_unpadded",
-        "ring_buffer",
+        "ring_buffer", "attention_sinks",
     ),
 )
 def decode_attention(
@@ -276,6 +311,7 @@ def decode_attention(
     auto_split: bool = False,
     d64_unpadded: bool = False,
     ring_buffer: bool = False,
+    attention_sinks: int = 0,
 ):
     """Single-token decode attention over a KV cache.
 
@@ -318,6 +354,8 @@ def decode_attention(
     batch, num_q_heads, head_dim = q.shape
     _, num_kv_heads, max_seq, _ = k_vals.shape
 
+    if attention_sinks and not ring_buffer:
+        raise ValueError("attention_sinks requires ring_buffer=True")
     if ring_buffer:
         if sliding_window is None:
             raise ValueError("ring_buffer requires sliding_window")
@@ -325,10 +363,13 @@ def decode_attention(
             raise ValueError(
                 f"ring_buffer requires a 128-multiple buffer, got {max_seq}"
             )
-        if sliding_window > max_seq:
+        ring_cap = max_seq - (
+            _ceil_to(attention_sinks, 128) if attention_sinks else 0
+        )
+        if sliding_window > ring_cap:
             raise ValueError(
-                f"ring buffer ({max_seq}) must hold the whole window "
-                f"({sliding_window})"
+                f"ring region ({ring_cap} of buffer {max_seq}) must hold "
+                f"the whole window ({sliding_window})"
             )
     if (
         auto_split and not save_residuals and not ring_buffer
@@ -437,7 +478,12 @@ def decode_attention(
 
     def last_live(b, lengths_ref):
         n = lengths_ref[b]
-        if ring_buffer:
+        if ring_buffer and attention_sinks:
+            sinks_pad = _ceil_to(attention_sinks, 128)
+            n = sinks_pad + jnp.minimum(
+                jnp.maximum(n - attention_sinks, 0), max_seq - sinks_pad
+            )
+        elif ring_buffer:
             # Occupied slots are [0, min(length, buffer)) — once wrapped,
             # every slot is live (positions are remapped in the mask).
             n = jnp.minimum(n, max_seq)
@@ -521,6 +567,8 @@ def decode_attention(
             softcap_in=None if logit_softcap is None else sm_scale / logit_softcap,
             softcap_out=None if logit_softcap is None else logit_softcap / sm_scale,
             ring_buf=max_seq if ring_buffer else 0,
+            ring_sinks=attention_sinks,
+            ring_sinks_pad=_ceil_to(attention_sinks, 128) if attention_sinks else 0,
         )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(

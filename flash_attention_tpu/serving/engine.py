@@ -107,6 +107,12 @@ class ServingEngine:
         self.max_seq = max_seq
         self.eos_id = eos_id
         self.chunk = min(prefill_chunk, max_seq)
+        if cfg.attention_sinks:
+            # The chunked-prefill sink merge needs chunks to start at or
+            # after the sink region once past the window (models/attention).
+            self.chunk = min(
+                self.chunk, cfg.sliding_window - cfg.attention_sinks
+            )
         self.sched = ContinuousBatchScheduler(max_slots, max_seq)
         caches = init_caches(cfg, max_slots, max_seq, prefill_chunk=self.chunk)
         if shard_caches is not None:

@@ -75,6 +75,12 @@ class PagedServingEngine:
         decode_block_steps: int = 8,
         shard_caches=None,
     ):
+        if cfg.attention_sinks:
+            raise ValueError(
+                "attention_sinks is implemented for the dense rolling cache "
+                "(ServingEngine with ModelConfig(rolling=True)); the paged "
+                "ring has no pinned sink region"
+            )
         self.params = params
         self.cfg = cfg
         self.max_slots = max_slots

@@ -163,6 +163,174 @@ def test_rolling_chunked_prefill_matches_dense():
         )
 
 
+def _streaming_oracle(qf, kf, vf, L, sinks, W, group):
+    """fp32 attention over visible positions (sinks ∪ last-W) per head."""
+    import math
+
+    Hq, D = qf.shape
+    out = np.zeros((Hq, D), np.float32)
+    vis = [p for p in range(L) if p < sinks or p >= L - W]
+    scale = 1.0 / math.sqrt(D)
+    for h in range(Hq):
+        kk = kf[h // group][vis]
+        vv = vf[h // group][vis]
+        s = (qf[h] @ kk.T) * scale
+        e = np.exp(s - s.max())
+        out[h] = (e / e.sum()) @ vv
+    return out
+
+
+def test_ring_sinks_decode_kernel_matches_oracle():
+    """StreamingLLM two-region decode: sinks slots + ring slots, masked by
+    reconstructed positions, vs an fp32 sinks ∪ window oracle — deep-wrapped
+    and shorter-than-window rows."""
+    rng = np.random.RandomState(1)
+    B, Hq, Hkv, D = 2, 4, 2, 128
+    W, SINKS, SPAD = 256, 4, 128
+    BUF = SPAD + 384
+    lens = [1500, 90]
+    kf = rng.uniform(-0.5, 0.5, (B, Hkv, 1600, D)).astype(np.float32)
+    vf = rng.uniform(-0.5, 0.5, (B, Hkv, 1600, D)).astype(np.float32)
+    q = jnp.asarray(
+        rng.uniform(-0.5, 0.5, (B, Hq, D)).astype(np.float32)
+    ).astype(jnp.bfloat16)
+    k_ring = np.zeros((B, Hkv, BUF, D), np.float32)
+    v_ring = np.zeros((B, Hkv, BUF, D), np.float32)
+    M = BUF - SPAD
+    for b, L in enumerate(lens):
+        for p in range(min(L, SINKS)):
+            k_ring[b, :, p] = kf[b, :, p]
+            v_ring[b, :, p] = vf[b, :, p]
+        for p in range(SINKS, L):
+            if p >= L - M:
+                k_ring[b, :, SPAD + (p - SINKS) % M] = kf[b, :, p]
+                v_ring[b, :, SPAD + (p - SINKS) % M] = vf[b, :, p]
+    for bk in (None, 128):
+        got = decode_attention(
+            q,
+            jnp.asarray(k_ring).astype(jnp.bfloat16),
+            jnp.asarray(v_ring).astype(jnp.bfloat16),
+            jnp.asarray(lens, jnp.int32),
+            sliding_window=W, ring_buffer=True, attention_sinks=SINKS,
+            block_kv=bk,
+        )
+        got = np.asarray(got, np.float32)
+        for b, L in enumerate(lens):
+            kb = np.asarray(
+                jnp.asarray(kf[b]).astype(jnp.bfloat16), np.float32
+            )
+            vb = np.asarray(
+                jnp.asarray(vf[b]).astype(jnp.bfloat16), np.float32
+            )
+            want = _streaming_oracle(
+                np.asarray(q, np.float32)[b], kb, vb, L, SINKS, W, Hq // Hkv
+            )
+            err = float(np.max(np.abs(got[b] - want)))
+            assert err < 0.02, (bk, b, err)
+
+
+def test_sinks_layer_streaming_matches_oracle():
+    """Chunked prefill + decode through the sinks config vs an fp32 oracle
+    rebuilt from the layer's own projections: every step past the window
+    must attend sinks ∪ band exactly (the quality-collapse regression the
+    sinks exist to prevent)."""
+    from flash_attention_tpu.models.attention import (
+        _output_proj_decode, _project_qkv,
+    )
+
+    W, SINKS, CH = 192, 32, 64
+    cfg = AttentionConfig(
+        model_dim=64, num_q_heads=4, num_kv_heads=2, head_dim=32,
+        sliding_window=W, rolling=True, attention_sinks=SINKS,
+        dtype="float32",
+    )
+    params = init_attention_params(jax.random.key(3), cfg)
+    CTX = 2048
+    cache = init_kv_cache(cfg, 1, CTX, prefill_chunk=CH)
+    assert cache.k.shape[2] == 128 + 256  # spad + ceil128(W + CH)
+
+    total = 512  # prefill well past the window
+    xs = jax.random.normal(jax.random.key(4), (1, total, 64), jnp.float32)
+    kf = np.zeros((2, total + 64, 32), np.float32)  # [Hkv, P, D] dense truth
+    vf = np.zeros((2, total + 64, 32), np.float32)
+    outs = []
+    for c in range(total // CH):
+        xc = xs[:, c * CH : (c + 1) * CH]
+        o, cache = attention_prefill_chunk(
+            params, cfg, xc, cache, 0, c * CH, (c + 1) * CH
+        )
+        outs.append(o)
+        q_c, k_c, v_c = _project_qkv(
+            params, cfg, xc, c * CH + jnp.arange(CH)[None, None, :]
+        )
+        kf[:, c * CH : (c + 1) * CH] = np.asarray(k_c[0], np.float32)
+        vf[:, c * CH : (c + 1) * CH] = np.asarray(v_c[0], np.float32)
+        # oracle for the chunk's LAST row (the next-token position)
+        qf = np.asarray(q_c[0, :, -1], np.float32)  # [Hq, D]
+        want_att = _streaming_oracle(qf, kf, vf, (c + 1) * CH, SINKS, W, 2)
+        want = np.asarray(
+            _output_proj_decode(
+                params, jnp.asarray(want_att)[None], jnp.float32
+            )[0, 0]
+        )
+        got = np.asarray(o[0, -1], np.float32)
+        np.testing.assert_allclose(
+            got, want, rtol=2e-3, atol=2e-3, err_msg=f"chunk {c}"
+        )
+
+    # decode a few steps past several ring wraps
+    for i in range(6):
+        x = jax.random.normal(jax.random.key(20 + i), (1, 1, 64), jnp.float32)
+        L = int(cache.lengths[0])
+        q_c, k_c, v_c = _project_qkv(
+            params, cfg, x, jnp.full((1, 1, 1), L)
+        )
+        kf[:, L] = np.asarray(k_c[0, :, 0], np.float32)
+        vf[:, L] = np.asarray(v_c[0, :, 0], np.float32)
+        o, cache = attention_decode(params, cfg, x, cache)
+        want_att = _streaming_oracle(
+            np.asarray(q_c[0, :, 0], np.float32), kf, vf, L + 1, SINKS, W, 2
+        )
+        want = np.asarray(
+            _output_proj_decode(
+                params, jnp.asarray(want_att)[None], jnp.float32
+            )[0, 0]
+        )
+        np.testing.assert_allclose(
+            np.asarray(o[0, 0], np.float32), want, rtol=2e-3, atol=2e-3,
+            err_msg=f"decode {i}",
+        )
+
+
+def test_sinks_engine_smoke():
+    """ServingEngine with a sinks config: runs to completion with the
+    bounded buffer, prompts longer than the window."""
+    from flash_attention_tpu.models.transformer import (
+        ModelConfig, init_model_params,
+    )
+    from flash_attention_tpu.serving.engine import Request, ServingEngine
+
+    cfg = ModelConfig.tiny(
+        sliding_window=192, rolling=True, attention_sinks=32,
+        dtype="float32",
+    )
+    params = init_model_params(jax.random.key(6), cfg)
+    rng = np.random.RandomState(13)
+    reqs = [
+        Request(
+            id=i,
+            prompt=tuple(int(t) for t in rng.randint(0, 256, size=n)),
+            max_new_tokens=24,
+        )
+        for i, n in enumerate((400, 150))
+    ]
+    eng = ServingEngine(params, cfg, max_slots=2, max_seq=1024)
+    assert eng.caches[0].k.shape[2] < 1024
+    out = eng.run(reqs)
+    for i in (0, 1):
+        assert len(out[i].tokens) == 24
+
+
 def test_paged_ring_window_engine():
     """Paged engine sliding-window ring: a window request owns only
     ceil((window+chunk)/page)+2 physical pages with a modular page table —

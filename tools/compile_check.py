@@ -294,6 +294,16 @@ def part_decode():
         ),
         q1, krq, krq, lengths,
     )
+    # StreamingLLM sinks: two-region remapped mask (extra VPU selects).
+    ks = aval(b, hkv, 5248, d)
+    check(
+        "decode ring sinks=64 w=4096 buf=5248",
+        lambda q, k, v, l: decode_attention(
+            q, k, v, l, sliding_window=4096, ring_buffer=True,
+            attention_sinks=64,
+        ),
+        q1, ks, ks, lengths,
+    )
     # Odd cache length: block_kv must divide the padded length.
     k2 = aval(b, hkv, 6144, d)
     check(
