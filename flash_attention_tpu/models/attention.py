@@ -557,11 +557,17 @@ def attention_prefill_chunk_paged(
             q, paged_cache, slot, jnp.asarray(start) + t, chunk_len=t,
             logit_softcap=cfg.logit_softcap,
             sliding_window=cfg.sliding_window,
+            attention_sinks=cfg.attention_sinks,
         )
     else:
         # Chunks that are a page multiple but NOT a 128 multiple (small
         # page_size configs) gather densely: the in-place kernel's Q grid
         # requires 128-aligned chunks.
+        if cfg.attention_sinks:
+            raise ValueError(
+                "attention_sinks chunked prefill requires 128-aligned "
+                "chunks (the dense-gather fallback has no sink mask)"
+            )
         k_vis, v_vis = paged_gather_kv(
             paged_cache, slot, kv_end, dtype=cfg.jnp_dtype
         )
@@ -596,6 +602,7 @@ def attention_decode_paged(params, cfg: AttentionConfig, x: jax.Array, paged_cac
     o = paged_decode_attention(
         q[:, :, 0, :], paged_cache,
         sliding_window=cfg.sliding_window, logit_softcap=cfg.logit_softcap,
+        attention_sinks=cfg.attention_sinks,
     )
     return _output_proj_decode(params, o, x.dtype), paged_cache
 

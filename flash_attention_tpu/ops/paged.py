@@ -288,6 +288,7 @@ def _paged_prefill_kernel(
     block_q: int,
     chunk_len: int,
     window: int | None = None,
+    sinks: int = 0,
     softcap_in: float | None = None,
     softcap_out: float | None = None,
 ):
@@ -327,9 +328,12 @@ def _paged_prefill_kernel(
         pj = ip * fanout + j
         live = pj * page_size <= row_hi
         if window is not None:
-            live = jnp.logical_and(
-                live, (pj + 1) * page_size > row_lo + 1 - window
-            )
+            band = (pj + 1) * page_size > row_lo + 1 - window
+            if sinks:
+                # StreamingLLM: logical page 0 holds the pinned sink
+                # positions and stays live next to the window band.
+                band = jnp.logical_or(band, pj == 0)
+            live = jnp.logical_and(live, band)
         if pages_per_slot % fanout:
             live = jnp.logical_and(live, pj < pages_per_slot)
 
@@ -362,7 +366,10 @@ def _paged_prefill_kernel(
             )
             ok = col <= row
             if window is not None:
-                ok = jnp.logical_and(ok, col > row - window)
+                vis = col > row - window
+                if sinks:
+                    vis = jnp.logical_or(vis, col < sinks)
+                ok = jnp.logical_and(ok, vis)
             s = jnp.where(ok, s, MASK_VALUE)
 
             m_prev = m_scr[...]
@@ -400,7 +407,7 @@ def _paged_prefill_kernel(
     jax.jit,
     static_argnames=(
         "chunk_len", "sm_scale", "block_q", "interpret", "logit_softcap",
-        "d64_unpadded", "sliding_window",
+        "d64_unpadded", "sliding_window", "attention_sinks",
     ),
 )
 def _paged_prefill_attention_jit(
@@ -416,6 +423,7 @@ def _paged_prefill_attention_jit(
     logit_softcap: float | None = None,
     d64_unpadded: bool = False,
     sliding_window: int | None = None,
+    attention_sinks: int = 0,
 ):
     """Causal chunk attention over a slot's paged KV, pages read in place.
 
@@ -511,7 +519,13 @@ def _paged_prefill_attention_jit(
                 first_live = jnp.maximum(
                     (row_lo + 1 - sliding_window) // page_size, 0
                 )
-                pj = jnp.maximum(pj, jnp.minimum(first_live, last_live))
+                pj_raw = ip * fanout + j
+                clamped = jnp.maximum(pj, jnp.minimum(first_live, last_live))
+                if attention_sinks:
+                    # Logical page 0 (pinned sinks) keeps its own DMA.
+                    pj = jnp.where(pj_raw == 0, pj, clamped)
+                else:
+                    pj = clamped
             return (table_ref[pj], h, 0, 0)
 
         return kv_map
@@ -558,6 +572,7 @@ def _paged_prefill_attention_jit(
             block_q=block_q,
             chunk_len=chunk_len,
             window=sliding_window,
+            sinks=attention_sinks,
             softcap_in=None if logit_softcap is None else sm_scale / logit_softcap,
             softcap_out=None if logit_softcap is None else logit_softcap / sm_scale,
         )
@@ -612,6 +627,7 @@ def paged_prefill_attention(
     logit_softcap: float | None = None,
     d64_unpadded: bool = False,
     sliding_window: int | None = None,
+    attention_sinks: int = 0,
 ):
     """Un-jitted entry for :func:`_paged_prefill_attention_jit` (same
     signature and docstring) that validates a CONCRETE kv_end before
@@ -635,10 +651,19 @@ def paged_prefill_attention(
             )
     if sliding_window is not None and sliding_window < 1:
         raise ValueError(f"sliding_window must be >= 1, got {sliding_window}")
+    if attention_sinks:
+        if sliding_window is None:
+            raise ValueError("attention_sinks requires sliding_window")
+        if attention_sinks >= cache.page_size:
+            raise ValueError(
+                f"attention_sinks ({attention_sinks}) must fit the pinned "
+                f"first page ({cache.page_size} rows)"
+            )
     return _paged_prefill_attention_jit(
         q, cache, slot, kv_end, chunk_len=chunk_len, sm_scale=sm_scale,
         block_q=block_q, interpret=interpret, logit_softcap=logit_softcap,
         d64_unpadded=d64_unpadded, sliding_window=sliding_window,
+        attention_sinks=attention_sinks,
     )
 
 
@@ -662,6 +687,7 @@ def _paged_decode_kernel_hb(
     num_steps: int,
     fanout: int,
     window: int | None = None,
+    sinks: int = 0,
     softcap_in: float | None = None,
     softcap_out: float | None = None,
 ):
@@ -693,10 +719,11 @@ def _paged_decode_kernel_hb(
         if window is None:
             live = pj * page_size < length
         else:
-            live = jnp.logical_and(
-                pj * page_size < length,
-                (pj + 1) * page_size > length - window,
-            )
+            band = (pj + 1) * page_size > length - window
+            if sinks:
+                # StreamingLLM: logical page 0 pins the sink positions.
+                band = jnp.logical_or(band, pj == 0)
+            live = jnp.logical_and(pj * page_size < length, band)
         if pages_per_slot % fanout:
             live = jnp.logical_and(live, pj < pages_per_slot)
 
@@ -724,7 +751,10 @@ def _paged_decode_kernel_hb(
             )
             ok = col < length
             if window is not None:
-                ok = jnp.logical_and(ok, col >= length - window)
+                vis = col >= length - window
+                if sinks:
+                    vis = jnp.logical_or(vis, col < sinks)
+                ok = jnp.logical_and(ok, vis)
             s = jnp.where(ok[None], s, MASK_VALUE)
 
             m_prev = m_scr[...]  # [H, Gp, LANES]
@@ -781,6 +811,7 @@ def _paged_decode_kernel(
     num_steps: int,
     fanout: int,
     window: int | None = None,
+    sinks: int = 0,
     softcap_in: float | None = None,
     softcap_out: float | None = None,
 ):
@@ -807,10 +838,11 @@ def _paged_decode_kernel(
         if window is None:
             live = pj * page_size < length
         else:
-            live = jnp.logical_and(
-                pj * page_size < length,
-                (pj + 1) * page_size > length - window,
-            )
+            band = (pj + 1) * page_size > length - window
+            if sinks:
+                # StreamingLLM: logical page 0 pins the sink positions.
+                band = jnp.logical_or(band, pj == 0)
+            live = jnp.logical_and(pj * page_size < length, band)
         if pages_per_slot % fanout:
             live = jnp.logical_and(live, pj < pages_per_slot)
 
@@ -842,7 +874,10 @@ def _paged_decode_kernel(
             )
             ok = col < length
             if window is not None:
-                ok = jnp.logical_and(ok, col >= length - window)
+                vis = col >= length - window
+                if sinks:
+                    vis = jnp.logical_or(vis, col < sinks)
+                ok = jnp.logical_and(ok, vis)
             s = jnp.where(ok, s, MASK_VALUE)
 
             m_prev = m_scr[...]
@@ -884,7 +919,7 @@ def _paged_decode_kernel(
     jax.jit,
     static_argnames=(
         "sm_scale", "save_residuals", "interpret", "sliding_window",
-        "logit_softcap", "d64_unpadded", "_force_per_head",
+        "logit_softcap", "d64_unpadded", "attention_sinks", "_force_per_head",
     ),
 )
 def paged_decode_attention(
@@ -897,6 +932,7 @@ def paged_decode_attention(
     sliding_window: int | None = None,
     logit_softcap: float | None = None,
     d64_unpadded: bool = False,
+    attention_sinks: int = 0,
     _force_per_head: bool = False,
 ):
     """Single-token decode over the paged cache.
@@ -918,6 +954,14 @@ def paged_decode_attention(
         raise ValueError(f"q_heads={num_q_heads} % kv_heads={num_kv_heads} != 0")
     if sliding_window is not None and sliding_window < 1:
         raise ValueError(f"sliding_window must be >= 1, got {sliding_window}")
+    if attention_sinks:
+        if sliding_window is None:
+            raise ValueError("attention_sinks requires sliding_window")
+        if attention_sinks >= page_size:
+            raise ValueError(
+                f"attention_sinks ({attention_sinks}) must fit the pinned "
+                f"first page ({page_size} rows)"
+            )
     if sm_scale is None:
         sm_scale = 1.0 / math.sqrt(head_dim)
     if interpret is None:
@@ -976,7 +1020,13 @@ def paged_decode_attention(
                         jnp.maximum(lengths_ref[b] - sliding_window, 0)
                         // page_size
                     )
-                    ip_c = jnp.maximum(ip_c, lo)
+                    clamped = jnp.maximum(ip_c, lo)
+                    if attention_sinks:
+                        # Logical page 0 (pinned sinks) keeps its own DMA.
+                        raw = ip * fanout_hb + j
+                        ip_c = jnp.where(raw == 0, ip_c, clamped)
+                    else:
+                        ip_c = clamped
                 return (table_ref[b * pages_per_slot + ip_c], 0, 0, 0)
 
             return kv_map
@@ -1037,6 +1087,7 @@ def paged_decode_attention(
                 num_steps=num_steps,
                 fanout=fanout_hb,
                 window=sliding_window,
+                sinks=attention_sinks,
                 softcap_in=(
                     None if logit_softcap is None else sm_scale / logit_softcap
                 ),
@@ -1100,7 +1151,13 @@ def paged_decode_attention(
             ip_c = jnp.minimum(pj, last_live(b, lengths_ref))
             if sliding_window is not None:
                 lo = jnp.maximum(lengths_ref[b] - sliding_window, 0) // page_size
-                ip_c = jnp.maximum(ip_c, lo)
+                clamped = jnp.maximum(ip_c, lo)
+                if attention_sinks:
+                    # Logical page 0 (pinned sinks) keeps its own DMA.
+                    raw = ip * fanout + j
+                    ip_c = jnp.where(raw == 0, ip_c, clamped)
+                else:
+                    ip_c = clamped
             # Native [P, H, page, D] pool indexing — no pre-transpose copy.
             return (table_ref[b * pages_per_slot + ip_c], h, 0, 0)
 
@@ -1160,6 +1217,7 @@ def paged_decode_attention(
             num_steps=num_steps,
             fanout=fanout,
             window=sliding_window,
+            sinks=attention_sinks,
             softcap_in=None if logit_softcap is None else sm_scale / logit_softcap,
             softcap_out=None if logit_softcap is None else logit_softcap / sm_scale,
         )

@@ -76,11 +76,13 @@ class PagedServingEngine:
         shard_caches=None,
     ):
         if cfg.attention_sinks:
-            raise ValueError(
-                "attention_sinks is implemented for the dense rolling cache "
-                "(ServingEngine with ModelConfig(rolling=True)); the paged "
-                "ring has no pinned sink region"
-            )
+            if cfg.sliding_window is None:
+                raise ValueError("attention_sinks requires sliding_window")
+            if cfg.attention_sinks >= page_size:
+                raise ValueError(
+                    f"attention_sinks ({cfg.attention_sinks}) must fit the "
+                    f"pinned first page ({page_size} rows)"
+                )
         self.params = params
         self.cfg = cfg
         self.max_slots = max_slots
@@ -194,17 +196,25 @@ class PagedServingEngine:
         n_logical = -(-(len(req.prompt) + req.max_new_tokens) // self.page_size)
         n_logical = min(n_logical, self.pages_per_slot)
         window = self.cfg.sliding_window
+        sinks = self.cfg.attention_sinks
         n_phys = n_logical
         if window is not None:
             ring = -(-(window + self.chunk) // self.page_size) + 2
-            n_phys = min(n_logical, ring)
+            # StreamingLLM: logical page 0 is PINNED (it holds the sink
+            # positions) and the ring cycles over the remaining pages.
+            n_phys = min(n_logical, ring + (1 if sinks else 0))
         pages = self.alloc.acquire(n_phys)
         if pages is None:
             return False
         self.slot_pages[slot] = pages
         row = np.zeros((self.pages_per_slot,), np.int32)  # rest -> dump page
-        for lp in range(n_logical):
-            row[lp] = pages[lp % n_phys]
+        if sinks and n_phys > 1:
+            row[0] = pages[0]
+            for lp in range(1, n_logical):
+                row[lp] = pages[1 + (lp - 1) % (n_phys - 1)]
+        else:
+            for lp in range(n_logical):
+                row[lp] = pages[lp % n_phys]
         self.caches = self._set_slot_table(
             jnp.asarray(row), self.caches, jnp.int32(slot)
         )

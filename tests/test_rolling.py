@@ -331,6 +331,46 @@ def test_sinks_engine_smoke():
         assert len(out[i].tokens) == 24
 
 
+def test_paged_sinks_engine_matches_dense():
+    """Paged StreamingLLM: pinned logical page 0 + ring over the rest must
+    produce token-identical output to the dense rolling+sinks engine
+    (itself validated against the fp32 oracle), prompts past the window."""
+    from flash_attention_tpu.models.transformer import (
+        ModelConfig, init_model_params,
+    )
+    from flash_attention_tpu.serving.engine import Request, ServingEngine
+    from flash_attention_tpu.serving.paged_engine import PagedServingEngine
+
+    cfg = ModelConfig(
+        vocab_size=128, model_dim=128, num_layers=2, num_q_heads=4,
+        num_kv_heads=2, head_dim=32, mlp_dim=256, dtype="float32",
+        sliding_window=192, rolling=True, attention_sinks=32,
+    )
+    params = init_model_params(jax.random.key(8), cfg)
+    rng = np.random.RandomState(17)
+    reqs = [
+        Request(
+            id=i,
+            prompt=tuple(int(t) for t in rng.randint(0, 128, size=n)),
+            max_new_tokens=24,
+        )
+        for i, n in enumerate((500, 150))
+    ]
+    dense = ServingEngine(params, cfg, max_slots=2, max_seq=1024)
+    want = dense.run(list(reqs))
+
+    paged = PagedServingEngine(
+        params, cfg, max_slots=2, num_pages=16, pages_per_slot=8,
+        page_size=128, prefill_chunk=128,
+    )
+    got = paged.run(list(reqs))
+    for i in (0, 1):
+        assert list(got[i].tokens) == list(want[i].tokens), i
+    # ring budget: ceil((192+128)/128)+2 = 5, +1 pinned = 6 phys pages for
+    # the 5-logical-page long request... bounded by logical need.
+    assert paged.alloc.free_count == 15  # all released
+
+
 def test_paged_ring_window_engine():
     """Paged engine sliding-window ring: a window request owns only
     ceil((window+chunk)/page)+2 physical pages with a modular page table —

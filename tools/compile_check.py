@@ -350,6 +350,22 @@ def part_paged():
         ),
         qc, cache, aval(dtype=jnp.int32),
     )
+    # StreamingLLM paged sinks: pinned logical page 0 + sink mask term.
+    check(
+        "paged decode int8 window=4096 sinks=64",
+        lambda q, c: paged_decode_attention(
+            q, c, sliding_window=4096, attention_sinks=64
+        ),
+        aval(8, hq, d), cache,
+    )
+    check(
+        "paged prefill chunk int8 window=4096 sinks=64",
+        lambda q, c, ke: paged_prefill_attention(
+            q, c, 0, ke, chunk_len=512, sliding_window=4096,
+            attention_sinks=64,
+        ),
+        qc, cache, aval(dtype=jnp.int32),
+    )
 
 
 PARTS = {
