@@ -59,6 +59,15 @@ class PagedServingEngine:
         over the model axis, page tables/lengths replicated) and return the
         resharded list. Tokens are placement-invariant (see
         tests/test_sharded_serving.py).
+      prefix_cache: share identical prompt-prefix pages across requests
+        (vLLM-style). Full prompt pages register by chained content hash
+        when their prefill completes; later requests with a matching prefix
+        point their tables at the shared physical pages, skip the covered
+        prefill chunks entirely, and the shared pages are refcounted —
+        released to the pool only when evicted under pool pressure. Shared
+        pages are immutable by construction (decode writes land past the
+        last full prompt page). Incompatible with sliding-window configs
+        (their ring recycles prompt pages in place).
     """
 
     def __init__(
@@ -74,6 +83,7 @@ class PagedServingEngine:
         prefill_chunk: int = 256,
         decode_block_steps: int = 8,
         shard_caches=None,
+        prefix_cache: bool = False,
     ):
         if cfg.attention_sinks:
             if cfg.sliding_window is None:
@@ -103,6 +113,17 @@ class PagedServingEngine:
         )
         if shard_caches is not None:
             self.caches = shard_caches(self.caches)
+        if prefix_cache and cfg.sliding_window is not None:
+            raise ValueError(
+                "prefix_cache is incompatible with sliding-window configs "
+                "(the paged ring recycles prompt pages in place)"
+            )
+        self.prefix_cache_enabled = prefix_cache
+        # key (chained prompt-prefix hash) -> [phys_page, refcount]
+        self._prefix: dict[int, list[int]] = {}
+        self._slot_shared: dict[int, list[int]] = {}  # slot -> matched keys
+        self._share_skip: dict[int, int] = {}  # slot -> prefill rows skipped
+        self.prefix_hits = 0  # shared pages reused (observability)
         self.slot_pages: dict[int, list[int]] = {}
         self.last_token = np.zeros((max_slots,), np.int32)
         self._temps = np.zeros((max_slots,), np.float32)
@@ -197,13 +218,21 @@ class PagedServingEngine:
         n_logical = min(n_logical, self.pages_per_slot)
         window = self.cfg.sliding_window
         sinks = self.cfg.attention_sinks
-        n_phys = n_logical
+
+        shared_keys: list[int] = []
+        shared_phys: list[int] = []
+        if self.prefix_cache_enabled:
+            shared_keys, shared_phys = self._match_prefix(req)
+
+        n_phys = n_logical - len(shared_phys)
         if window is not None:
             ring = -(-(window + self.chunk) // self.page_size) + 2
             # StreamingLLM: logical page 0 is PINNED (it holds the sink
             # positions) and the ring cycles over the remaining pages.
             n_phys = min(n_logical, ring + (1 if sinks else 0))
         pages = self.alloc.acquire(n_phys)
+        if pages is None and self._evict_prefix_pages():
+            pages = self.alloc.acquire(n_phys)
         if pages is None:
             return False
         self.slot_pages[slot] = pages
@@ -212,17 +241,90 @@ class PagedServingEngine:
             row[0] = pages[0]
             for lp in range(1, n_logical):
                 row[lp] = pages[1 + (lp - 1) % (n_phys - 1)]
-        else:
+        elif window is not None:
             for lp in range(n_logical):
                 row[lp] = pages[lp % n_phys]
+        else:
+            row[: len(shared_phys)] = shared_phys
+            for i, lp in enumerate(range(len(shared_phys), n_logical)):
+                row[lp] = pages[i]
+            for key in shared_keys:
+                self._prefix[key][1] += 1
+            self._slot_shared[slot] = shared_keys
+            self._share_skip[slot] = len(shared_phys) * self.page_size
+            self.prefix_hits += len(shared_phys)
         self.caches = self._set_slot_table(
             jnp.asarray(row), self.caches, jnp.int32(slot)
         )
         return True
 
+    def _match_prefix(self, req: Request) -> tuple[list[int], list[int]]:
+        """Longest run of registered pages covering this prompt's prefix.
+
+        Keys chain over the WHOLE prefix (page i's key hashes
+        prompt[:(i+1)*page]), so a page matches only when everything before
+        it matched too. Capped so the final prefill chunk always runs (its
+        logits sample the first token)."""
+        n_chunks = max(1, -(-len(req.prompt) // self.chunk))
+        cap_rows = (n_chunks - 1) * self.chunk
+        max_pages = min(len(req.prompt) // self.page_size,
+                        cap_rows // self.page_size)
+        keys, phys = [], []
+        for i in range(max_pages):
+            key = hash(tuple(req.prompt[: (i + 1) * self.page_size]))
+            ent = self._prefix.get(key)
+            if ent is None:
+                break
+            keys.append(key)
+            phys.append(ent[0])
+        # Floor to a whole number of prefill chunks: a partially-covered
+        # chunk would re-run and write (identical) rows into shared pages.
+        cpp = self.chunk // self.page_size
+        n = (len(keys) // cpp) * cpp
+        return keys[:n], phys[:n]
+
+    def _register_prefix(self, slot: int, req: Request) -> None:
+        """Move the slot's full prompt pages into the prefix cache (called
+        when its prefill completes, so page contents are final)."""
+        n_full = len(req.prompt) // self.page_size
+        already = len(self._slot_shared.get(slot, []))
+        owned = self.slot_pages.get(slot, [])
+        shared_count = self._share_skip.get(slot, 0) // self.page_size
+        new_keys = self._slot_shared.setdefault(slot, [])
+        for i in range(already, n_full):
+            owned_idx = i - shared_count
+            if owned_idx >= len(owned):
+                break
+            key = hash(tuple(req.prompt[: (i + 1) * self.page_size]))
+            if key in self._prefix:
+                # Same content registered meanwhile; stop here so the
+                # transferred pages stay a contiguous prefix of `owned`.
+                break
+            # Transfer ownership: the page now belongs to the prefix cache
+            # (refcount 1 = this slot); the slot's release decrements it
+            # instead of freeing it.
+            self._prefix[key] = [owned[owned_idx], 1]
+            new_keys.append(key)
+        # Drop transferred pages from the owned list (kept pages shift).
+        transferred = len(new_keys) - already
+        if transferred:
+            self.slot_pages[slot] = owned[transferred:]
+
+    def _evict_prefix_pages(self) -> bool:
+        """Free all zero-ref prefix-cache pages back to the pool."""
+        dead = [k for k, ent in self._prefix.items() if ent[1] <= 0]
+        for k in dead:
+            self.alloc.release([self._prefix.pop(k)[0]])
+        return bool(dead)
+
     def _release(self, slot: int) -> None:
         self._dev_dirty = True
         self.alloc.release(self.slot_pages.pop(slot, []))
+        for key in self._slot_shared.pop(slot, []):
+            ent = self._prefix.get(key)
+            if ent is not None:
+                ent[1] -= 1  # zero-ref pages stay cached until pool pressure
+        self._share_skip.pop(slot, None)
         row = np.zeros((self.pages_per_slot,), np.int32)  # all -> dump page
         self.caches = self._set_slot_table(
             jnp.asarray(row), self.caches, jnp.int32(slot)
@@ -230,10 +332,20 @@ class PagedServingEngine:
 
     def _start_prefill(self, req: Request, slot: int) -> None:
         start_prefill(self, req, slot)
+        skip = self._share_skip.get(slot, 0)
+        if skip:
+            # Shared-prefix pages already hold these rows' K/V: fast-forward
+            # past the covered chunks (capped in _match_prefix so the final
+            # chunk — whose logits sample the first token — always runs).
+            self._prefills[slot].next_chunk = skip // self.chunk
 
     def _advance_prefill(self, slot: int, out: dict[int, Completion]) -> None:
         """Run ONE chunk of the pending prefill on `slot` (shared loop)."""
+        req = self._prefills[slot].req
         advance_prefill(self, slot, out)
+        if self.prefix_cache_enabled and slot not in self._prefills:
+            # Prefill completed: page contents are final — register them.
+            self._register_prefix(slot, req)
 
     def run(self, requests: list[Request]) -> dict[int, Completion]:
         """Serve requests to completion; returns {id: Completion}."""

@@ -45,6 +45,57 @@ def test_paged_engine_matches_dense_engine(model):
     assert paged.sched.stats().completed == 5
 
 
+def test_paged_prefix_cache(model):
+    """vLLM-style shared prompt prefixes: a later request with the same
+    system prefix reuses the registered pages, skips the covered prefill
+    chunks, and produces identical tokens; zero-ref pages stay cached and
+    evict under pool pressure."""
+    cfg, params = model
+    rng = np.random.RandomState(23)
+    prefix = tuple(int(t) for t in rng.randint(0, 128, size=256))  # 2 pages
+    tail_a = tuple(int(t) for t in rng.randint(0, 128, size=40))
+    tail_b = tuple(int(t) for t in rng.randint(0, 128, size=40))
+    req_a = lambda: Request(id=1, prompt=prefix + tail_a, max_new_tokens=8)
+    req_b = lambda: Request(id=2, prompt=prefix + tail_b, max_new_tokens=8)
+
+    def chunks_run(eng):
+        return sum(1 for e in eng.events if e[0] == "chunk")
+
+    # Reference outputs without the cache.
+    plain = PagedServingEngine(
+        params, cfg, max_slots=2, num_pages=16, pages_per_slot=4,
+        page_size=128, prefill_chunk=128,
+    )
+    want_a = plain.run([req_a()])
+    want_b = plain.run([req_b()])
+    chunks_fresh = chunks_run(plain) // 2  # same chunk count for both
+
+    eng = PagedServingEngine(
+        params, cfg, max_slots=2, num_pages=16, pages_per_slot=4,
+        page_size=128, prefill_chunk=128, prefix_cache=True,
+    )
+    got_a = eng.run([req_a()])
+    assert list(got_a[1].tokens) == list(want_a[1].tokens)
+    c_after_a = chunks_run(eng)
+    assert len(eng._prefix) == 2  # both full prefix pages registered
+
+    got_b = eng.run([req_b()])
+    assert list(got_b[2].tokens) == list(want_b[2].tokens)
+    chunks_b = chunks_run(eng) - c_after_a
+    assert chunks_b == chunks_fresh - 2  # two shared chunks skipped
+    assert eng.prefix_hits == 2
+
+    # Zero-ref shared pages stay retained (pool short by 2) and evict on
+    # demand, restoring the full pool.
+    assert eng.alloc.free_count == 15 - 2
+    assert eng._evict_prefix_pages()
+    assert eng.alloc.free_count == 15
+    assert not eng._prefix
+    # After eviction the prefix recomputes from scratch, still correct.
+    got_b2 = eng.run([req_b()])
+    assert list(got_b2[2].tokens) == list(want_b[2].tokens)
+
+
 def test_paged_engine_page_pool_backpressure(model):
     cfg, params = model
     # Pool of 3 allocatable pages, each request needs 1: with 4 slots but only
