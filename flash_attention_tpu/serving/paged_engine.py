@@ -119,8 +119,8 @@ class PagedServingEngine:
                 "(the paged ring recycles prompt pages in place)"
             )
         self.prefix_cache_enabled = prefix_cache
-        # key (chained prompt-prefix hash) -> [phys_page, refcount]
-        self._prefix: dict[int, list[int]] = {}
+        # key (chained prompt-prefix digest) -> [phys_page, refcount]
+        self._prefix: dict[bytes, list[int]] = {}
         self._slot_shared: dict[int, list[int]] = {}  # slot -> matched keys
         self._share_skip: dict[int, int] = {}  # slot -> prefill rows skipped
         self.prefix_hits = 0  # shared pages reused (observability)
@@ -271,7 +271,7 @@ class PagedServingEngine:
                         cap_rows // self.page_size)
         keys, phys = [], []
         for i in range(max_pages):
-            key = hash(tuple(req.prompt[: (i + 1) * self.page_size]))
+            key = self._prefix_key(req.prompt, i)
             ent = self._prefix.get(key)
             if ent is None:
                 break
@@ -282,6 +282,18 @@ class PagedServingEngine:
         cpp = self.chunk // self.page_size
         n = (len(keys) // cpp) * cpp
         return keys[:n], phys[:n]
+
+    def _prefix_key(self, prompt, i: int) -> bytes:
+        """Content key for prompt page i: a cryptographic digest of the
+        WHOLE prefix through that page (chained, so a page matches only
+        when everything before it matches; collisions would silently share
+        wrong KV, so python hash() is not enough)."""
+        import hashlib
+
+        data = np.asarray(
+            prompt[: (i + 1) * self.page_size], np.int64
+        ).tobytes()
+        return hashlib.blake2b(data, digest_size=16).digest()
 
     def _register_prefix(self, slot: int, req: Request) -> None:
         """Move the slot's full prompt pages into the prefix cache (called
@@ -295,7 +307,7 @@ class PagedServingEngine:
             owned_idx = i - shared_count
             if owned_idx >= len(owned):
                 break
-            key = hash(tuple(req.prompt[: (i + 1) * self.page_size]))
+            key = self._prefix_key(req.prompt, i)
             if key in self._prefix:
                 # Same content registered meanwhile; stop here so the
                 # transferred pages stay a contiguous prefix of `owned`.
