@@ -579,7 +579,11 @@ def main():
         geomean_tflops=geo,
         vs_baseline=vs,
     )
-    (pathlib.Path(__file__).resolve().parent / "BENCH_DETAIL.json").write_text(
+    # Only a real-TPU run may replace the committed artifact: the CPU
+    # fallback's single smoke row would otherwise clobber the measured
+    # numbers (and break the generated-docs pin, tests/test_docs.py).
+    name = "BENCH_DETAIL.json" if on_tpu else "BENCH_DETAIL_cpu.json"
+    (pathlib.Path(__file__).resolve().parent / name).write_text(
         json.dumps(detail, indent=2)
     )
 
