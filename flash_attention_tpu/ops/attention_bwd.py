@@ -85,8 +85,10 @@ def _bwd_dq_kernel(
     softcap_in: float | None = None,
     cap_out2: float | None = None,
     seg_refs=None,
-    seg_live_ref=None,  # [B, nq, nkv] int32 block liveness (packed skipping)
+    seg_live_ref=None,  # flat [B*nq*nkv] int32 liveness (packed skipping)
     seg_heads: int = 1,
+    seg_nq: int = 0,
+    seg_nkv: int = 0,
     subtile: int = 0,
     diag_subtile: int = 0,
 ):
@@ -176,10 +178,12 @@ def _bwd_dq_kernel(
     if seg_live_ref is not None:
         # Packed-sequence block skipping: fully cross-document blocks
         # (disjoint segment-id ranges) contribute nothing — skip their
-        # five MMAs (the clamped index maps already skip their DMA).
+        # five MMAs (the clamped index maps already skip their DMA). Flat
+        # [B*nq*nkv] prefetch indexing (the proven on-chip pattern).
         b = pl.program_id(0) // seg_heads
         should_run = jnp.logical_and(
-            should_run, seg_live_ref[b, iq, ikv] != 0
+            should_run,
+            seg_live_ref[(b * seg_nq + iq) * seg_nkv + ikv] != 0,
         )
 
     def _dq_body(masked: bool):
@@ -331,8 +335,10 @@ def _bwd_dkv_kernel(
     softcap_in: float | None = None,
     cap_out2: float | None = None,
     seg_refs=None,
-    seg_live_ref=None,  # [B, nq, nkv] int32 block liveness (packed skipping)
+    seg_live_ref=None,  # flat [B*nq*nkv] int32 liveness (packed skipping)
     seg_heads: int = 1,
+    seg_nq: int = 0,
+    seg_nkv: int = 0,
     subtile: int = 0,
     diag_subtile: int = 0,
 ):
@@ -437,7 +443,8 @@ def _bwd_dkv_kernel(
         # Packed-sequence block skipping (see _bwd_dq_kernel).
         b = pl.program_id(0) // seg_heads
         should_run = jnp.logical_and(
-            should_run, seg_live_ref[b, iq, ikv] != 0
+            should_run,
+            seg_live_ref[(b * seg_nq + iq) * seg_nkv + ikv] != 0,
         )
 
     def _dkv_body(masked: bool):
@@ -986,6 +993,13 @@ def flash_attention_bwd(
         dkv_last_live = (
             num_q_blocks - 1 - jnp.argmax(seg_live[:, ::-1, :], axis=1)
         ).astype(jnp.int32)  # [B, nkv]
+        # Flat prefetch arrays (flat-with-computed-offset is the paged
+        # kernels' proven on-chip indexing pattern).
+        seg_live = seg_live.reshape(-1)
+        dq_first_live = dq_first_live.reshape(-1)
+        dq_last_live = dq_last_live.reshape(-1)
+        dkv_first_live = dkv_first_live.reshape(-1)
+        dkv_last_live = dkv_last_live.reshape(-1)
 
     # Sublane-oriented ([bh, Sq, 1]) for the dq kernel, lane-oriented
     # ([bh, 1, Sq]) for the transposed dkv kernel — avoids in-kernel relayouts.
@@ -1152,8 +1166,8 @@ def flash_attention_bwd(
         # dead prefix/suffix re-issues no DMA (compute is gated in-kernel).
         idx = kv_block_index(iq, ikv)
         if packed:
-            b = bh // num_q_heads
-            idx = jnp.clip(idx, refs[1][b, iq], refs[2][b, iq])
+            bq = (bh // num_q_heads) * num_q_blocks + iq
+            idx = jnp.clip(idx, refs[1][bq], refs[2][bq])
         return idx
 
     dq_in_specs = [
@@ -1209,6 +1223,7 @@ def flash_attention_bwd(
                     q_r, k_r, v_r, do_r, lse_r, d_r, dq_r, acc,
                     seg_refs=(sq_r, skv_r),
                     seg_live_ref=live_r, seg_heads=num_q_heads,
+                    seg_nq=num_q_blocks, seg_nkv=num_kv_blocks,
                 )
         else:
             def dq_kernel(
@@ -1292,8 +1307,8 @@ def flash_attention_bwd(
         # dead prefix/suffix re-issues no DMA (compute is gated in-kernel).
         iq = q_block_index(ikv, t)
         if packed:
-            b = bkv // num_kv_heads
-            iq = jnp.clip(iq, refs[1][b, ikv], refs[2][b, ikv])
+            bk = (bkv // num_kv_heads) * num_kv_blocks + ikv
+            iq = jnp.clip(iq, refs[1][bk], refs[2][bk])
         return iq
 
     q_spec = pl.BlockSpec(
@@ -1358,6 +1373,7 @@ def flash_attention_bwd(
                     q_r, k_r, v_r, do_r, lse_r, d_r, dk_r, dv_r, dks, dvs,
                     seg_refs=(sq_r, skv_r),
                     seg_live_ref=live_r, seg_heads=num_kv_heads,
+                    seg_nq=num_q_blocks, seg_nkv=num_kv_blocks,
                 )
         else:
             def dkv_kernel(

@@ -79,7 +79,9 @@ def _fwd_kernel(
     packed: bool = False,
     packed_hb: int = 1,
     packed_heads: int = 1,
-    nc_live_ref=None,  # [B, nq, nkv] int32 liveness (non-causal packed)
+    packed_T: int = 0,
+    nc_live_ref=None,  # flat [B*nq*nkv] int32 liveness (non-causal packed)
+    nc_nq: int = 0,
 ):
     # Decode/chunked-prefill convention: the last Q row aligns with the last
     # KV row (offset = kv_len - q_len, both true lengths).
@@ -94,10 +96,12 @@ def _fwd_kernel(
         iq_ref, ikv_ref, flags_ref = tri_refs
         t = pl.program_id(1)
         if packed:
+            # Flat [B*T] prefetch indexing (the paged kernels' proven
+            # on-chip pattern; 2D SMEM reads are untested on real Mosaic).
             b = (pl.program_id(0) * packed_hb) // packed_heads
-            iq = iq_ref[b, t]
-            ikv = ikv_ref[b, t]
-            flags = flags_ref[b, t]
+            iq = iq_ref[b * packed_T + t]
+            ikv = ikv_ref[b * packed_T + t]
+            flags = flags_ref[b * packed_T + t]
         else:
             iq = iq_ref[t]
             ikv = ikv_ref[t]
@@ -121,7 +125,9 @@ def _fwd_kernel(
         is_last = ikv == num_kv_blocks - 1
         if nc_live_ref is not None:
             b = (pl.program_id(0) * packed_hb) // packed_heads
-            should_run = nc_live_ref[b, iq, ikv] != 0
+            should_run = (
+                nc_live_ref[(b * nc_nq + iq) * num_kv_blocks + ikv] != 0
+            )
         else:
             should_run = True
 
@@ -623,6 +629,7 @@ def _fwd_impl(
     # 103-111), but stronger: the reference still launched the masked CTAs.
     tri = causal
     packed_skip = False
+    num_steps = 0
     if tri:
         iq_list, ikv_list, flag_list = [], [], []
         for iq_i in range(num_q_blocks):
@@ -676,47 +683,54 @@ def _fwd_impl(
                 num_q_blocks=num_q_blocks, num_kv_blocks=num_kv_blocks,
                 block_q=block_q, block_kv=block_kv,
             )
+            # Flat [B*T] prefetch arrays (flat-with-computed-offset is the
+            # paged kernels' proven on-chip indexing pattern).
+            tri_iq = tri_iq.reshape(-1)
+            tri_ikv = tri_ikv.reshape(-1)
+            tri_flags = tri_flags.reshape(-1)
 
         if packed_skip:
             # batch_index(bh) picks the row of the runtime enumeration (the
             # segments hb step-down guarantees a head block never straddles
             # two batch rows).
+            T = num_steps
+
             q_spec = pl.BlockSpec(
                 (hb, block_q, d_pad),
                 lambda bh, t, iq_m, ikv_m, f_m: (
-                    bh, iq_m[batch_index(bh), t], 0
+                    bh, iq_m[batch_index(bh) * T + t], 0
                 ),
             )
             k_spec = pl.BlockSpec(
                 (hb_kv, block_kv, d_pad),
                 lambda bh, t, iq_m, ikv_m, f_m: (
                     (bh if hb > 1 or group == 1 else kv_head_index(bh)),
-                    ikv_m[batch_index(bh), t],
+                    ikv_m[batch_index(bh) * T + t],
                     0,
                 ),
             )
             o_spec = pl.BlockSpec(
                 (hb, block_q, d_pad),
                 lambda bh, t, iq_m, ikv_m, f_m: (
-                    bh, iq_m[batch_index(bh), t], 0
+                    bh, iq_m[batch_index(bh) * T + t], 0
                 ),
             )
             lse_spec = pl.BlockSpec(
                 (hb, block_q, lse_lanes),
                 lambda bh, t, iq_m, ikv_m, f_m: (
-                    bh, iq_m[batch_index(bh), t], 0
+                    bh, iq_m[batch_index(bh) * T + t], 0
                 ),
             )
             seg_q_spec = pl.BlockSpec(
                 (1, 1, block_q),
                 lambda bh, t, iq_m, ikv_m, f_m: (
-                    batch_index(bh), 0, iq_m[batch_index(bh), t]
+                    batch_index(bh), 0, iq_m[batch_index(bh) * T + t]
                 ),
             )
             seg_kv_spec = pl.BlockSpec(
                 (1, 1, block_kv),
                 lambda bh, t, iq_m, ikv_m, f_m: (
-                    batch_index(bh), 0, ikv_m[batch_index(bh), t]
+                    batch_index(bh), 0, ikv_m[batch_index(bh) * T + t]
                 ),
             )
         else:
@@ -776,12 +790,16 @@ def _fwd_impl(
             nc_last = (
                 num_kv_blocks - 1 - jnp.argmax(nc_live[:, :, ::-1], axis=2)
             ).astype(jnp.int32)
+            # Flat prefetch arrays (proven on-chip indexing pattern).
+            nc_live = nc_live.reshape(-1)
+            nc_first = nc_first.reshape(-1)
+            nc_last = nc_last.reshape(-1)
 
         def nc_kv_block(bh, iq, ikv, *refs):
             if not packed_skip:
                 return ikv
-            b = batch_index(bh)
-            return jnp.clip(ikv, refs[1][b, iq], refs[2][b, iq])
+            bq = batch_index(bh) * num_q_blocks + iq
+            return jnp.clip(ikv, refs[1][bq], refs[2][bq])
 
         q_spec = pl.BlockSpec(
             (hb, block_q, d_pad), lambda bh, iq, ikv, *r: (bh, iq, 0)
@@ -898,6 +916,8 @@ def _fwd_impl(
             packed=packed_skip,
             packed_hb=hb,
             packed_heads=num_q_heads,
+            packed_T=num_steps if tri else 0,
+            nc_nq=num_q_blocks,
         )
 
     def make_wrapped(
