@@ -32,6 +32,12 @@ from __future__ import annotations
 
 import functools
 import math
+import os
+
+# A/B switch for the diagonal final-step fusion (default on); used to
+# measure the fused vs scratch-merge diagonal in ONE process, where timing
+# is stable (inter-process drift on this chip is +-10-15%).
+_DIAG_FUSE = os.environ.get("FA_DIAG_FUSE", "1") != "0"
 
 import jax
 import jax.numpy as jnp
@@ -384,6 +390,14 @@ def _fwd_kernel(
         # ~1/(2n) for n = block_q / diag_subtile sub-blocks — the fix for
         # the reference-style full-tile diagonal cost its fixed-BLOCK_N CTA
         # tiling could never avoid (flash_attention.cu:620-661).
+        #
+        # FINAL-STEP FUSION: under the enable conditions the diagonal block
+        # is provably the LAST kv step of its q row (kv ascends and the
+        # block-aligned diagonal straddles every last block), so each
+        # sub-block merges the online state ONCE and writes the normalized
+        # output directly — no m/l/acc scratch writes, no separate epilogue
+        # pass re-reading 3 fp32 scratch tiles (measured before fusion: diag
+        # steps ran at ~58% of interior per-live-FLOP efficiency).
         @pl.when(jnp.logical_not(is_diag))
         def _interior():
             _online_body(masked=False)
@@ -425,23 +439,63 @@ def _fwd_kernel(
                 m_i = jnp.maximum(
                     jnp.max(s, axis=-1, keepdims=True) * scale2, M_FLOOR
                 )  # [hb, w, 1]
-                m_prev = m_scr[:, rows, :]  # [hb, w, LANES]
-                m_next = jnp.maximum(m_prev, m_i)
-                alpha = jnp.exp2(m_prev - m_next)
-                p = jnp.exp2(s * scale2 - m_next[:, :, :1])
-                l_next = alpha * l_scr[:, rows, :] + jnp.sum(
-                    p, axis=-1, keepdims=True
-                )
-                m_scr[:, rows, :] = m_next
-                l_scr[:, rows, :] = l_next
                 vi = jax.lax.slice_in_dim(v, 0, width, axis=1)
-                pv = jax.lax.dot_general(
-                    p.astype(vi.dtype), vi, (((2,), (1,)), ((0,), (0,))),
-                    preferred_element_type=jnp.float32,
-                )  # [hb, w, d]
-                acc_scr[:, rows, :] = (
-                    acc_scr[:, rows, :] * alpha[:, :, :1] + pv
-                )
+                if _DIAG_FUSE:
+                    # Minimal delta from the scratch-merge path: identical
+                    # math and layouts (LANES-wide stats, post-PV normalize
+                    # over d lanes — a width-wide p*inv prescale measured
+                    # 10-15% SLOWER here), but the merged rows go straight
+                    # to o_ref: no m/l/acc scratch writes, no epilogue pass
+                    # re-reading three fp32 scratch tiles.
+                    m_prev = m_scr[:, rows, :]  # [hb, w, LANES]
+                    m_next = jnp.maximum(m_prev, m_i)
+                    alpha = jnp.exp2(m_prev - m_next)
+                    p = jnp.exp2(s * scale2 - m_next[:, :, :1])
+                    l_next = alpha * l_scr[:, rows, :] + jnp.sum(
+                        p, axis=-1, keepdims=True
+                    )
+                    pv = jax.lax.dot_general(
+                        p.astype(vi.dtype), vi, (((2,), (1,)), ((0,), (0,))),
+                        preferred_element_type=jnp.float32,
+                    )  # [hb, w, d]
+                    # q block 0's only step can be the diagonal (is_first
+                    # too): then m_prev = -inf gives alpha = 0 and the acc
+                    # term vanishes — the init pass ordering above
+                    # guarantees the scratch was set before this read.
+                    acc_new = acc_scr[:, rows, :] * alpha[:, :, :1] + pv
+                    l1 = l_next[:, :, :1]
+                    inv = jnp.where(l1 == 0.0, 0.0, 1.0 / l1)
+                    o_ref[:, rows, :] = (acc_new * inv).astype(o_ref.dtype)
+                    if lse_ref is not None:
+                        safe_l = jnp.where(l1 == 0.0, 1.0, l1)
+                        lse2 = jnp.where(
+                            l1 == 0.0,
+                            -jnp.inf,
+                            m_next[:, :, :1] + jnp.log2(safe_l),
+                        )
+                        lse_ref[:, rows, :] = jnp.broadcast_to(
+                            lse2, (lse2.shape[0], w, lse_ref.shape[-1])
+                        )
+                else:
+                    m_prev = m_scr[:, rows, :]  # [hb, w, LANES]
+                    m_next = jnp.maximum(m_prev, m_i)
+                    alpha = jnp.exp2(m_prev - m_next)
+                    p = jnp.exp2(s * scale2 - m_next[:, :, :1])
+                    l_next = alpha * l_scr[:, rows, :] + jnp.sum(
+                        p, axis=-1, keepdims=True
+                    )
+                    m_scr[:, rows, :] = m_next
+                    l_scr[:, rows, :] = l_next
+                    pv = jax.lax.dot_general(
+                        p.astype(vi.dtype), vi, (((2,), (1,)), ((0,), (0,))),
+                        preferred_element_type=jnp.float32,
+                    )  # [hb, w, d]
+                    acc_scr[:, rows, :] = (
+                        acc_scr[:, rows, :] * alpha[:, :, :1] + pv
+                    )
+
+        if _DIAG_FUSE:
+            return  # output written by the fused diagonal; no epilogue pass
     else:
         @pl.when(should_run)
         def _compute():

@@ -244,9 +244,25 @@ def scan_timer(
         est = max((t8 - overhead) / 8, 1e-7)
     reps_hi = _round_pow2(target_hi_s / est, 16, 8192)
     reps_lo = reps_hi // 4
-    t_lo = min(time_fn(make(reps_lo), *args, warmup=1, iters=iters, runs=runs))
-    t_hi = min(time_fn(make(reps_hi), *args, warmup=1, iters=iters, runs=runs))
-    return max((t_hi - t_lo) / (reps_hi - reps_lo), 1e-9)
+    run_lo, run_hi = make(reps_lo), make(reps_hi)
+    # Sanity-guarded slope: under host contention (another process hogging
+    # the cores that drive the tunnel) the short-scan run can time SLOWER
+    # than the long one, collapsing the slope to ~0 and reading as >1000x
+    # roofline (observed: a 274e6-TFLOPS forward row while the test suite
+    # ran concurrently). A result far below the caller's physical time
+    # model est_s cannot be real — retry, then fail loudly rather than
+    # emit fiction into the committed artifact.
+    floor = est / 20.0
+    for attempt in range(3):
+        t_lo = min(time_fn(run_lo, *args, warmup=1, iters=iters, runs=runs))
+        t_hi = min(time_fn(run_hi, *args, warmup=1, iters=iters, runs=runs))
+        per_op = (t_hi - t_lo) / (reps_hi - reps_lo)
+        if per_op > floor:
+            return per_op
+    raise RuntimeError(
+        f"scan_timer slope non-physical after 3 attempts: {per_op:.3e}s/op "
+        f"vs model {est:.3e}s (host contention?)"
+    )
 
 
 def bench_attention(
