@@ -610,6 +610,7 @@ def _bwd_fused_kernel(
     cap_out2: float | None = None,
     subtile: int = 0,
     diag_subtile: int = 0,
+    diag_offset: int | None = None,
 ):
     """ONE-pass backward: dq, dk, dv from a single score/softmax recompute.
 
@@ -618,8 +619,16 @@ def _bwd_fused_kernel(
     (dkv pass) from HBM twice. This kernel computes the transposed score
     tile once and produces all three gradients — 5 MMAs + 1 exp — at the
     cost of keeping the WHOLE-KV fp32 dk/dv accumulators resident in VMEM
-    (2 * kv_len * d * 4 bytes per head batch), which bounds the kv length
-    it dispatches for (ops/tuning.py select_bwd_block_sizes).
+    (2 * kv_len * d * 4 bytes per head batch), which bounds the kv range a
+    single call covers. Longer sequences run this kernel once per KV CHUNK
+    (flash_attention_bwd's chunked path): each chunk's dk/dv are complete,
+    dq partials are summed in fp32 — the score recompute total is unchanged
+    (each (q, kv) pair is still visited once).
+
+    diag_offset: causal alignment (kv position of q row 0, minus 0). The
+    self-attention default is kv_len - q_len (last rows aligned); the
+    chunked path passes it explicitly (the q slice for chunk c starts at
+    the chunk's first kv position, so its offset is 0).
 
     Grid: (head_blocks, q_blocks, kv_blocks); the trailing two axes are
     "arbitrary" — the dk/dv accumulators carry state across both. dq
@@ -630,7 +639,8 @@ def _bwd_fused_kernel(
     """
     iq = pl.program_id(1)
     ikv = pl.program_id(2)
-    diag_offset = kv_len - q_len
+    if diag_offset is None:
+        diag_offset = kv_len - q_len
 
     @pl.when(ikv == 0)
     def _init_dq():
@@ -920,12 +930,22 @@ def flash_attention_bwd(
 
     # Head-batching (MHA only): the dq grid batches q heads, the dkv grid kv
     # heads 1:1. GQA's per-head maps (kv_head_index / q_index walking the
-    # group) and the per-batch segment maps don't commute with head blocks.
+    # group) don't commute with head blocks. Packed sequences DO head-batch
+    # (the forward already does): segment ids are per batch row, so the only
+    # constraint is that a head block never straddles two batch rows.
     hb = max(block_sizes.block_h, 1)
-    if group > 1 or segments is not None:
+    if group > 1:
         hb = 1
+    if segments is not None:
+        while hb > 1 and num_q_heads % hb:
+            hb //= 2
     while hb > 1 and (batch * num_q_heads) % hb:
         hb //= 2
+    # Head-blocks per batch row (used only by the packed/segment index maps,
+    # where hb divides the head count by construction): the kernels' seg
+    # batch index is pid0 // hblocks_*.
+    hblocks_q = num_q_heads // hb
+    hblocks_kv = num_kv_heads // hb
 
     # delta = rowsum(dO ∘ O), fp32 — one fused elementwise+reduce pass in XLA.
     delta = jnp.sum(
@@ -1040,7 +1060,9 @@ def flash_attention_bwd(
         and window is None and segments is None
         and kv_padded == kv_len and q_pad == q_len
         and block_q == block_kv and diag_offset % block_kv == 0
-        and block_q > block_sizes.block_sub
+        # block_sub == block_q: degenerate one-sub-block form (full-width
+        # MMA + additive mask) — see the forward's matching note.
+        and block_q >= block_sizes.block_sub
         and block_q % block_sizes.block_sub == 0
         # VMEM gate mirroring the forward's (see _fwd_impl): diag sub-tiles
         # coexist with the full interior tiles; hb*block_q > 2048 rows
@@ -1064,74 +1086,151 @@ def flash_attention_bwd(
         return idx
 
     # ---------------- fused one-pass (dq + dk + dv) ----------------
-    if block_sizes.bwd_fused and group == 1 and segments is None:
-        fused_kernel = functools.partial(
-            _bwd_fused_kernel,
-            causal=causal,
-            scale=sm_scale,
-            scale2=scale2,
-            q_len=q_len,
-            kv_len=kv_len,
-            block_q=block_q,
-            block_kv=block_kv,
-            num_q_blocks=num_q_blocks,
-            num_kv_blocks=num_kv_blocks,
-            kv_pad=kv_padded != kv_len,
-            window=window,
-            softcap_in=softcap_in,
-            cap_out2=cap_out2,
-            subtile=subtile,
-            diag_subtile=diag_subtile,
+    # One call covers a KV RANGE whose fp32 dk/dv accumulators fit VMEM;
+    # longer KV runs the kernel once per chunk (each chunk's dk/dv are
+    # final; fp32 dq partials sum across chunks — every (q, kv) pair is
+    # still score-recomputed exactly once, so the MMA total is unchanged).
+    # Causal chunking also drops the q rows BEFORE a chunk (fully masked
+    # there), so later chunks stream ever-shorter q ranges.
+    fused_chunk = block_sizes.fused_kv_chunk or kv_padded
+    fused_chunk = max(block_kv, (fused_chunk // block_kv) * block_kv)
+    fused_ok = (
+        block_sizes.bwd_fused and group == 1 and segments is None
+        and (
+            fused_chunk >= kv_padded
+            # The chunked form: self-attention alignment only (the q slice
+            # for chunk c starts at the chunk's first kv position), no
+            # sliding window (its live band would need per-chunk q clamps).
+            or (causal and diag_offset == 0 and window is None
+                and q_pad == kv_padded and block_q == block_kv)
+            or not causal
         )
-        q_spec_f = pl.BlockSpec(
-            (hb, block_q, d_pad), lambda bh, iq, ikv: (bh, iq, 0)
-        )
-        kv_spec_f = pl.BlockSpec(
-            (hb, block_kv, d_pad),
-            lambda bh, iq, ikv: (bh, kv_block_index(iq, ikv), 0),
-        )
-        stat_spec_f = pl.BlockSpec(
-            (hb, 1, block_q), lambda bh, iq, ikv: (bh, 0, iq)
-        )
-        dq, dk, dv = pl.pallas_call(
-            fused_kernel,
-            grid=(batch * num_q_heads // hb, num_q_blocks, num_kv_blocks),
-            in_specs=[
-                q_spec_f, kv_spec_f, kv_spec_f, q_spec_f,
-                stat_spec_f, stat_spec_f,
-            ],
-            out_specs=[
-                pl.BlockSpec(
-                    (hb, block_q, d_pad), lambda bh, iq, ikv: (bh, iq, 0)
+    )
+    if fused_ok:
+        whole = fused_chunk >= kv_padded
+
+        def run_fused(q0: int, c0: int, c1: int, dq_dtype):
+            """One fused call: q rows [q0, q_pad) x kv rows [c0, c1)."""
+            nqb = (q_pad - q0) // block_q
+            nkb = (c1 - c0) // block_kv
+            kv_len_loc = min(kv_len - c0, c1 - c0)  # unpadded rows in chunk
+            # Whole-KV call: the standard last-rows-aligned convention.
+            # Chunked call: first-aligned — the causal q slice starts at the
+            # chunk's first kv position (the gate requires diag_offset == 0).
+            off = (kv_len - q_len) if whole else c0 - q0
+            sub = subtile if (q0 == 0 and c0 == 0 and c1 >= kv_padded) else 0
+            dsub = 0
+            if (
+                causal and not sub and block_sizes.block_sub
+                and window is None and kv_len_loc == c1 - c0
+                and q_pad == q_len and block_q == block_kv
+                and off % block_kv == 0
+                and block_q >= block_sizes.block_sub
+                and block_q % block_sizes.block_sub == 0
+                and hb * block_q <= 2048
+            ):
+                dsub = block_sizes.block_sub
+            fused_kernel = functools.partial(
+                _bwd_fused_kernel,
+                causal=causal,
+                scale=sm_scale,
+                scale2=scale2,
+                q_len=q_len - q0,
+                kv_len=kv_len_loc,
+                block_q=block_q,
+                block_kv=block_kv,
+                num_q_blocks=nqb,
+                num_kv_blocks=nkb,
+                kv_pad=kv_len_loc != c1 - c0,
+                window=window,
+                softcap_in=softcap_in,
+                cap_out2=cap_out2,
+                subtile=sub,
+                diag_subtile=dsub,
+                diag_offset=off,
+            )
+
+            def kv_idx(iq, ikv):
+                if not causal:
+                    return ikv
+                last_live = ((iq + 1) * block_q - 1 + off) // block_kv
+                return jnp.minimum(ikv, last_live)
+
+            q_spec_f = pl.BlockSpec(
+                (hb, block_q, d_pad),
+                lambda bh, iq, ikv: (bh, q0 // block_q + iq, 0),
+            )
+            kv_spec_f = pl.BlockSpec(
+                (hb, block_kv, d_pad),
+                lambda bh, iq, ikv: (
+                    bh, c0 // block_kv + kv_idx(iq, ikv), 0
                 ),
-                pl.BlockSpec(
-                    (hb, kv_padded, d_pad), lambda bh, iq, ikv: (bh, 0, 0)
+            )
+            stat_spec_f = pl.BlockSpec(
+                (hb, 1, block_q),
+                lambda bh, iq, ikv: (bh, 0, q0 // block_q + iq),
+            )
+            return pl.pallas_call(
+                fused_kernel,
+                grid=(batch * num_q_heads // hb, nqb, nkb),
+                in_specs=[
+                    q_spec_f, kv_spec_f, kv_spec_f, q_spec_f,
+                    stat_spec_f, stat_spec_f,
+                ],
+                out_specs=[
+                    pl.BlockSpec(
+                        (hb, block_q, d_pad), lambda bh, iq, ikv: (bh, iq, 0)
+                    ),
+                    pl.BlockSpec(
+                        (hb, c1 - c0, d_pad), lambda bh, iq, ikv: (bh, 0, 0)
+                    ),
+                    pl.BlockSpec(
+                        (hb, c1 - c0, d_pad), lambda bh, iq, ikv: (bh, 0, 0)
+                    ),
+                ],
+                out_shape=[
+                    jax.ShapeDtypeStruct(
+                        (batch * num_q_heads, q_pad - q0, d_pad), dq_dtype
+                    ),
+                    jax.ShapeDtypeStruct(
+                        (batch * num_kv_heads, c1 - c0, d_pad), k.dtype
+                    ),
+                    jax.ShapeDtypeStruct(
+                        (batch * num_kv_heads, c1 - c0, d_pad), v.dtype
+                    ),
+                ],
+                scratch_shapes=[
+                    pltpu.VMEM((hb, block_q, d_pad), jnp.float32),
+                    pltpu.VMEM((nkb, hb, block_kv, d_pad), jnp.float32),
+                    pltpu.VMEM((nkb, hb, block_kv, d_pad), jnp.float32),
+                ],
+                compiler_params=pltpu.CompilerParams(
+                    dimension_semantics=(
+                        "parallel", "arbitrary", "arbitrary"
+                    ),
                 ),
-                pl.BlockSpec(
-                    (hb, kv_padded, d_pad), lambda bh, iq, ikv: (bh, 0, 0)
-                ),
-            ],
-            out_shape=[
-                jax.ShapeDtypeStruct(
-                    (batch * num_q_heads, q_pad, d_pad), q.dtype
-                ),
-                jax.ShapeDtypeStruct(
-                    (batch * num_kv_heads, kv_padded, d_pad), k.dtype
-                ),
-                jax.ShapeDtypeStruct(
-                    (batch * num_kv_heads, kv_padded, d_pad), v.dtype
-                ),
-            ],
-            scratch_shapes=[
-                pltpu.VMEM((hb, block_q, d_pad), jnp.float32),
-                pltpu.VMEM((num_kv_blocks, hb, block_kv, d_pad), jnp.float32),
-                pltpu.VMEM((num_kv_blocks, hb, block_kv, d_pad), jnp.float32),
-            ],
-            compiler_params=pltpu.CompilerParams(
-                dimension_semantics=("parallel", "arbitrary", "arbitrary"),
-            ),
-            interpret=interpret,
-        )(qq, kk, vv, dodo, lse_row, delta_row)
+                interpret=interpret,
+            )(qq, kk, vv, dodo, lse_row, delta_row)
+
+        if fused_chunk >= kv_padded:
+            dq, dk, dv = run_fused(0, 0, kv_padded, q.dtype)
+        else:
+            # Chunked: fp32 dq partial sum (bf16 partial rounding would
+            # stack across chunks), dk/dv chunks concatenate.
+            dq_acc = jnp.zeros(
+                (batch * num_q_heads, q_pad, d_pad), jnp.float32
+            )
+            dk_parts, dv_parts = [], []
+            for c0 in range(0, kv_padded, fused_chunk):
+                c1 = min(c0 + fused_chunk, kv_padded)
+                q0 = c0 if causal else 0
+                dq_c, dk_c, dv_c = run_fused(q0, c0, c1, jnp.float32)
+                dq_acc = dq_acc.at[:, q0:].add(dq_c)
+                dk_parts.append(dk_c)
+                dv_parts.append(dv_c)
+            dq = dq_acc.astype(q.dtype)
+            dk = jnp.concatenate(dk_parts, axis=1)
+            dv = jnp.concatenate(dv_parts, axis=1)
         dq = dq[:, :q_len, :head_dim].reshape(
             batch, num_q_heads, q_len, head_dim
         )
@@ -1166,7 +1265,7 @@ def flash_attention_bwd(
         # dead prefix/suffix re-issues no DMA (compute is gated in-kernel).
         idx = kv_block_index(iq, ikv)
         if packed:
-            bq = (bh // num_q_heads) * num_q_blocks + iq
+            bq = (bh // hblocks_q) * num_q_blocks + iq
             idx = jnp.clip(idx, refs[1][bq], refs[2][bq])
         return idx
 
@@ -1203,12 +1302,12 @@ def flash_attention_bwd(
         dq_in_specs += [
             pl.BlockSpec(
                 (1, 1, block_q),
-                lambda bh, iq, ikv, *r: (bh // num_q_heads, 0, iq),
+                lambda bh, iq, ikv, *r: (bh // hblocks_q, 0, iq),
             ),
             pl.BlockSpec(
                 (1, 1, block_kv),
                 lambda bh, iq, ikv, *r: (
-                    bh // num_q_heads, 0, dq_kv_block(bh, iq, ikv, *r)
+                    bh // hblocks_q, 0, dq_kv_block(bh, iq, ikv, *r)
                 ),
             ),
         ]
@@ -1222,7 +1321,7 @@ def flash_attention_bwd(
                 dq_base(
                     q_r, k_r, v_r, do_r, lse_r, d_r, dq_r, acc,
                     seg_refs=(sq_r, skv_r),
-                    seg_live_ref=live_r, seg_heads=num_q_heads,
+                    seg_live_ref=live_r, seg_heads=hblocks_q,
                     seg_nq=num_q_blocks, seg_nkv=num_kv_blocks,
                 )
         else:
@@ -1307,7 +1406,7 @@ def flash_attention_bwd(
         # dead prefix/suffix re-issues no DMA (compute is gated in-kernel).
         iq = q_block_index(ikv, t)
         if packed:
-            bk = (bkv // num_kv_heads) * num_kv_blocks + ikv
+            bk = (bkv // hblocks_kv) * num_kv_blocks + ikv
             iq = jnp.clip(iq, refs[1][bk], refs[2][bk])
         return iq
 
@@ -1354,12 +1453,12 @@ def flash_attention_bwd(
             pl.BlockSpec(
                 (1, 1, block_q),
                 lambda bkv, ikv, t, *r: (
-                    bkv // num_kv_heads, 0, dkv_q_block(bkv, ikv, t, *r)
+                    bkv // hblocks_kv, 0, dkv_q_block(bkv, ikv, t, *r)
                 ),
             ),
             pl.BlockSpec(
                 (1, 1, block_kv),
-                lambda bkv, ikv, t, *r: (bkv // num_kv_heads, 0, ikv),
+                lambda bkv, ikv, t, *r: (bkv // hblocks_kv, 0, ikv),
             ),
         ]
         dkv_inputs += [seg_q, seg_kv]
@@ -1372,7 +1471,7 @@ def flash_attention_bwd(
                 dkv_base(
                     q_r, k_r, v_r, do_r, lse_r, d_r, dk_r, dv_r, dks, dvs,
                     seg_refs=(sq_r, skv_r),
-                    seg_live_ref=live_r, seg_heads=num_kv_heads,
+                    seg_live_ref=live_r, seg_heads=hblocks_kv,
                     seg_nq=num_q_blocks, seg_nkv=num_kv_blocks,
                 )
         else:

@@ -933,7 +933,11 @@ def _fwd_impl(
         and window is None and segments is None
         and kv_padded == kv_len and q_pad == q_len
         and block_q == block_kv and diag_offset % block_kv == 0
-        and block_q > block_sizes.block_sub
+        # block_sub == block_q is the degenerate one-sub-block form: one
+        # full-width MMA with the precomputed additive mask + the fused
+        # normalized write (no scratch epilogue) — worth sweeping against
+        # the finer widths because each sub-block pays VPU fixed costs.
+        and block_q >= block_sizes.block_sub
         and block_q % block_sizes.block_sub == 0
         # VMEM gate: the diag branch's sub-tiles live alongside the interior
         # branch's full score tile and the hb-scaled (m, l, acc) scratch;
@@ -1243,6 +1247,7 @@ def flash_attention(
     res_block_sizes = select_block_sizes(
         min(q_len, kv_len), causal=causal, head_dim=head_dim,
         save_residuals=True, group=group, kv_seq=kv_len,
+        windowed=sliding_window is not None,
     )
     if block_sizes is None:
         # The window mask's compare tiles and the softcap's tanh temporary,
@@ -1256,6 +1261,7 @@ def flash_attention(
                 or logit_softcap is not None
             ),
             group=group, kv_seq=kv_len,
+            windowed=sliding_window is not None,
         )
     else:
         # An explicit override governs BOTH forward paths: a caller who
@@ -1265,7 +1271,9 @@ def flash_attention(
         res_block_sizes = block_sizes
     if bwd_block_sizes is None:
         bwd_block_sizes = select_bwd_block_sizes(
-            min(q_len, kv_len), causal=causal, head_dim=head_dim
+            min(q_len, kv_len), causal=causal, head_dim=head_dim,
+            group=group, packed=segments is not None,
+            windowed=sliding_window is not None, cross=q_len != kv_len,
         )
 
     if save_residuals:

@@ -18,9 +18,9 @@ head-batching (block_q, block_kv, block_h):
   768      (384,768,h4)    154.4 TF         (768,768,h8,sub128)     105 TF
   1024     (1024,1024,h2)  164.1 TF         (1024,1024,h4,sub256)   119 TF
   2048     (512,2048,h2)   161.4 TF         (2048,2048,h2,sub256)   137 TF
-  4096     (1024,1024,h2)  160.8 TF         (1024,1024,h2) 125.2 TF
-  8192     (1024,1024,h2)  169.9 TF         (1024,1024,h2) 137.7 TF
-  16384    (1024,1024,h2)  171.2 TF         (1024,1024,h2) 149.3 TF
+  4096     (1024,1024,h2)  160.8 TF         (1024,1024,h2,sub512)  133.5 TF
+  8192     (1024,1024,h2)  169.9 TF         (1024,1024,h2,sub256)  142 TF
+  16384    (1024,1024,h2)  171.2 TF         (1024,1024,h2,sub256)  156 TF
 
 (v5e bf16 peak 197 TF => non-causal long-seq is ~87% of roofline. The
 single-tile rows use the kernel's single-step specialization — plain softmax
@@ -66,12 +66,18 @@ class BlockSizes:
     # Backward only: run the FUSED one-pass backward kernel (dq + dk + dv
     # from ONE score/softmax recompute per block pair — 5 MMAs + 1 exp vs
     # the two-pass kernels' 9 + 2, and K/V+Q/dO stream once instead of
-    # twice). Requires whole-KV fp32 dk/dv accumulators in VMEM
-    # (2*kv_len*d*4 bytes per head-batch), so only moderate kv lengths fit;
-    # MHA without packed segments only. OFF by default — select_bwd_block_sizes
-    # never sets it pending the on-chip sweep; opt in via
-    # BlockSizes(..., bwd_fused=True).
+    # twice). Requires whole-KV-RANGE fp32 dk/dv accumulators in VMEM
+    # (2*range*d*4 bytes per head-batch); kv lengths beyond fused_kv_chunk
+    # run the kernel once per KV chunk (each chunk's dk/dv complete, fp32
+    # dq partials summed — the score-recompute total is unchanged). MHA
+    # without packed segments only. v5e sweep 2026-08-19 (one process):
+    # causal 2048 117.1 -> 137.6 eff-TF (h2 sub128), 4096 111.6 -> 135.7
+    # (h1 sub256), 1024 95.1 -> 121.7.
     bwd_fused: bool = False
+    # Max KV rows covered by ONE fused call (0 = whole KV in one call). The
+    # fp32 dk/dv accumulators are 2*chunk*d*4*block_h bytes: 4096 rows at
+    # d=128 h1 is 4.2 MB — the VMEM sweet spot measured on v5e.
+    fused_kv_chunk: int = 0
     # Forward: keep head_dim=64 UN-padded (block minor dim 64 = the full
     # array dim, which Mosaic accepts) instead of zero-padding to 128 in HBM.
     # Halves Q/K/V/O HBM bytes and VMEM footprint for GPT-2-class models;
@@ -113,7 +119,7 @@ def _ceil_to(x: int, m: int) -> int:
 
 def select_block_sizes(
     seq: int, *, causal: bool, head_dim: int = 128, save_residuals: bool = False,
-    group: int = 1, kv_seq: int | None = None,
+    group: int = 1, kv_seq: int | None = None, windowed: bool = False,
 ) -> BlockSizes:
     """Pick forward block sizes for a (seq, causal, residuals, group) config.
 
@@ -128,6 +134,7 @@ def select_block_sizes(
     bs = _select_fwd_raw(
         seq, causal=causal, head_dim=head_dim,
         save_residuals=save_residuals, group=group, kv_seq=kv_seq,
+        windowed=windowed,
     )
     if group > 1 and bs.block_h > 1 and bs.block_h % group:
         bs = dataclasses.replace(bs, block_h=1)
@@ -136,7 +143,7 @@ def select_block_sizes(
 
 def _select_fwd_raw(
     seq: int, *, causal: bool, head_dim: int = 128, save_residuals: bool = False,
-    group: int = 1, kv_seq: int | None = None,
+    group: int = 1, kv_seq: int | None = None, windowed: bool = False,
 ) -> BlockSizes:
     """Raw (seq, causal, residuals) tier table.
 
@@ -153,6 +160,17 @@ def _select_fwd_raw(
         # Tuned at head_dim=128; larger heads scale the VMEM accumulators, so
         # fall back to unbatched heads rather than risk scoped-VMEM OOM.
         return BlockSizes(block_q=min(1024, pad_seq), block_kv=min(1024, pad_seq))
+    if windowed and causal:
+        # A sliding window disables the superblock sub-tiling (its live range
+        # is not a KV prefix), so the single-KV-block tiers would degenerate
+        # into one giant masked single-step score tile (33 MB fp32 at 2048 —
+        # a compile-time VMEM cliff caught by tools/compile_check.py).
+        # Stream KV in 1024-row blocks through the tri grid's window-aware
+        # enumeration instead, and keep the broadcast LSE (narrow stores plus
+        # window mask temporaries also failed the standalone gate).
+        return BlockSizes(
+            block_q=min(512, pad_seq), block_kv=min(1024, pad_seq), block_h=2
+        )
     if kv_seq is not None and _ceil_to(kv_seq, 128) > 2 * pad_seq:
         # Chunked prefill / cross attention: kv much longer than q, so the
         # short-seq single-superblock configs keyed on min(q, kv) don't
@@ -202,14 +220,25 @@ def _select_fwd_raw(
                     block_q=pad_seq, block_kv=pad_seq, block_h=4, block_sub=128
                 )
             if pad_seq <= 2048:
+                # lse_narrow (1-lane LSE output) verified on-chip 2026-08-19:
+                # the fused-bwd train row moves 137.6 -> 143.5 eff-TF with
+                # it. At <= 1024 it measured level-to-slightly-worse
+                # (121.5 -> 120.3), so only the 2048 tier and the streaming
+                # long-seq tiers below take it.
                 sub = 256 if pad_seq % 256 == 0 else 128
                 return BlockSizes(
-                    block_q=pad_seq, block_kv=pad_seq, block_h=2, block_sub=sub
+                    block_q=pad_seq, block_kv=pad_seq, block_h=2,
+                    block_sub=sub, lse_narrow=True,
                 )
-            return BlockSizes(block_q=512, block_kv=1024, block_h=2)
+            return BlockSizes(
+                block_q=512, block_kv=1024, block_h=2, lse_narrow=True
+            )
         if pad_seq <= 768:
             return BlockSizes(block_q=pad_seq, block_kv=pad_seq, block_h=2)
-        return BlockSizes(block_q=512, block_kv=min(1024, pad_seq), block_h=2)
+        return BlockSizes(
+            block_q=512, block_kv=min(1024, pad_seq), block_h=2,
+            lse_narrow=pad_seq > 2048,
+        )
     if causal:
         # Single-superblock sub-tiled configs (block_sub, v5e sweep
         # 2026-08-17): per-128-row live-prefix MMAs cut masked-region MXU
@@ -236,15 +265,19 @@ def _select_fwd_raw(
             return BlockSizes(
                 block_q=pad_seq, block_kv=pad_seq, block_h=2, block_sub=sub
             )
-        # Multi-block tri grid with DIAG sub-tiling (v5e sweep 2026-08-17):
-        # the diagonal step runs live-prefix sub-MMAs merged into the online
-        # state, interior steps are mask-free. 4096: 121.2 -> 134.2 TF;
-        # 8192: 142.0 -> 149.8; 16384: 150.6 -> 157.4. (The ~7 min "slow
-        # compiles" observed at 4096 during the sweep were the remote
-        # compile helper's cold start — the first big Mosaic compile of a
-        # session pays it regardless of config; warm compiles run ~3-16 s.)
+        # Multi-block tri grid with DIAG sub-tiling: the diagonal step runs
+        # live-prefix sub-MMAs merged into the online state, interior steps
+        # are mask-free. Diag width re-swept 2026-08-19 in ONE process
+        # (inter-process drift on this chip is +-8-15%; only same-process
+        # orderings are trusted): 4096 sub512 133.5 TF vs sub256 124.3 vs
+        # sub1024 123.7 — wider sub-blocks pay less per-diag-step VPU fixed
+        # cost until the executed-MXU waste (1.25x live at sub512, 1.5x at
+        # sub1024 on a 1024 block) overtakes. 8192/16K orderings were inside
+        # the +-2% noise (8192: 142.5/139.7/136.9 for sub1024/128/512; 16K:
+        # 156.3/154.8/154.4 for 256/1024/512), so long seqs keep sub256.
+        sub = 512 if pad_seq <= 4096 else 256
         return BlockSizes(
-            block_q=1024, block_kv=1024, block_h=2, block_sub=256
+            block_q=1024, block_kv=1024, block_h=2, block_sub=sub
         )
     # Non-causal (v5e re-sweep 2026-08-17, after the pre-PV normalize and the
     # no-scratch single-KV-block specialization): 512 (512,512,h4) 142 TF,
@@ -265,27 +298,83 @@ def _select_fwd_raw(
     return BlockSizes(block_q=1024, block_kv=1024, block_h=2)
 
 
-def select_bwd_block_sizes(seq: int, *, causal: bool, head_dim: int = 128) -> BlockSizes:
-    """Block sizes for the backward (dq / dkv) kernels.
+def select_bwd_block_sizes(
+    seq: int, *, causal: bool, head_dim: int = 128, group: int = 1,
+    packed: bool = False, windowed: bool = False, cross: bool = False,
+) -> BlockSizes:
+    """Block sizes for the backward kernels.
 
-    The backward holds more live fp32 tiles than the forward (score tile,
-    dP tile, dS tile, two accumulators), so blocks are capped well below the
-    forward's. v5e sweeps (fwd+bwd eff-TF at b=1, h=32, d=128):
+    MHA unpacked self-attention dispatches the FUSED one-pass backward
+    (dq + dk + dv from one score recompute; KV-chunked past 4096 rows so
+    the fp32 dk/dv accumulators fit VMEM). v5e sweep 2026-08-19, fwd+bwd
+    eff-TF at b=1, h=32, d=128 (two-pass dispatch -> fused winner):
 
-      * causal <= 2048: single-superblock sub-tiled form (block_sub — the
-        forward's trick in both bwd kernels: live-prefix MMAs for dq,
-        live-suffix for dkv), now head-batched: (2048,2048,h2,sub128) 113.9
-        vs 112.7 at h1. (h4 superblocks exceed scoped VMEM.)
-      * causal > 2048: tri grid with DIAG sub-tiling + head batching —
-        (512,512,h4,sub128) 114.3 eff-TF @8K vs 96.1 for the round-2
-        (512,512,h1) masked tri. ((1024,1024) diag blocks OOM at h2; h1
-        measures 113.5.)
-      * non-causal long: head batching alone — (512,512,h4) 134.2 @8K vs
-        122.9 at h1.
-      * non-causal <= 4096 keeps the single-KV-block forms (whole KV range
-        resident per step, Q/dO streaming).
+      causal:  512 65.1 -> 91.7 (h8 sub128); 1024 95.1 -> 121.5 (h2
+      sub128); 2048 117.1 -> 143.5 (h2 sub128 + narrow-LSE resfwd); 4096
+      111.6 -> 135.7 (1024x1024 h1 sub256); 8192 114.1 -> 123.6 (512x512
+      h1 sub128, kv-chunk 4096 — the 1024-block variant OOMs chunked).
+      non-causal: 2048 133.2 -> 161.5; 4096 131.5 -> 171.1; 8192 134.4 ->
+      165.9; 16384 -> 168.4 (all 512x1024 h1, kv-chunk 4096 past 4096).
+
+    The fused kernel needs group == 1 and unpacked rows; past the chunk
+    size it also needs plain causal self-attention (no window, no q/kv
+    length mismatch). Callers pass those facts so GQA / packed / windowed
+    configs keep the two-pass-tuned tiers:
+
+      * causal two-pass <= 2048: single-superblock sub-tiled, head-batched
+        ((2048,2048,h2,sub128) 113.9 vs 112.7 at h1).
+      * causal two-pass > 2048: tri grid with diag sub-tiling + head
+        batching — (512,512,h4,sub128) 114.3 eff-TF @8K.
+      * non-causal two-pass: single-KV-block forms to 4096, (512,512,h4)
+        head-batched beyond.
     """
     pad_seq = _ceil_to(seq, 128)
+    fused_ok = group == 1 and not packed and head_dim <= 128
+    if windowed or cross:
+        # Two-pass tiers for sliding windows and q/kv length mismatches:
+        # the fused superblock configs below would materialize window-less
+        # full score tiles (window disables their sub-tiling) or whole-KV
+        # accumulators keyed on the SHORTER side (cross attention keys seq
+        # on min(q, kv) while the accumulators scale with kv). Both are
+        # VMEM cliffs; neither shape is a training hot path.
+        fused_ok = False
+    if windowed and causal:
+        # The superblock/diag sub-tiled two-pass tiers below also assume no
+        # window (the kernels disable sub-tiling under one, leaving full
+        # masked tiles — a 33 MB score tile at 2048, compile-gate verified).
+        # Streaming blocks with in-kernel band masks instead.
+        if pad_seq <= 2048:
+            return BlockSizes(block_q=256, block_kv=min(1024, pad_seq))
+        return BlockSizes(block_q=512, block_kv=512)
+    if fused_ok:
+        if causal:
+            if pad_seq <= 512:
+                return BlockSizes(pad_seq, pad_seq, 8, 128, bwd_fused=True)
+            if pad_seq <= 2048:
+                return BlockSizes(pad_seq, pad_seq, 2, 128, bwd_fused=True)
+            if pad_seq <= 4096:
+                # The whole-KV (1024,1024,h1,sub256) form measured 135.7 in
+                # the scan wrapper but FAILS the standalone compile gate
+                # (the scan shares ~1 MB of buffers); chunking the KV range
+                # halves the fp32 accumulators and passes standalone at an
+                # equal 136.3 eff-TF (+22% over the two-pass 111.6).
+                return BlockSizes(
+                    1024, 1024, 1, 256, bwd_fused=True, fused_kv_chunk=2048
+                )
+            # Chunked: (512,512,h2,k2048) 129.5 eff-TF @8K vs 123.6 for
+            # (512,512,h1,k4096); 16K measured 130.1 with the h1 form.
+            return BlockSizes(
+                512, 512, 2, 128, bwd_fused=True, fused_kv_chunk=2048
+            )
+        if pad_seq <= 512:
+            return BlockSizes(pad_seq, pad_seq, 2, bwd_fused=True)
+        if pad_seq <= 1024:
+            return BlockSizes(pad_seq, pad_seq, 1, bwd_fused=True)
+        if pad_seq <= 4096:
+            return BlockSizes(512, 1024, 1, bwd_fused=True)
+        return BlockSizes(
+            512, 1024, 1, bwd_fused=True, fused_kv_chunk=4096
+        )
     if causal and 128 < pad_seq <= 2048 and pad_seq % 128 == 0:
         return BlockSizes(
             block_q=pad_seq, block_kv=pad_seq, block_h=2, block_sub=128

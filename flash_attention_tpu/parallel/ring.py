@@ -233,7 +233,9 @@ def _pair_bwd(q_c, k_c, v_c, o_c, lse_c, do_c, *, causal, sm_scale,
 
     interpret = jax.default_backend() != "tpu"
     bs = bwd_block_sizes or select_bwd_block_sizes(
-        min(q_c.shape[2], k_c.shape[2]), causal=causal
+        min(q_c.shape[2], k_c.shape[2]), causal=causal,
+        group=q_c.shape[1] // k_c.shape[1],
+        cross=q_c.shape[2] != k_c.shape[2],
     )
     return flash_attention_bwd(
         q_c, k_c, v_c, o_c, lse_c, do_c,

@@ -168,6 +168,16 @@ FUSED_CASES = [
     (1, 2, 512, 512, True, BlockSizes(512, 512, 1, 128, bwd_fused=True)),
     # Multi-block causal diag sub-tiling inside the fused kernel.
     (1, 2, 1024, 1024, True, BlockSizes(256, 256, 1, 128, bwd_fused=True)),
+    # KV-CHUNKED fused: one fused call per KV chunk (fp32 dq partial sum,
+    # per-chunk dk/dv), causal and not, with a padded tail chunk.
+    (1, 2, 512, 512, True,
+     BlockSizes(128, 128, 1, 0, bwd_fused=True, fused_kv_chunk=256)),
+    (1, 2, 768, 768, True,
+     BlockSizes(256, 256, 1, 128, bwd_fused=True, fused_kv_chunk=256)),
+    (1, 2, 512, 512, False,
+     BlockSizes(128, 128, 2, 0, bwd_fused=True, fused_kv_chunk=256)),
+    (1, 2, 448, 448, False,  # ragged: pad lands in the last chunk
+     BlockSizes(128, 128, 1, 0, bwd_fused=True, fused_kv_chunk=256)),
 ]
 
 

@@ -38,7 +38,10 @@ def test_forward_configs_are_well_formed(causal, group, seq, save_residuals):
     # Head batching must engage as specified, not silently degrade.
     assert bs.block_h % group == 0 or bs.block_h == 1
     if bs.block_sub:  # 0 = off
-        assert bs.block_sub in (128, 256)
+        # Sub-tile width must be 128-aligned and tile block_q exactly
+        # (block_sub == block_q is the degenerate one-sub-block form).
+        assert bs.block_sub % 128 == 0
+        assert bs.block_q % bs.block_sub == 0
         # Sub-tiling only applies to causal forms.
         assert causal
 

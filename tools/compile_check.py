@@ -133,7 +133,8 @@ def part_resid():
 
 
 def part_bwd():
-    for seq in (512, 1024, 2048, 4096, 8192):
+    # 16384 exercises the chunked fused backward (4 KV chunks).
+    for seq in (512, 1024, 2048, 4096, 8192, 16384):
         for causal in (False, True):
             q, k, v = qkv_avals(1, 32, seq, 128)
 

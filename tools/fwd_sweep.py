@@ -36,6 +36,15 @@ BATCH, HEADS, HEAD_DIM = 1, 32, 128
 
 # (label, seq, block_sizes or None=dispatch). All causal.
 SWEEP = [
+    # Round-4 diag-width sweep: sub == block_q is the full-width additive-
+    # mask fused diagonal (ONE wide MMA; ~50% diag MXU waste but minimal VPU
+    # fixed costs), finer subs trade MXU waste for per-sub-block overhead.
+    ("4096 (1024,1024,h2,sub512)", 4096, BlockSizes(1024, 1024, 2, 512)),
+    ("4096 (1024,1024,h2,sub1024)", 4096, BlockSizes(1024, 1024, 2, 1024)),
+    ("8192 (1024,1024,h2,sub512)", 8192, BlockSizes(1024, 1024, 2, 512)),
+    ("8192 (1024,1024,h2,sub1024)", 8192, BlockSizes(1024, 1024, 2, 1024)),
+    ("16384 (1024,1024,h2,sub512)", 16384, BlockSizes(1024, 1024, 2, 512)),
+    ("16384 (1024,1024,h2,sub1024)", 16384, BlockSizes(1024, 1024, 2, 1024)),
     ("4096 dispatch (1024,1024,h2,sub256)", 4096, None),
     ("4096 (1024,1024,h2,sub128)", 4096, BlockSizes(1024, 1024, 2, 128)),
     ("4096 (1024,1024,h1,sub256)", 4096, BlockSizes(1024, 1024, 1, 256)),
@@ -57,22 +66,51 @@ SWEEP = [
     ("768 tri (256,256,h8,sub128)", 768, BlockSizes(256, 256, 8, 128)),
     ("512 dispatch (512,512,h8,sub128)", 512, None),
     ("512 tri (256,256,h8,sub128)", 512, BlockSizes(256, 256, 8, 128)),
+    # Round-4 batch 2 (indices 27+): superblock sub widths at short seqs,
+    # 8192 diag-width re-confirmation, GQA diag-subtile candidates.
+    ("2048 super (2048,2048,h2,sub512)", 2048, BlockSizes(2048, 2048, 2, 512)),
+    ("1024 super (1024,1024,h4,sub512)", 1024, BlockSizes(1024, 1024, 4, 512)),
+    ("768 super (768,768,h8,sub256)", 768, BlockSizes(768, 768, 8, 256)),
+    ("768 super (768,768,h8,sub384)", 768, BlockSizes(768, 768, 8, 384)),
+    ("512 super (512,512,h8,sub256)", 512, BlockSizes(512, 512, 8, 256)),
+    ("8192 re (1024,1024,h2,sub256)", 8192, BlockSizes(1024, 1024, 2, 256)),
+    ("8192 re (1024,1024,h2,sub512)", 8192, BlockSizes(1024, 1024, 2, 512)),
+    ("8192 re (1024,1024,h2,sub1024)", 8192, BlockSizes(1024, 1024, 2, 1024)),
+    ("16384 re (1024,1024,h2,sub256)", 16384, BlockSizes(1024, 1024, 2, 256)),
+    ("16384 re (1024,1024,h2,sub1024)", 16384, BlockSizes(1024, 1024, 2, 1024)),
+]
+
+# GQA candidates (32 q heads / 8 kv heads), causal: the dispatched
+# (512,1024,h4) tri is masked full-tile on its diagonal; diag-subtiled
+# square blocks may beat it. (label, seq, block_sizes or None).
+GQA_SWEEP = [
+    ("gqa8192 dispatch (512,1024,h4)", 8192, None),
+    ("gqa8192 (512,512,h4,sub128)", 8192, BlockSizes(512, 512, 4, 128)),
+    ("gqa8192 (512,512,h4,sub256)", 8192, BlockSizes(512, 512, 4, 256)),
+    ("gqa8192 (512,512,h4,sub512)", 8192, BlockSizes(512, 512, 4, 512)),
+    ("gqa8192 (1024,1024,h4,sub512)", 8192, BlockSizes(1024, 1024, 4, 512)),
 ]
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--configs", default=None)
+    ap.add_argument("--gqa", action="store_true",
+                    help="run GQA_SWEEP instead of SWEEP")
     args = ap.parse_args()
+    table = GQA_SWEEP if args.gqa else SWEEP
     idxs = (
         [int(i) for i in args.configs.split(",")]
-        if args.configs else range(len(SWEEP))
+        if args.configs else range(len(table))
     )
     peak = detect_mxu_peak_tflops()
     print(f"peak {peak} TF", file=sys.stderr, flush=True)
     for i in idxs:
-        label, seq, bs = SWEEP[i]
-        q, k, v = make_qkv(0, BATCH, HEADS, seq, HEAD_DIM)
+        label, seq, bs = table[i]
+        q, k, v = make_qkv(
+            0, BATCH, HEADS, seq, HEAD_DIM,
+            num_kv_heads=8 if args.gqa else HEADS,
+        )
         fn = lambda q, k, v: flash_attention(
             q, k, v, causal=True, block_sizes=bs
         )

@@ -119,6 +119,87 @@ SWEEP = [
     ("nc4096 dispatch", 4096, False, None, None),
     ("nc4096 fused 512x1024 h1", 4096, False, None,
      BlockSizes(512, 1024, 1, bwd_fused=True)),
+    # Round-4 additions: diag-subtiled RESIDUALS forward at causal 8192 (the
+    # dispatched (512,1024,h2) residuals config runs a masked tri with no
+    # diag sub-tiling — the grad-path forward is ~1/3 of train time), and
+    # backward diag widths.
+    ("c8192 resfwd (1024,1024,h2,sub256) narrow", 8192, True,
+     BlockSizes(1024, 1024, 2, 256, lse_narrow=True), None),
+    ("c8192 resfwd (1024,1024,h1,sub256)", 8192, True,
+     BlockSizes(1024, 1024, 1, 256), None),
+    ("c8192 resfwd (512,512,h4,sub128)", 8192, True,
+     BlockSizes(512, 512, 4, 128), None),
+    ("c8192 bwd (512,512,h4,sub256)", 8192, True, None,
+     BlockSizes(512, 512, 4, 256)),
+    ("c8192 bwd (512,512,h4,sub512)", 8192, True, None,
+     BlockSizes(512, 512, 4, 512)),
+    ("c8192 bwd (512,512,h8,sub128)", 8192, True, None,
+     BlockSizes(512, 512, 8, 128)),
+    ("c2048 bwd super sub256", 2048, True, None,
+     BlockSizes(2048, 2048, 2, 256)),
+    ("c2048 bwd super sub512", 2048, True, None,
+     BlockSizes(2048, 2048, 2, 512)),
+    # Round-4 batch 4 (37+): CHUNKED fused backward at 8192/16K (whole-KV
+    # fp32 accumulators don't fit; per-4096-chunk they do), nc fused at the
+    # shorter seqs, and fused x narrow-lse combos.
+    ("c8192 fusedchunk 1024x1024 h1 sub256 k4096", 8192, True, None,
+     BlockSizes(1024, 1024, 1, 256, bwd_fused=True, fused_kv_chunk=4096)),
+    ("c8192 fusedchunk 512x512 h1 sub128 k4096", 8192, True, None,
+     BlockSizes(512, 512, 1, 128, bwd_fused=True, fused_kv_chunk=4096)),
+    ("c8192 fusedchunk 1024 h1 sub256 k4096 + narrow", 8192, True,
+     BlockSizes(512, 1024, 2, lse_narrow=True),
+     BlockSizes(1024, 1024, 1, 256, bwd_fused=True, fused_kv_chunk=4096)),
+    ("nc8192 fusedchunk 512x1024 h1 k4096", 8192, False, None,
+     BlockSizes(512, 1024, 1, bwd_fused=True, fused_kv_chunk=4096)),
+    ("nc8192 fusedchunk 512x1024 h1 k2048", 8192, False, None,
+     BlockSizes(512, 1024, 1, bwd_fused=True, fused_kv_chunk=2048)),
+    ("nc2048 fused 512x1024 h1", 2048, False, None,
+     BlockSizes(512, 1024, 1, bwd_fused=True)),
+    ("nc2048 fused 512x1024 h2 k1024", 2048, False, None,
+     BlockSizes(512, 1024, 2, bwd_fused=True, fused_kv_chunk=1024)),
+    ("c4096 fused 1024 h1 sub256 + narrow", 4096, True,
+     BlockSizes(512, 1024, 2, lse_narrow=True),
+     BlockSizes(1024, 1024, 1, 256, bwd_fused=True)),
+    ("c16384 fusedchunk 1024 h1 sub256 k4096", 16384, True, None,
+     BlockSizes(1024, 1024, 1, 256, bwd_fused=True, fused_kv_chunk=4096)),
+    ("nc16384 fusedchunk 512x1024 h1 k4096", 16384, False, None,
+     BlockSizes(512, 1024, 1, bwd_fused=True, fused_kv_chunk=4096)),
+    ("c1024 fused h2 sub128 + narrow", 1024, True,
+     BlockSizes(1024, 1024, 4, 128, lse_narrow=True),
+     BlockSizes(1024, 1024, 2, 128, bwd_fused=True)),
+    ("c512 fused h8 sub128 + narrow", 512, True,
+     BlockSizes(512, 512, 4, 128, lse_narrow=True),
+     BlockSizes(512, 512, 8, 128, bwd_fused=True)),
+    ("nc4096 fusedchunk 512x1024 h2 k2048", 4096, False, None,
+     BlockSizes(512, 1024, 2, bwd_fused=True, fused_kv_chunk=2048)),
+    # Round-4 batch 5 (50+): 16K causal chunked with the 512-block config
+    # that fit at 8192, and short non-causal fused candidates.
+    ("c16384 fusedchunk 512x512 h1 sub128 k4096", 16384, True, None,
+     BlockSizes(512, 512, 1, 128, bwd_fused=True, fused_kv_chunk=4096)),
+    ("nc1024 dispatch", 1024, False, None, None),
+    ("nc1024 fused 512x1024 h1", 1024, False, None,
+     BlockSizes(512, 1024, 1, bwd_fused=True)),
+    ("nc1024 fused 1024x1024 h1", 1024, False, None,
+     BlockSizes(1024, 1024, 1, bwd_fused=True)),
+    ("nc512 dispatch", 512, False, None, None),
+    ("nc512 fused 512x512 h2", 512, False, None,
+     BlockSizes(512, 512, 2, bwd_fused=True)),
+    ("nc512 fused 512x512 h4", 512, False, None,
+     BlockSizes(512, 512, 4, bwd_fused=True)),
+    ("c2048 fused 2048 h2 sub128 + narrow re", 2048, True,
+     BlockSizes(2048, 2048, 2, 256, lse_narrow=True),
+     BlockSizes(2048, 2048, 2, 128, bwd_fused=True)),
+    ("c8192 fusedchunk 512x512 h2 sub128 k2048", 8192, True, None,
+     BlockSizes(512, 512, 2, 128, bwd_fused=True, fused_kv_chunk=2048)),
+    ("c8192 fusedchunk 512 h1 sub128 k4096 + narrowfwd", 8192, True,
+     BlockSizes(512, 1024, 2, lse_narrow=True),
+     BlockSizes(512, 512, 1, 128, bwd_fused=True, fused_kv_chunk=4096)),
+    # Round-4 batch 6 (60+): standalone-safe 4096 causal fused variants
+    # (the whole-KV (1024,1024,h1,sub256) failed the compile gate).
+    ("c4096 fusedchunk 1024 h1 sub256 k2048", 4096, True, None,
+     BlockSizes(1024, 1024, 1, 256, bwd_fused=True, fused_kv_chunk=2048)),
+    ("c4096 fusedchunk 512x512 h2 sub128 k2048", 4096, True, None,
+     BlockSizes(512, 512, 2, 128, bwd_fused=True, fused_kv_chunk=2048)),
 ]
 
 
