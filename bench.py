@@ -504,20 +504,14 @@ def bench_engine(on_tpu):
         )
         for i in range(batch)
     ]
-    # Warmup: compile the prefill + decode programs on a throwaway batch,
-    # then zero the counters — the first decode step's one-time compile
-    # (~15 s) otherwise lands in the decode-phase denominator and reads as
-    # a ~4x throughput loss (measured 280 ms/step avg vs 65 ms steady).
-    # max_new=15 walks the block length through every pow2 k: remaining
-    # 15 -> k=8, 7 -> 4, 3 -> 2, 1 -> 1 (16 would decode as 8+8 and leave
-    # the tail ks uncompiled), so no k-variant compile can land in a timed
-    # run regardless of its max_new.
-    engine.run([
-        Request(id=10_000 + i, prompt=(1, 2, 3, 4) * 256, max_new_tokens=15)
-        for i in range(batch)
-    ])
-    engine.decode_tokens = 0
-    engine.decode_time_s = 0.0
+    # Warmup: engine.warmup() pre-compiles EVERY prefill-chunk horizon (a
+    # full-length synthetic prompt walks all static kv_end programs) and
+    # every pow2 decode-block length, then zeroes the counters. The round-3
+    # bench hand-rolled this with max_new=15 and 1K prompts — the remaining
+    # budget after the prefill-sampled token is max_new-1=14, which walks
+    # k through 8,4,2 only, so the k=1 compile (~21 s) landed INSIDE the
+    # timed decode phase and the row read 131 tok/s.
+    engine.warmup(prompt_len=prompt_len)
     t0 = time.perf_counter()
     engine.run(reqs)
     total = time.perf_counter() - t0

@@ -105,6 +105,58 @@ def advance_prefill(eng, slot: int, out) -> None:
         eng._on_slot_finished(slot)
 
 
+def warmup_engine(eng, *, prompt_len: int | None = None) -> None:
+    """Pre-compile EVERY program a serving run can hit, then zero counters.
+
+    One throwaway request walks both compile surfaces:
+
+      * prefill: a full-length prompt visits every chunk position, so all
+        static-kv_end prefill-chunk programs compile here (kv_end is a
+        static jit arg — each chunk horizon is its own XLA program);
+      * decode: ``max_new = 2 * decode_block_steps`` makes the remaining
+        budget walk every power-of-two block length. The budget after the
+        prefill-sampled first token is ``max_new - 1 = 2B - 1``, so blocks
+        run at k = B, B/2, ..., 2, 1 — an off-by-one here (e.g. warming
+        with max_new = 2B - 1) silently skips k=1 and its ~20 s compile
+        lands in the first PRODUCTION run's decode phase (observed as the
+        round-3 bench's 131 tok/s engine row: one 21.8 s k=1 compile inside
+        a 15 s decode window).
+
+    Safe to call more than once; later calls hit the jit caches. Counters
+    (steps, decode_tokens, decode_time_s, events) are reset so a following
+    measured run reports steady state only.
+    """
+    from flash_attention_tpu.serving.engine import Request
+
+    blk = eng.decode_block_steps
+    max_new = 2 * blk
+    cap = eng.max_seq - max_new
+    if cap < 1:
+        raise ValueError(
+            f"max_seq={eng.max_seq} leaves no room for a warmup prompt "
+            f"(needs >= {max_new + 1})"
+        )
+    plen = cap if prompt_len is None else min(prompt_len, cap)
+    plen = max(1, plen)
+    # Prefix registration during warmup would squat pool pages / pollute the
+    # prefix table with a synthetic prompt; suspend it for the throwaway run.
+    had_prefix = getattr(eng, "prefix_cache_enabled", False)
+    if had_prefix:
+        eng.prefix_cache_enabled = False
+    try:
+        # Large positive id: the C++ scheduler reserves negatives as its
+        # empty-slot sentinel (slot_request returns None for id < 0).
+        eng.run([Request(id=(1 << 62) + 41, prompt=(7,) * plen,
+                         max_new_tokens=max_new)])
+    finally:
+        if had_prefix:
+            eng.prefix_cache_enabled = True
+    eng.steps = 0
+    eng.decode_tokens = 0
+    eng.decode_time_s = 0.0
+    eng.events.clear()
+
+
 def make_decode_multi(model_cfg, decode_logits_fn):
     """Build the jitted k-step decode block for one engine.
 
@@ -148,6 +200,50 @@ def make_decode_multi(model_cfg, decode_logits_fn):
     return _decode_multi
 
 
+def retire_decode_block(eng, out) -> None:
+    """Read back the in-flight decode block (if any) and do its host-side
+    bookkeeping: append tokens, detect EOS / budget completion, finish slots.
+
+    Tokens of a slot whose request ended BEFORE this block was dispatched
+    (the pipelined overrun block) are dropped here: the dispatch-time
+    slot -> request snapshot no longer matches the scheduler's. Tokens past
+    a completion found WITHIN this block are dropped by the `finished` set,
+    as before.
+    """
+    pend = getattr(eng, "_pending_block", None)
+    if pend is None:
+        return
+    t0 = time.perf_counter()
+    eng._pending_block = None
+    toks_dev, block_active, slot_req = pend
+    toks_np = np.asarray(toks_dev)  # [k_run, max_slots]
+    k_run = toks_np.shape[0]
+    finished: set[int] = set()
+    appended = 0
+    for j in range(k_run):
+        for slot in block_active:
+            if slot in finished:
+                continue
+            req_id = slot_req[slot]
+            if eng.sched.slot_request(slot) != req_id:
+                continue  # finished before this block was dispatched
+            tok = int(toks_np[j, slot])
+            out[req_id].tokens.append(tok)
+            eng.last_token[slot] = tok
+            appended += 1
+            is_eos = eng.eos_id is not None and tok == eng.eos_id
+            if is_eos:
+                out[req_id].finished_by_eos = True
+            if eng.sched.record_token(slot, is_eos):
+                eng._on_slot_finished(slot)
+                finished.add(slot)
+    eng.decode_tokens += appended
+    # Tokens actually APPENDED this block (computed-but-discarded tail tokens
+    # of mid-block finishers are excluded, consistent with decode_tokens).
+    eng.events.append(("decode", appended))
+    eng.decode_time_s += time.perf_counter() - t0
+
+
 def run_decode_block(eng, active, out) -> None:
     """Advance every active slot by one decode BLOCK (host side).
 
@@ -156,9 +252,35 @@ def run_decode_block(eng, active, out) -> None:
     budgets) plus an `_on_slot_finished(slot)` hook for mid-block completion
     (EOS or budget): the dense engine just marks the device state dirty, the
     paged engine also releases the slot's pages. Tokens a finishing slot
-    computed past its end are discarded here — bounded waste, the standard
-    trade-off for cutting per-token host round-trips.
+    computed past its end are discarded at retirement — bounded waste, the
+    standard trade-off for cutting per-token host round-trips.
+
+    PIPELINED (eng.pipeline_decode): the next block is DISPATCHED before the
+    previous block's tokens are read back, so the ~26 ms relay readback RTT
+    (measured v5e-tunnel; the dominant fixed cost — a trivial jit call with
+    readback costs the same 26 ms as a real one) overlaps the device compute
+    of the following block. Dispatches serialize on the donated caches, so
+    device-side state is always exact; the host's view lags by at most one
+    block. Consequences handled here:
+
+      * budgets/capacity: _remaining/_cur_len are decremented at DISPATCH
+        (scheduled semantics), so the next block's length bound never
+        overshoots the cache;
+      * membership changes (prefill completed, EOS found, slot released)
+        need a host->device re-upload of sampling state built from
+        last_token — which the in-flight block would stale-overwrite, so a
+        dirty flag forces retirement FIRST;
+      * a slot that finished while its next block was already in flight
+        rides that block as a masked free lane; its extra tokens are
+        dropped at retirement (dispatch-time slot->request snapshot).
     """
+    if eng._dev_dirty:
+        # Membership changed: the upload below must see the retired host
+        # state, and the in-flight block's device tokens must not be lost.
+        retire_decode_block(eng, out)
+        active = eng.sched.active_slots()
+        if not active:
+            return
     t0 = time.perf_counter()
     if eng._dev_dirty:
         active_mask = np.zeros((eng.max_slots,), bool)
@@ -171,13 +293,13 @@ def run_decode_block(eng, active, out) -> None:
         )
         eng._dev_dirty = False
     d_last, d_active, d_t, d_k, d_p, d_s = eng._dev
-    # Block length: bounded by every active slot's token budget and cache
-    # headroom so no slot writes past its capacity mid-block — then rounded
-    # DOWN to a power of two. k is a static arg of the jitted scan, so each
-    # distinct value is a full XLA compile of the multi-layer decode program;
-    # staggered budgets would otherwise walk k through arbitrary values
-    # (7, 5, 3, ...), each a multi-second one-off stall. Pow2 rounding caps
-    # the trace count at log2(decode_block_steps)+1.
+    # Block length: bounded by every active slot's SCHEDULED token budget and
+    # cache headroom so no slot writes past its capacity mid-block — then
+    # rounded DOWN to a power of two. k is a static arg of the jitted scan,
+    # so each distinct value is a full XLA compile of the multi-layer decode
+    # program; staggered budgets would otherwise walk k through arbitrary
+    # values (7, 5, 3, ...), each a multi-second one-off stall. Pow2 rounding
+    # caps the trace count at log2(decode_block_steps)+1.
     k_run = int(
         min(
             eng.decode_block_steps,
@@ -192,29 +314,20 @@ def run_decode_block(eng, active, out) -> None:
         d_t, d_k, d_p, d_s, k_run,
     )
     eng._dev = (d_last, d_active, d_t, d_k, d_p, d_s)
-    toks_np = np.asarray(toks_dev)  # [k_run, max_slots]
+    for s in active:
+        eng._cur_len[s] += k_run
+        eng._remaining[s] -= k_run
     eng.steps += k_run
-    finished: set[int] = set()
-    appended = 0
-    for j in range(k_run):
-        for slot in active:
-            if slot in finished:
-                continue
-            req_id = eng.sched.slot_request(slot)
-            tok = int(toks_np[j, slot])
-            out[req_id].tokens.append(tok)
-            eng.last_token[slot] = tok
-            eng._cur_len[slot] += 1
-            eng._remaining[slot] -= 1
-            appended += 1
-            is_eos = eng.eos_id is not None and tok == eng.eos_id
-            if is_eos:
-                out[req_id].finished_by_eos = True
-            if eng.sched.record_token(slot, is_eos):
-                eng._on_slot_finished(slot)
-                finished.add(slot)
-    eng.decode_tokens += appended
-    # Tokens actually APPENDED this block (computed-but-discarded tail tokens
-    # of mid-block finishers are excluded, consistent with decode_tokens).
-    eng.events.append(("decode", appended))
     eng.decode_time_s += time.perf_counter() - t0
+    next_pending = (
+        toks_dev, list(active),
+        {s: eng.sched.slot_request(s) for s in active},
+    )
+    if getattr(eng, "pipeline_decode", True):
+        # Retire the PREVIOUS block now that this one is in flight: its
+        # readback RTT overlaps this block's device execution.
+        retire_decode_block(eng, out)
+        eng._pending_block = next_pending
+    else:
+        eng._pending_block = next_pending
+        retire_decode_block(eng, out)

@@ -44,8 +44,10 @@ from flash_attention_tpu.models.transformer import prefill_chunk as _prefill_chu
 from flash_attention_tpu.serving.decode_loop import (
     advance_prefill,
     make_decode_multi,
+    retire_decode_block,
     run_decode_block,
     start_prefill,
+    warmup_engine,
 )
 from flash_attention_tpu.serving.sampling import GREEDY, SamplingParams, sample_tokens
 from flash_attention_tpu.serving.scheduler import ContinuousBatchScheduler
@@ -100,6 +102,7 @@ class ServingEngine:
         prefill_chunk: int = 256,
         shard_caches: Callable | None = None,
         decode_block_steps: int = 8,
+        pipeline_decode: bool = True,
     ):
         self.params = params
         self.cfg = cfg
@@ -129,6 +132,11 @@ class ServingEngine:
         # one readback per up-to-decode_block_steps tokens; device-resident
         # sampling state re-uploaded only on slot-membership changes.
         self.decode_block_steps = max(1, decode_block_steps)
+        # Pipelined decode: dispatch block i+1 before reading back block i's
+        # tokens, hiding the per-block host readback RTT behind device
+        # compute (see decode_loop.run_decode_block).
+        self.pipeline_decode = pipeline_decode
+        self._pending_block = None
         self._dev = None
         self._dev_dirty = True
         self._remaining = np.zeros((max_slots,), np.int64)
@@ -166,6 +174,11 @@ class ServingEngine:
         self._dev_dirty = True
 
     # ------------------------------------------------------------------
+    def warmup(self, *, prompt_len: int | None = None) -> None:
+        """Pre-compile every prefill-chunk and decode-block program (see
+        decode_loop.warmup_engine) and reset the perf counters."""
+        warmup_engine(self, prompt_len=prompt_len)
+
     def submit(self, req: Request) -> bool:
         return self.sched.submit(req.id, len(req.prompt), req.max_new_tokens)
 
@@ -196,6 +209,9 @@ class ServingEngine:
 
             active = self.sched.active_slots()
             if not active:
+                # An in-flight block may still exist (its slots finished at
+                # the previous retirement): drain it before the exit check.
+                retire_decode_block(self, out)
                 if self._prefills:
                     continue
                 st = self.sched.stats()

@@ -33,8 +33,10 @@ from flash_attention_tpu.serving.allocator import PageAllocator
 from flash_attention_tpu.serving.decode_loop import (
     advance_prefill,
     make_decode_multi,
+    retire_decode_block,
     run_decode_block,
     start_prefill,
+    warmup_engine,
 )
 from flash_attention_tpu.serving.engine import Completion, Request, _PrefillState
 from flash_attention_tpu.serving.sampling import sample_tokens
@@ -82,6 +84,7 @@ class PagedServingEngine:
         eos_id: int | None = None,
         prefill_chunk: int = 256,
         decode_block_steps: int = 8,
+        pipeline_decode: bool = True,
         shard_caches=None,
         prefix_cache: bool = False,
     ):
@@ -139,6 +142,10 @@ class PagedServingEngine:
         # discarded on the host — bounded waste, the standard serving
         # trade-off for cutting the per-step host round-trips.
         self.decode_block_steps = max(1, decode_block_steps)
+        # Pipelined decode: dispatch block i+1 before reading back block i's
+        # tokens (decode_loop.run_decode_block hides the readback RTT).
+        self.pipeline_decode = pipeline_decode
+        self._pending_block = None
         self._dev = None
         self._dev_dirty = True
         self._remaining = np.zeros((max_slots,), np.int64)  # decode budget
@@ -195,6 +202,11 @@ class PagedServingEngine:
         self._set_slot_length_fn = _set_slot_length
         self._decode_multi = make_decode_multi(model_cfg, decode_step_logits_paged)
         self._sample_first = _sample_first
+
+    def warmup(self, *, prompt_len: int | None = None) -> None:
+        """Pre-compile every prefill-chunk and decode-block program (see
+        decode_loop.warmup_engine) and reset the perf counters."""
+        warmup_engine(self, prompt_len=prompt_len)
 
     def _on_slot_finished(self, slot: int) -> None:
         self._release(slot)  # sets _dev_dirty
@@ -387,6 +399,9 @@ class PagedServingEngine:
 
             active = self.sched.active_slots()
             if not active:
+                # An in-flight block may still exist (its slots finished at
+                # the previous retirement): drain it before the exit check.
+                retire_decode_block(self, out)
                 if self._prefills:
                     continue
                 st = self.sched.stats()

@@ -182,3 +182,75 @@ def test_eos_mid_block(model):
         got = eng.run([Request(id=1, prompt=(5, 9, 2), max_new_tokens=12)])
         assert got[1].tokens == toks[: idx + 1], f"K={k}"
         assert got[1].finished_by_eos, f"K={k}"
+
+
+def test_warmup_precompiles_and_resets_counters(model):
+    """engine.warmup() must leave results identical to a cold engine and
+    zero the perf counters (steps/tokens/time/events), so a measured run
+    after warmup reports steady state only."""
+    cfg, params = model
+    cold = ServingEngine(params, cfg, max_slots=2, max_seq=64)
+    warm = ServingEngine(params, cfg, max_slots=2, max_seq=64)
+    warm.warmup()
+    assert warm.steps == 0
+    assert warm.decode_tokens == 0
+    assert warm.decode_time_s == 0.0
+    assert warm.events == []
+    req = Request(id=1, prompt=(5, 9, 2), max_new_tokens=6)
+    got_cold = cold.run([req])[1].tokens
+    got_warm = warm.run([req])[1].tokens
+    assert got_warm == got_cold
+    assert warm.decode_tokens > 0
+
+
+def test_warmup_walks_every_block_length(model):
+    """The warmup request's budget must visit every pow2 block length
+    (miss one and its compile lands in the first production run)."""
+    cfg, params = model
+    eng = ServingEngine(params, cfg, max_slots=1, max_seq=64,
+                        decode_block_steps=8)
+    orig = eng._decode_multi
+    seen = set()
+
+    def spy(params, last, caches, active, t, k_, p, s, k):
+        seen.add(k)
+        return orig(params, last, caches, active, t, k_, p, s, k)
+
+    eng._decode_multi = spy
+    eng.warmup()
+    assert seen == {8, 4, 2, 1}, seen
+
+
+def test_pipelined_decode_equivalent(model):
+    """pipeline_decode dispatches block i+1 before reading block i's tokens;
+    it must be a pure latency optimization: identical tokens to the
+    sequential engine, including EOS mid-block (where the in-flight overrun
+    block's tokens are discarded at retirement) and slot reuse afterwards
+    (a queued request admitted into the freed slot while the overrun block
+    was still in flight)."""
+    cfg, params = model
+    toks = generate_alone(cfg, params, (5, 9, 2), 12, 64)
+    idx = next(i for i in range(2, len(toks) - 1) if toks[i] not in toks[:i])
+    eos = toks[idx]
+    reqs = [
+        Request(id=1, prompt=(5, 9, 2), max_new_tokens=12),
+        Request(id=2, prompt=(100, 3, 44, 8), max_new_tokens=9),
+        Request(id=3, prompt=(64, 7), max_new_tokens=7),  # queued: 2 slots
+    ]
+    engines = {
+        flag: ServingEngine(
+            params, cfg, max_slots=2, max_seq=64, eos_id=eos,
+            decode_block_steps=4, pipeline_decode=flag,
+        )
+        for flag in (False, True)
+    }
+    outs = {flag: eng.run(reqs) for flag, eng in engines.items()}
+    for r in reqs:
+        assert outs[True][r.id].tokens == outs[False][r.id].tokens, (
+            f"request {r.id}"
+        )
+        assert (
+            outs[True][r.id].finished_by_eos
+            == outs[False][r.id].finished_by_eos
+        )
+    assert engines[True]._pending_block is None  # drained at exit
