@@ -122,6 +122,12 @@ def _bwd_dq_kernel(
                 qi, ki, (((2,), (2,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
             )  # [hb, w, width]
+            # dP is independent of the score chain: issue its matmul before
+            # the mask/exp2 VPU phase so the MXU works through it.
+            dp = jax.lax.dot_general(
+                doi, vi, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
             if softcap_in is not None:
                 t = jnp.tanh(raw * softcap_in)
                 s2 = t * cap_out2
@@ -144,10 +150,6 @@ def _bwd_dq_kernel(
                 ok = jnp.logical_and(ok, sq[:, None] == skv[None, :])
             s2 = jnp.where(ok[None], s2, MASK_VALUE)
             p = jnp.exp2(s2 - lse_i)
-            dp = jax.lax.dot_general(
-                doi, vi, (((2,), (2,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32,
-            )
             ds = p * (dp - delta_i)
             if softcap_in is not None:
                 ds = ds * (1.0 - t * t)
@@ -189,10 +191,18 @@ def _bwd_dq_kernel(
     def _dq_body(masked: bool):
         q = q_ref[...]
         k = k_ref[...]
+        do = do_ref[...]
+        v = v_ref[...]
         raw = jax.lax.dot_general(
             q, k, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )  # [hb, block_q, block_kv], raw scores
+        # dP is independent of the score chain: issue its matmul before the
+        # mask/exp2 VPU phase so the MXU works through it.
+        dp = jax.lax.dot_general(
+            do, v, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # [hb, block_q, block_kv]
         if softcap_in is not None:
             t_c = jnp.tanh(raw * softcap_in)
             s2 = t_c * cap_out2  # exp2-domain capped logits
@@ -225,12 +235,6 @@ def _bwd_dq_kernel(
             s2 = jnp.where(ok[None], s2, MASK_VALUE)
 
         p = jnp.exp2(s2 - lse_ref[...])  # [hb, block_q, block_kv]; masked -> 0
-        do = do_ref[...]
-        v = v_ref[...]
-        dp = jax.lax.dot_general(
-            do, v, (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )  # [hb, block_q, block_kv]
         ds = p * (dp - delta_ref[...])
         if softcap_in is not None:
             ds = ds * (1.0 - t_c * t_c)  # tanh' folded into dS (masked: p=0)
@@ -279,6 +283,11 @@ def _bwd_dq_kernel(
                     qi, ki, (((2,), (2,)), ((0,), (0,))),
                     preferred_element_type=jnp.float32,
                 )  # [hb, w, width]
+                # dP is independent of the score chain (see _dq_body).
+                dp = jax.lax.dot_general(
+                    doi, vi, (((2,), (2,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                )
                 if softcap_in is not None:
                     t_c = jnp.tanh(raw * softcap_in)
                     s2 = t_c * cap_out2
@@ -288,10 +297,6 @@ def _bwd_dq_kernel(
                     addmask, kv_block - width, kv_block, axis=1
                 )[None]
                 p = jnp.exp2(s2 - lse_ref[:, rows])
-                dp = jax.lax.dot_general(
-                    doi, vi, (((2,), (2,)), ((0,), (0,))),
-                    preferred_element_type=jnp.float32,
-                )
                 ds = p * (dp - delta_ref[:, rows])
                 if softcap_in is not None:
                     ds = ds * (1.0 - t_c * t_c)
@@ -379,6 +384,12 @@ def _bwd_dkv_kernel(
                 ksub, qs, (((2,), (2,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
             )  # [hb, w, L]
+            # dP is independent of the score chain: issue its matmul before
+            # the mask/exp2 VPU phase so the MXU works through it.
+            dpt = jax.lax.dot_general(
+                vsub, dos, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )  # [hb, w, L]
             if softcap_in is not None:
                 tt = jnp.tanh(rawt * softcap_in)
                 s2t = tt * cap_out2
@@ -405,10 +416,6 @@ def _bwd_dkv_kernel(
                 pt.astype(do.dtype), dos, (((2,), (1,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
             )
-            dpt = jax.lax.dot_general(
-                vsub, dos, (((2,), (2,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32,
-            )  # [hb, w, L]
             dst = pt * (dpt - delta_s)
             if softcap_in is not None:
                 dst = dst * (1.0 - tt * tt)
@@ -456,6 +463,14 @@ def _bwd_dkv_kernel(
             k, q, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )  # [hb, block_kv, block_q]
+        do = do_ref[...]
+        v = v_ref[...]
+        # dP is independent of the score chain: issue its matmul before the
+        # mask/exp2 VPU phase so the MXU works through it.
+        dpt = jax.lax.dot_general(
+            v, do, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # [hb, block_kv, block_q]
         if softcap_in is not None:
             tt = jnp.tanh(rawt * softcap_in)
             s2t = tt * cap_out2
@@ -488,16 +503,10 @@ def _bwd_dkv_kernel(
             s2t = jnp.where(ok[None], s2t, MASK_VALUE)
 
         pt = jnp.exp2(s2t - lse_ref[...])  # [hb, block_kv, block_q]
-        do = do_ref[...]
         dv_scr[...] += jax.lax.dot_general(
             pt.astype(do.dtype), do, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )
-        v = v_ref[...]
-        dpt = jax.lax.dot_general(
-            v, do, (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )  # [hb, block_kv, block_q]
         dst = pt * (dpt - delta_ref[...])
         if softcap_in is not None:
             dst = dst * (1.0 - tt * tt)
@@ -546,6 +555,11 @@ def _bwd_dkv_kernel(
                     ksub, qs, (((2,), (2,)), ((0,), (0,))),
                     preferred_element_type=jnp.float32,
                 )  # [hb, w, L]
+                # dP is independent of the score chain (see _dkv_body).
+                dpt = jax.lax.dot_general(
+                    vsub, dos, (((2,), (2,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                )  # [hb, w, L]
                 if softcap_in is not None:
                     tt = jnp.tanh(rawt * softcap_in)
                     s2t = tt * cap_out2
@@ -557,10 +571,6 @@ def _bwd_dkv_kernel(
                     pt.astype(do.dtype), dos, (((2,), (1,)), ((0,), (0,))),
                     preferred_element_type=jnp.float32,
                 )
-                dpt = jax.lax.dot_general(
-                    vsub, dos, (((2,), (2,)), ((0,), (0,))),
-                    preferred_element_type=jnp.float32,
-                )  # [hb, w, L]
                 dst = pt * (dpt - delta_s)
                 if softcap_in is not None:
                     dst = dst * (1.0 - tt * tt)
@@ -674,6 +684,12 @@ def _bwd_fused_kernel(
                 ki, qi, (((2,), (2,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
             )  # [hb, width, w]
+            # dP is independent of the score chain: issue its matmul BEFORE
+            # the mask/exp2 VPU phase so the MXU works through it.
+            dpt = jax.lax.dot_general(
+                vi, doi, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
             if softcap_in is not None:
                 tt = jnp.tanh(rawt * softcap_in)
                 s2t = tt * cap_out2
@@ -691,10 +707,6 @@ def _bwd_fused_kernel(
                 ok = jnp.logical_and(ok, kvpos < kv_len)
             s2t = jnp.where(ok[None], s2t, MASK_VALUE)
             pt = jnp.exp2(s2t - lse_i)
-            dpt = jax.lax.dot_general(
-                vi, doi, (((2,), (2,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32,
-            )
             dst = pt * (dpt - delta_i)
             if softcap_in is not None:
                 dst = dst * (1.0 - tt * tt)
@@ -736,10 +748,18 @@ def _bwd_fused_kernel(
     def _fused_body(masked: bool):
         q = q_ref[...]
         k = k_ref[...]
+        do = do_ref[...]
+        v = v_ref[...]
         rawt = jax.lax.dot_general(
             k, q, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )  # [hb, block_kv, block_q] (transposed: per-q stats ride lanes)
+        # dP is independent of the score chain: issue its matmul before the
+        # mask/exp2 VPU phase so the MXU works through it.
+        dpt = jax.lax.dot_general(
+            v, do, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # [hb, block_kv, block_q]
         if softcap_in is not None:
             tt = jnp.tanh(rawt * softcap_in)
             s2t = tt * cap_out2
@@ -768,12 +788,6 @@ def _bwd_fused_kernel(
             s2t = jnp.where(ok[None], s2t, MASK_VALUE)
 
         pt = jnp.exp2(s2t - lse_ref[...])
-        do = do_ref[...]
-        v = v_ref[...]
-        dpt = jax.lax.dot_general(
-            v, do, (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )  # [hb, block_kv, block_q]
         dst = pt * (dpt - delta_ref[...])
         if softcap_in is not None:
             dst = dst * (1.0 - tt * tt)
@@ -819,6 +833,12 @@ def _bwd_fused_kernel(
                     ki, qi, (((2,), (2,)), ((0,), (0,))),
                     preferred_element_type=jnp.float32,
                 )  # [hb, width, w]
+                # dP is independent of the score chain: issue its matmul
+                # before the mask/exp2 VPU phase (see _fused_body).
+                dpt = jax.lax.dot_general(
+                    vi, doi, (((2,), (2,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                )
                 if softcap_in is not None:
                     tt = jnp.tanh(rawt * softcap_in)
                     s2t = tt * cap_out2
@@ -831,10 +851,6 @@ def _bwd_fused_kernel(
                 c = jax.lax.broadcasted_iota(jnp.int32, shape2d, 1) + i * w
                 s2t = jnp.where((r <= c)[None], s2t, MASK_VALUE)
                 pt = jnp.exp2(s2t - lse_i)
-                dpt = jax.lax.dot_general(
-                    vi, doi, (((2,), (2,)), ((0,), (0,))),
-                    preferred_element_type=jnp.float32,
-                )
                 dst = pt * (dpt - delta_i)
                 if softcap_in is not None:
                     dst = dst * (1.0 - tt * tt)

@@ -82,6 +82,10 @@ def _fwd_kernel(
     softcap_out: float | None = None,
     subtile: int = 0,
     diag_subtile: int = 0,
+    head_unroll: bool = False,
+    diag_pipe: bool = False,
+    window_lead: bool = False,
+    packed_subtile: bool = False,
     packed: bool = False,
     packed_hb: int = 1,
     packed_heads: int = 1,
@@ -173,7 +177,7 @@ def _fwd_kernel(
             addmask = jnp.where(
                 u <= r + kv_block - w, 0.0, MASK_VALUE
             ).astype(jnp.float32)
-        for i in range(block_q // w):
+        def qk_sub(i):
             qi = jax.lax.slice_in_dim(q, i * w, (i + 1) * w, axis=1)
             # Live prefix for this sub-block's rows, padded to the lane width.
             width = min(kv_block, _ceil_to(diag_offset + (i + 1) * w, 128))
@@ -182,6 +186,23 @@ def _fwd_kernel(
                 qi, ki, (((2,), (2,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
             )  # [hb, w, width]
+            return s, width
+
+        n_sub = block_q // w
+        if diag_pipe:
+            # 2-stage software pipeline: sub-block i+1's QK matmul is
+            # issued BEFORE sub-block i's softmax/PV phase, so the MXU
+            # works through each VPU phase instead of idling on the
+            # serial QK -> softmax -> PV chain. One extra live sub score
+            # tile of VMEM.
+            s_pipe = qk_sub(0)
+        for i in range(n_sub):
+            if diag_pipe:
+                s, width = s_pipe
+                if i + 1 < n_sub:
+                    s_pipe = qk_sub(i + 1)
+            else:
+                s, width = qk_sub(i)
             if softcap_in is not None:
                 s = jnp.tanh(s * softcap_in) * softcap_out
             if fast_mask:
@@ -299,6 +320,71 @@ def _fwd_kernel(
         # it; the VPU softmax ops batch for free.
         q = q_ref[...]  # [hb, block_q, d]
         k = k_ref[...]  # [hb_kv, block_kv, d]
+        if head_unroll:
+            # Per-head dependency chains (MHA only, trace-time gated): the
+            # batched form is ONE serial QK -> softmax -> PV chain per grid
+            # step, so the MXU idles through the whole VPU softmax phase.
+            # Issuing every head's QK matmul FIRST lets head h+1's matmul
+            # run while head h's softmax occupies the VPU; the PV matmuls
+            # queue behind. VMEM peak is unchanged — the batched score
+            # tile was [hb, block_q, block_kv] fp32 already.
+            v = v_ref[...]
+            heads_n = q.shape[0]
+            # GQA: q head h reads its group's single KV head (kv_repeat q
+            # heads per kv head) — no jnp.repeat materialization at all.
+            s_list = [
+                jax.lax.dot_general(
+                    q[h], k[h // kv_repeat], (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                for h in range(heads_n)
+            ]
+            ok = None
+            if masked and (causal or kv_pad or window is not None):
+                # Head-independent mask, built once and shared.
+                shape2d = (block_q, s_list[0].shape[-1])
+                col = (
+                    jax.lax.broadcasted_iota(jnp.int32, shape2d, 1)
+                    + ikv * block_kv
+                )
+                if causal or window is not None:
+                    row = (
+                        jax.lax.broadcasted_iota(jnp.int32, shape2d, 0)
+                        + iq * block_q
+                        + diag_offset
+                    )
+                if causal:
+                    ok = col <= row
+                if window is not None:
+                    vis = col > row - window
+                    ok = vis if ok is None else jnp.logical_and(ok, vis)
+                if kv_pad:
+                    inb = col < kv_len
+                    ok = inb if ok is None else jnp.logical_and(ok, inb)
+            for h in range(heads_n):
+                s = s_list[h]
+                if softcap_in is not None:
+                    s = jnp.tanh(s * softcap_in) * softcap_out
+                if ok is not None:
+                    s = jnp.where(ok, s, MASK_VALUE)
+                m_prev = m_scr[h]  # [block_q, LANES]
+                l_prev = l_scr[h]
+                m_curr = jnp.maximum(
+                    jnp.max(s, axis=-1, keepdims=True) * scale2, M_FLOOR
+                )
+                m_next = jnp.maximum(m_prev, m_curr)
+                alpha = jnp.exp2(m_prev - m_next)
+                p = jnp.exp2(s * scale2 - m_next[:, :1])
+                l_next = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+                m_scr[h] = m_next
+                l_scr[h] = l_next
+                pv = jax.lax.dot_general(
+                    p.astype(v.dtype), v[h // kv_repeat],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                acc_scr[h] = acc_scr[h] * alpha[:, :1] + pv
+            return
         if kv_repeat > 1:  # GQA: expand kv heads to match the q head batch
             # NOTE (measured, v5e 2026-08-17): this repeat is effectively
             # FREE — Mosaic folds the head broadcast into the batched
@@ -398,12 +484,7 @@ def _fwd_kernel(
         # output directly — no m/l/acc scratch writes, no separate epilogue
         # pass re-reading 3 fp32 scratch tiles (measured before fusion: diag
         # steps ran at ~58% of interior per-live-FLOP efficiency).
-        @pl.when(jnp.logical_not(is_diag))
-        def _interior():
-            _online_body(masked=False)
-
-        @pl.when(is_diag)
-        def _diag():
+        def _diag_body():
             w = diag_subtile
             q = q_ref[...]  # [hb, block_q, d]
             k = k_ref[...]
@@ -422,15 +503,29 @@ def _fwd_kernel(
             addmask = jnp.where(
                 u <= r + kv_block - w, 0.0, MASK_VALUE
             ).astype(jnp.float32)
-            for i in range(block_q // w):
-                rows = slice(i * w, (i + 1) * w)
+            def qk_diag(i):
                 width = (i + 1) * w
                 qi = jax.lax.slice_in_dim(q, i * w, (i + 1) * w, axis=1)
                 ki = jax.lax.slice_in_dim(k, 0, width, axis=1)
-                s = jax.lax.dot_general(
+                return jax.lax.dot_general(
                     qi, ki, (((2,), (2,)), ((0,), (0,))),
                     preferred_element_type=jnp.float32,
                 )  # [hb, w, width]
+
+            n_sub = block_q // w
+            if diag_pipe:
+                # 2-stage pipeline across sub-steps (see the superblock
+                # subtile branch above).
+                s_pipe = qk_diag(0)
+            for i in range(n_sub):
+                rows = slice(i * w, (i + 1) * w)
+                width = (i + 1) * w
+                if diag_pipe:
+                    s = s_pipe
+                    if i + 1 < n_sub:
+                        s_pipe = qk_diag(i + 1)
+                else:
+                    s = qk_diag(i)
                 if softcap_in is not None:
                     s = jnp.tanh(s * softcap_in) * softcap_out
                 s = s + jax.lax.slice_in_dim(
@@ -494,14 +589,137 @@ def _fwd_kernel(
                         acc_scr[:, rows, :] * alpha[:, :, :1] + pv
                     )
 
-        if _DIAG_FUSE:
+        def _lead_body():
+            # Leading window-edge block (window_lead enable conditions:
+            # square blocks, window % block_kv == 0, aligned diagonal).
+            # Under those, row j of the q block sees exactly the block-local
+            # columns AFTER j — the strict upper triangle, independent of
+            # iq. Sub-block i's live range is the SUFFIX [i*w, kv_block);
+            # one left-aligned [w, kv_block] additive tile masks the ragged
+            # first w columns of every slice (the mirror image of the
+            # diagonal's right-aligned prefix trick).
+            w = diag_subtile
+            q = q_ref[...]  # [hb, block_q, d]
+            k = k_ref[...]
+            v = v_ref[...]
+            if kv_repeat > 1:
+                k = jnp.repeat(k, kv_repeat, axis=0)
+                v = jnp.repeat(v, kv_repeat, axis=0)
+            kv_block = k.shape[1]
+            cc = jax.lax.broadcasted_iota(jnp.int32, (w, kv_block), 1)
+            rr = jax.lax.broadcasted_iota(jnp.int32, (w, kv_block), 0)
+            addmask = jnp.where(cc > rr, 0.0, MASK_VALUE).astype(jnp.float32)
+
+            def qk_lead(i):
+                qi = jax.lax.slice_in_dim(q, i * w, (i + 1) * w, axis=1)
+                ki = jax.lax.slice_in_dim(k, i * w, kv_block, axis=1)
+                return jax.lax.dot_general(
+                    qi, ki, (((2,), (2,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                )  # [hb, w, kv_block - i*w]
+
+            n_sub = block_q // w
+            if diag_pipe:
+                s_pipe = qk_lead(0)
+            for i in range(n_sub):
+                rows = slice(i * w, (i + 1) * w)
+                width = kv_block - i * w
+                if diag_pipe:
+                    s = s_pipe
+                    if i + 1 < n_sub:
+                        s_pipe = qk_lead(i + 1)
+                else:
+                    s = qk_lead(i)
+                if softcap_in is not None:
+                    s = jnp.tanh(s * softcap_in) * softcap_out
+                s = s + jax.lax.slice_in_dim(addmask, 0, width, axis=1)[None]
+                m_i = jnp.maximum(
+                    jnp.max(s, axis=-1, keepdims=True) * scale2, M_FLOOR
+                )  # [hb, w, 1]
+                m_prev = m_scr[:, rows, :]  # [hb, w, LANES]
+                m_next = jnp.maximum(m_prev, m_i)
+                alpha = jnp.exp2(m_prev - m_next)
+                p = jnp.exp2(s * scale2 - m_next[:, :, :1])
+                l_next = alpha * l_scr[:, rows, :] + jnp.sum(
+                    p, axis=-1, keepdims=True
+                )
+                m_scr[:, rows, :] = m_next
+                l_scr[:, rows, :] = l_next
+                vi = jax.lax.slice_in_dim(v, i * w, kv_block, axis=1)
+                pv = jax.lax.dot_general(
+                    p.astype(vi.dtype), vi, (((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                )  # [hb, w, d]
+                acc_scr[:, rows, :] = acc_scr[:, rows, :] * alpha[:, :, :1] + pv
+
+        if packed_subtile:
+            # Packed runtime routing (bits from _packed_tri_enumeration):
+            # bit 16 = fully-live single-document interior (no mask at
+            # all), bit 32 = single-document diagonal whose live range is
+            # a local-origin prefix (doc-local causality == global
+            # causality for contiguous packing) — the fused sub-tiled
+            # diagonal applies verbatim. Everything else live (document
+            # boundaries, pad-straddling blocks) runs the generic masked
+            # body and keeps the scratch epilogue.
+            maskfree = jnp.logical_and(should_run, (flags & 16) != 0)
+            diagsub = jnp.logical_and(should_run, (flags & 32) != 0)
+            generic = jnp.logical_and(
+                should_run,
+                jnp.logical_and((flags & 16) == 0, (flags & 32) == 0),
+            )
+
+            @pl.when(maskfree)
+            def _interior():
+                _online_body(masked=False)
+
+            @pl.when(generic)
+            def _generic():
+                _online_body(masked=True)
+
+            @pl.when(diagsub)
+            def _diag():
+                _diag_body()
+        else:
+            is_lead = (flags & 64) != 0 if window_lead else None
+
+            if window_lead:
+                @pl.when(
+                    jnp.logical_and(
+                        jnp.logical_not(is_diag), jnp.logical_not(is_lead)
+                    )
+                )
+                def _interior():
+                    _online_body(masked=False)
+
+                @pl.when(is_lead)
+                def _lead():
+                    _lead_body()
+            else:
+                @pl.when(jnp.logical_not(is_diag))
+                def _interior():
+                    _online_body(masked=False)
+
+            @pl.when(is_diag)
+            def _diag():
+                _diag_body()
+
+        if _DIAG_FUSE and not packed_subtile:
             return  # output written by the fused diagonal; no epilogue pass
     else:
         @pl.when(should_run)
         def _compute():
             _online_body(masked=True)
 
-    @pl.when(is_last)
+    # Packed + fused diagonal: bit-32 steps wrote their rows directly; the
+    # epilogue runs only for q blocks whose last live step went through the
+    # generic masked body (document boundaries, pad blocks) — re-writing a
+    # fused q block from never-finalized scratch would corrupt it.
+    if diag_subtile and packed_subtile and _DIAG_FUSE:
+        epilogue_cond = jnp.logical_and(is_last, (flags & 32) == 0)
+    else:
+        epilogue_cond = is_last
+
+    @pl.when(epilogue_cond)
     def _epilogue():
         l = l_scr[...][:, :, :1]  # [hb, block_q, 1]
         # l == 0 → output 0 (reference guard flash_attention.cu:502-503).
@@ -518,7 +736,7 @@ def _fwd_kernel(
 
 def _packed_tri_enumeration(
     seg_q, seg_kv, tri_iq, tri_ikv, tri_flags, *,
-    num_q_blocks, num_kv_blocks, block_q, block_kv,
+    num_q_blocks, num_kv_blocks, block_q, block_kv, subtile_bits=False,
 ):
     """Runtime per-batch-row compaction of the static causal enumeration.
 
@@ -568,6 +786,33 @@ def _packed_tri_enumeration(
         + last.astype(jnp.int32) * 2
         + jnp.logical_not(live2).astype(jnp.int32) * 8
     )
+    if subtile_bits:
+        # Routing bits for the packed sub-tiled kernel (caller proves the
+        # static alignment: square blocks, block-aligned diagonal). A step
+        # is single-same-document when both blocks' id RANGES collapse to
+        # the same id (pad sentinels -1/-2 can never match). bit 16: fully
+        # live interior (not diagonal-straddling) — no mask of any kind.
+        # bit 32: single-document diagonal — for contiguous packing the
+        # document-local diagonal IS the global diagonal, so the fused
+        # sub-tiled diagonal body applies verbatim (and, being the last
+        # live step of its q block, its fused output write is final).
+        partial = (tri_flags & 4) != 0  # [T] static diagonal-straddle bit
+        same_doc = jnp.logical_and(
+            jnp.logical_and(
+                qmin[:, tri_iq] == qmax[:, tri_iq],
+                kmin[:, tri_ikv] == kmax[:, tri_ikv],
+            ),
+            qmin[:, tri_iq] == kmin[:, tri_ikv],
+        )  # [B, T]
+        maskfree = jnp.logical_and(
+            live, jnp.logical_and(jnp.logical_not(partial)[None], same_doc)
+        )
+        diagsub = jnp.logical_and(
+            live, jnp.logical_and(partial[None], same_doc)
+        )
+        extra = maskfree.astype(jnp.int32) * 16 + diagsub.astype(jnp.int32) * 32
+        extra2 = jnp.take_along_axis(extra, order, 1)
+        flags2 = flags2 + jnp.where(live2, extra2, 0)
     return iq2, ikv2, flags2
 
 
@@ -676,6 +921,75 @@ def _fwd_impl(
         # block doesn't straddle rows via the hb step-down above).
         return (bh * hb) // num_q_heads
 
+    # Plain-softmax specialization: with a SINGLE KV block, every grid step
+    # sees its Q rows' whole KV range at once, so the online-softmax state
+    # (m, l, acc scratch + init/epilogue passes) disappears — regardless of
+    # how many Q blocks tile the rows. Causal keeps the one-Q-block
+    # requirement (its in-kernel mask row offset assumes iq == 0).
+    single = num_kv_blocks == 1 and (not causal or num_q_blocks == 1)
+    # Causal single-superblock sub-tiling (see _fwd_kernel's subtile branch):
+    # applies when the whole problem is one block pair and the diagonal
+    # decomposes into block_sub-row live-prefix MMAs. Sliding window keeps
+    # the generic masked path (its live range is not a prefix).
+    subtile = 0
+    if (
+        causal and single and window is None
+        and block_sizes.block_sub and block_q > block_sizes.block_sub
+        and block_q % block_sizes.block_sub == 0
+    ):
+        subtile = block_sizes.block_sub
+    # Multi-block causal diag sub-tiling (see _fwd_kernel's diag_subtile
+    # branch). Enable conditions prove two static facts the kernel relies on:
+    # (a) every diagonal block's live region is a local-origin-aligned prefix
+    # of static width (block_q == block_kv and a block-aligned diag offset
+    # put the diagonal at local offset 0), and (b) every non-diagonal tri
+    # step is fully live (no kv padding / window / segments), so interior
+    # steps skip masking entirely.
+    diag_subtile = 0
+    window_lead = False
+    packed_subtile = False
+    diag_base_ok = (
+        causal and not single and not subtile
+        and block_sizes.block_sub
+        and kv_padded == kv_len and q_pad == q_len
+        and block_q == block_kv and diag_offset % block_kv == 0
+        # block_sub == block_q is the degenerate one-sub-block form: one
+        # full-width MMA with the precomputed additive mask + the fused
+        # normalized write (no scratch epilogue) — worth sweeping against
+        # the finer widths because each sub-block pays VPU fixed costs.
+        and block_q >= block_sizes.block_sub
+        and block_q % block_sizes.block_sub == 0
+        # VMEM gate: the diag branch's sub-tiles live alongside the interior
+        # branch's full score tile and the hb-scaled (m, l, acc) scratch;
+        # hb*block_q rows beyond 2048 exceed scoped VMEM (measured: h2@1024
+        # and h4@512 compile standalone, h8@512 OOMs by 3.7M — a shape the
+        # short-seq superblock configs reach via chunked prefill, where
+        # min(q_len, kv_len) keys the dispatch but kv spans many blocks).
+        # The d64-unpadded path halves every d-scaled tile, buying one
+        # more doubling of rows-per-step.
+        and hb * block_q <= (4096 if d_pad <= 64 else 2048)
+    )
+    if diag_base_ok and window is None and segments is None:
+        diag_subtile = block_sizes.block_sub
+    elif (
+        diag_base_ok and window is not None and segments is None
+        and window % block_kv == 0
+    ):
+        # Sliding-window band: with the window a block multiple (and the
+        # aligned square blocks diag_base_ok proves), each q row's live
+        # band is [lead | fully-live interiors | diagonal]: the diagonal
+        # is never window-cut, interiors need no mask at all, and the
+        # leading edge is the strict-upper-triangle block _lead_body
+        # sub-tiles (see the kernel).
+        diag_subtile = block_sizes.block_sub
+        window_lead = True
+    elif diag_base_ok and window is None and segments is not None:
+        # Packed: routing bits come from the runtime enumeration (only
+        # meaningful when packed_skip actually engages below).
+        diag_subtile = block_sizes.block_sub
+        packed_subtile = True
+
+
     # Causal: enumerate only the LIVE (iq, ikv) pairs as the grid's second
     # axis, mapped through scalar-prefetch index arrays. Fully-masked blocks
     # never become grid steps at all — the TPU-idiomatic version of the
@@ -705,10 +1019,21 @@ def _fwd_impl(
                 partial = (
                     (ikv_i + 1) * block_kv - 1 > iq_i * block_q + diag_offset
                 )
+                # Bit 64: the block holds the window's ragged leading edge
+                # (only consumed when the window_lead sub-tiled path is
+                # enabled; its alignment conditions make the edge land in
+                # exactly one non-diagonal block per q row).
+                lead = (
+                    window is not None
+                    and not partial
+                    and ikv_i == first_live
+                    and iq_i * block_q + diag_offset - window >= 0
+                )
                 flag_list.append(
                     (1 if ikv_i == first_live else 0)
                     | (2 if ikv_i == last_live else 0)
                     | (4 if partial else 0)
+                    | (64 if lead else 0)
                 )
         tri_iq = jnp.asarray(iq_list, jnp.int32)
         tri_ikv = jnp.asarray(ikv_list, jnp.int32)
@@ -736,6 +1061,7 @@ def _fwd_impl(
                 seg_q, seg_kv, tri_iq, tri_ikv, tri_flags,
                 num_q_blocks=num_q_blocks, num_kv_blocks=num_kv_blocks,
                 block_q=block_q, block_kv=block_kv,
+                subtile_bits=packed_subtile,
             )
             # Flat [B*T] prefetch arrays (flat-with-computed-offset is the
             # paged kernels' proven on-chip indexing pattern).
@@ -902,54 +1228,13 @@ def _fwd_impl(
         )
         out_specs.append(lse_spec)
 
-    # Plain-softmax specialization: with a SINGLE KV block, every grid step
-    # sees its Q rows' whole KV range at once, so the online-softmax state
-    # (m, l, acc scratch + init/epilogue passes) disappears — regardless of
-    # how many Q blocks tile the rows. Causal keeps the one-Q-block
-    # requirement (its in-kernel mask row offset assumes iq == 0).
-    single = num_kv_blocks == 1 and (not causal or num_q_blocks == 1)
-    # Causal single-superblock sub-tiling (see _fwd_kernel's subtile branch):
-    # applies when the whole problem is one block pair and the diagonal
-    # decomposes into block_sub-row live-prefix MMAs. Sliding window keeps
-    # the generic masked path (its live range is not a prefix).
-    subtile = 0
-    if (
-        causal and single and window is None
-        and block_sizes.block_sub and block_q > block_sizes.block_sub
-        and block_q % block_sizes.block_sub == 0
-    ):
-        subtile = block_sizes.block_sub
-    # Multi-block causal diag sub-tiling (see _fwd_kernel's diag_subtile
-    # branch). Enable conditions prove two static facts the kernel relies on:
-    # (a) every diagonal block's live region is a local-origin-aligned prefix
-    # of static width (block_q == block_kv and a block-aligned diag offset
-    # put the diagonal at local offset 0), and (b) every non-diagonal tri
-    # step is fully live (no kv padding / window / segments), so interior
-    # steps skip masking entirely.
-    diag_subtile = 0
-    if (
-        causal and not single and not subtile
-        and block_sizes.block_sub
-        and window is None and segments is None
-        and kv_padded == kv_len and q_pad == q_len
-        and block_q == block_kv and diag_offset % block_kv == 0
-        # block_sub == block_q is the degenerate one-sub-block form: one
-        # full-width MMA with the precomputed additive mask + the fused
-        # normalized write (no scratch epilogue) — worth sweeping against
-        # the finer widths because each sub-block pays VPU fixed costs.
-        and block_q >= block_sizes.block_sub
-        and block_q % block_sizes.block_sub == 0
-        # VMEM gate: the diag branch's sub-tiles live alongside the interior
-        # branch's full score tile and the hb-scaled (m, l, acc) scratch;
-        # hb*block_q rows beyond 2048 exceed scoped VMEM (measured: h2@1024
-        # and h4@512 compile standalone, h8@512 OOMs by 3.7M — a shape the
-        # short-seq superblock configs reach via chunked prefill, where
-        # min(q_len, kv_len) keys the dispatch but kv spans many blocks).
-        and hb * block_q <= 2048
-    ):
-        diag_subtile = block_sizes.block_sub
-
     kv_repeat = hb // hb_kv if hb_kv != hb else 1
+    # Per-head chain unrolling (see _online_body): requires a
+    # head-independent mask (no segments); GQA q heads index their group's
+    # KV head directly (h // kv_repeat), no expansion.
+    head_unroll = (
+        block_sizes.head_unroll and hb > 1 and segments is None
+    )
 
     def make_kernel(tri_refs, nc_live_ref=None):
         return functools.partial(
@@ -971,6 +1256,10 @@ def _fwd_impl(
             softcap_out=None if softcap is None else softcap / sm_scale,
             subtile=subtile,
             diag_subtile=diag_subtile,
+            head_unroll=head_unroll,
+            diag_pipe=block_sizes.diag_pipe,
+            window_lead=window_lead,
+            packed_subtile=packed_subtile and packed_skip,
             packed=packed_skip,
             packed_hb=hb,
             packed_heads=num_q_heads,
@@ -1247,7 +1536,7 @@ def flash_attention(
     res_block_sizes = select_block_sizes(
         min(q_len, kv_len), causal=causal, head_dim=head_dim,
         save_residuals=True, group=group, kv_seq=kv_len,
-        windowed=sliding_window is not None,
+        windowed=sliding_window if sliding_window is not None else False,
     )
     if block_sizes is None:
         # The window mask's compare tiles and the softcap's tanh temporary,
@@ -1261,7 +1550,7 @@ def flash_attention(
                 or logit_softcap is not None
             ),
             group=group, kv_seq=kv_len,
-            windowed=sliding_window is not None,
+            windowed=sliding_window if sliding_window is not None else False,
         )
     else:
         # An explicit override governs BOTH forward paths: a caller who

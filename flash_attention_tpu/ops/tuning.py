@@ -86,6 +86,21 @@ class BlockSizes:
     # Off by default pending the on-chip sweep (d=64 configs fall back to
     # generic tiers today — tuning is keyed at d=128).
     d64_unpadded: bool = False
+    # Forward: break the per-grid-step MXU->VPU->MXU serial chain. The
+    # online body's batched ops make one dependency chain per grid step
+    # (QK matmul -> softmax -> PV matmul), so the MXU idles through every
+    # VPU softmax phase. head_unroll splits the head batch into per-head
+    # chains with ALL QK matmuls issued first: head h+1's matmul runs
+    # while head h's softmax occupies the VPU. Same VMEM (the batched
+    # score tile was [hb, bq, bkv] fp32 already). MHA only (kv_repeat
+    # must be 1) and head-independent masks only (no segments).
+    head_unroll: bool = False
+    # Causal diagonal / superblock sub-tiling: 2-stage software pipeline
+    # over the sub-blocks — sub-block i+1's QK matmul is issued BEFORE
+    # sub-block i's softmax/PV phase, hiding each sub-step's VPU phase
+    # behind the next one's MXU work. Costs one extra live sub score
+    # tile of VMEM.
+    diag_pipe: bool = False
     # Residuals forward: emit the LSE output 1 lane wide ([B*H, S, 1])
     # instead of LANES(128)-broadcast. The broadcast write moves 512 B/row
     # of pure padding — 2x the output tensor's own bytes at d=128 bf16 —
@@ -119,7 +134,7 @@ def _ceil_to(x: int, m: int) -> int:
 
 def select_block_sizes(
     seq: int, *, causal: bool, head_dim: int = 128, save_residuals: bool = False,
-    group: int = 1, kv_seq: int | None = None, windowed: bool = False,
+    group: int = 1, kv_seq: int | None = None, windowed=False,
 ) -> BlockSizes:
     """Pick forward block sizes for a (seq, causal, residuals, group) config.
 
@@ -143,7 +158,7 @@ def select_block_sizes(
 
 def _select_fwd_raw(
     seq: int, *, causal: bool, head_dim: int = 128, save_residuals: bool = False,
-    group: int = 1, kv_seq: int | None = None, windowed: bool = False,
+    group: int = 1, kv_seq: int | None = None, windowed=False,
 ) -> BlockSizes:
     """Raw (seq, causal, residuals) tier table.
 
@@ -161,13 +176,26 @@ def _select_fwd_raw(
         # fall back to unbatched heads rather than risk scoped-VMEM OOM.
         return BlockSizes(block_q=min(1024, pad_seq), block_kv=min(1024, pad_seq))
     if windowed and causal:
-        # A sliding window disables the superblock sub-tiling (its live range
-        # is not a KV prefix), so the single-KV-block tiers would degenerate
-        # into one giant masked single-step score tile (33 MB fp32 at 2048 —
-        # a compile-time VMEM cliff caught by tools/compile_check.py).
-        # Stream KV in 1024-row blocks through the tri grid's window-aware
-        # enumeration instead, and keep the broadcast LSE (narrow stores plus
-        # window mask temporaries also failed the standalone gate).
+        # Sliding window (`windowed` carries the window VALUE when the
+        # caller knows it; True means unknown). Aligned windows (1024
+        # multiples) at long seq take the window_lead sub-tiled path
+        # (square aligned blocks: the leading-edge block is a sub-tiled
+        # strict-upper triangle, interiors are mask-free, the diagonal is
+        # the fused sub-tiled one) — in-bench sweep 2026-08-20 @16K:
+        # w=4096 118.9 -> 135.9 band-TF (hu+pipe), w=1024 70.3 -> 79.0.
+        aligned = isinstance(windowed, int) and not isinstance(windowed, bool) \
+            and windowed % 1024 == 0
+        if aligned and pad_seq > 2048 and not save_residuals:
+            return BlockSizes(
+                block_q=1024, block_kv=1024, block_h=2, block_sub=256,
+                head_unroll=True, diag_pipe=True,
+            )
+        # Unaligned windows / short seqs: stream KV in 1024-row blocks
+        # through the tri grid's window-aware enumeration with the masked
+        # online body (the single-KV-block tiers would degenerate into one
+        # giant masked single-step score tile — a compile-time VMEM cliff
+        # caught by tools/compile_check.py; the window mask temporaries
+        # also need the halved q block).
         return BlockSizes(
             block_q=min(512, pad_seq), block_kv=min(1024, pad_seq), block_h=2
         )
@@ -251,6 +279,13 @@ def _select_fwd_raw(
         # NOTE: 512 causal is HBM-wall-bound at ~105 TF (QKVO bytes are
         # constant while causal credits half the FLOPs), so ~80 TF is ~78%
         # of the true ceiling, not 42%.
+        if pad_seq <= 512:
+            # diag_pipe on the superblock sub-steps: +2.9% in-bench
+            # (83.2 vs 80.9 TF, 2026-08-20 in-process sweep).
+            return BlockSizes(
+                block_q=pad_seq, block_kv=pad_seq, block_h=8, block_sub=128,
+                diag_pipe=True,
+            )
         if pad_seq <= 768:
             return BlockSizes(
                 block_q=pad_seq, block_kv=pad_seq, block_h=8, block_sub=128
@@ -265,19 +300,20 @@ def _select_fwd_raw(
             return BlockSizes(
                 block_q=pad_seq, block_kv=pad_seq, block_h=2, block_sub=sub
             )
-        # Multi-block tri grid with DIAG sub-tiling: the diagonal step runs
-        # live-prefix sub-MMAs merged into the online state, interior steps
-        # are mask-free. Diag width re-swept 2026-08-19 in ONE process
-        # (inter-process drift on this chip is +-8-15%; only same-process
-        # orderings are trusted): 4096 sub512 133.5 TF vs sub256 124.3 vs
-        # sub1024 123.7 — wider sub-blocks pay less per-diag-step VPU fixed
-        # cost until the executed-MXU waste (1.25x live at sub512, 1.5x at
-        # sub1024 on a 1024 block) overtakes. 8192/16K orderings were inside
-        # the +-2% noise (8192: 142.5/139.7/136.9 for sub1024/128/512; 16K:
-        # 156.3/154.8/154.4 for 256/1024/512), so long seqs keep sub256.
-        sub = 512 if pad_seq <= 4096 else 256
+        # Multi-block tri grid with DIAG sub-tiling + per-head chain
+        # unrolling + 2-stage diag pipeline. In-BENCH sweep 2026-08-20
+        # (candidates timed in the bench process itself, same scan
+        # lengths — out-of-process sweeps drift 6-8% on this chip and are
+        # no longer trusted for dispatch): head_unroll + diag_pipe at
+        # sub256 beat the plain sub512/sub256 dispatch at every long seq
+        # (4096: 132.2 vs 128.5; 8192: 154.9 vs 150.2; 16K: 167.4 vs
+        # 156.6 TF). hu splits each grid step's batched QK->softmax->PV
+        # chain into per-head chains with both QK matmuls issued first
+        # (MXU works through the VPU softmax phase); pipe does the same
+        # across the diagonal's sub-steps.
         return BlockSizes(
-            block_q=1024, block_kv=1024, block_h=2, block_sub=sub
+            block_q=1024, block_kv=1024, block_h=2, block_sub=256,
+            head_unroll=True, diag_pipe=True,
         )
     # Non-causal (v5e re-sweep 2026-08-17, after the pre-PV normalize and the
     # no-scratch single-KV-block specialization): 512 (512,512,h4) 142 TF,
@@ -295,7 +331,10 @@ def _select_fwd_raw(
         return BlockSizes(block_q=pad_seq, block_kv=pad_seq, block_h=2)
     if pad_seq <= 2048:
         return BlockSizes(block_q=512, block_kv=pad_seq, block_h=2)
-    return BlockSizes(block_q=1024, block_kv=1024, block_h=2)
+    # head_unroll: in-bench sweep 2026-08-20, +6.7% @4096 (170.4 vs
+    # 159.7), +5.0% @8192 (174.4 vs 166.0) — per-head chains let the MXU
+    # run through the VPU softmax phase.
+    return BlockSizes(block_q=1024, block_kv=1024, block_h=2, head_unroll=True)
 
 
 def select_bwd_block_sizes(
