@@ -825,6 +825,135 @@ def bench_engine(on_tpu):
     return rows
 
 
+def bench_engine_breakdown(on_tpu):
+    """Per-phase decomposition of the engine decode step (the reference's
+    per-config introspection analog, flash_attention.cu:712-755): full
+    jitted step, attention kernel, MLP stack, unembed, batched cache write,
+    sampling — so 'is the serving stack fast?' is answerable from the
+    artifact. Times via time_fn (relay overhead subtracted by its sync
+    calibration; donated where production donates)."""
+    if not on_tpu:
+        return None
+    import numpy as np
+
+    from flash_attention_tpu.models.transformer import (
+        ModelConfig, init_model_params, init_paged_caches,
+        decode_step_logits_paged,
+    )
+    from flash_attention_tpu.ops.paged import (
+        paged_decode_attention, paged_write_tokens_multi,
+    )
+    from flash_attention_tpu.models.transformer import swiglu, rms_norm
+    from flash_attention_tpu.utils.benchmarking import time_fn
+
+    batch, page, ctx = 32, 1024, 8192
+    cfg = ModelConfig(
+        vocab_size=32000, model_dim=4096, num_layers=4, num_q_heads=32,
+        num_kv_heads=8, head_dim=HEAD_DIM, mlp_dim=11008, kv_quant="int8",
+    )
+    params = init_model_params(jax.random.key(0), cfg)
+    caches = init_paged_caches(
+        cfg, num_pages=batch * (ctx // page) + 1, num_slots=batch,
+        pages_per_slot=ctx // page, page_size=page,
+    )
+    ppr = ctx // page
+    tables = np.zeros((batch, ppr), np.int32)
+    for s in range(batch):
+        tables[s] = 1 + s * ppr + np.arange(ppr)
+    caches = [
+        c._replace(
+            page_table=jnp.asarray(tables),
+            lengths=jnp.full((batch,), ctx - 256, jnp.int32),
+        )
+        for c in caches
+    ]
+    toks = jnp.ones((batch, 1), jnp.int32)
+    out = {}
+
+    step = jax.jit(
+        lambda p, t, c: decode_step_logits_paged(p, cfg, t, c),
+        donate_argnums=(2,),
+    )
+    state = [jax.tree_util.tree_map(jnp.copy, caches)]
+
+    def run_step():
+        logits, state[0] = step(params, toks, state[0])
+        return logits
+
+    jax.block_until_ready(run_step())
+    out["full_step_ms"] = min(time_fn(run_step, warmup=5, iters=20, runs=2)) * 1e3
+
+    q = jnp.ones((batch, cfg.num_q_heads, cfg.head_dim), jnp.bfloat16)
+    ker = jax.jit(lambda q, c: paged_decode_attention(q, c))
+    jax.block_until_ready(ker(q, caches[0]))
+    t = min(time_fn(lambda: ker(q, caches[0]), warmup=5, iters=30, runs=2))
+    out["attention_kernel_ms_x_layers"] = t * 1e3 * cfg.num_layers
+
+    h = jnp.ones((batch, 1, cfg.model_dim), jnp.bfloat16)
+
+    def mlps(params, x):
+        for l in params["layers"]:
+            x = x + swiglu(rms_norm(x, l["mlp_norm"], cfg.norm_eps), l["mlp"])
+        return x
+
+    mfn = jax.jit(mlps)
+    jax.block_until_ready(mfn(params, h))
+    out["mlp_stack_ms"] = min(
+        time_fn(lambda: mfn(params, h), warmup=5, iters=30, runs=2)
+    ) * 1e3
+
+    ufn = jax.jit(
+        lambda params, x: jnp.einsum(
+            "btm,vm->btv", x, params["embed"],
+            preferred_element_type=jnp.float32,
+        )
+    )
+    jax.block_until_ready(ufn(params, h))
+    out["unembed_ms"] = min(
+        time_fn(lambda: ufn(params, h), warmup=5, iters=30, runs=2)
+    ) * 1e3
+
+    # Batched multi-layer cache write (the deferred-write path's one call).
+    k1 = jnp.ones((batch, cfg.num_kv_heads, cfg.head_dim), jnp.bfloat16)
+    slots = jnp.arange(batch)
+    wfn = jax.jit(
+        lambda c: paged_write_tokens_multi(
+            c, [k1] * cfg.num_layers, [k1] * cfg.num_layers, slots
+        )
+    )
+    jax.block_until_ready(jax.tree_util.tree_leaves(wfn(caches)))
+    out["multi_write_ms"] = min(
+        time_fn(
+            lambda: jax.tree_util.tree_leaves(wfn(caches))[0],
+            warmup=5, iters=30, runs=2,
+        )
+    ) * 1e3
+
+    from flash_attention_tpu.serving.sampling import sample_tokens
+
+    logits = jnp.ones((batch, cfg.vocab_size), jnp.float32)
+    temps = jnp.full((batch,), 0.8, jnp.float32)
+    topks = jnp.full((batch,), 40, jnp.int32)
+    topps = jnp.full((batch,), 0.95, jnp.float32)
+    seeds = jnp.arange(batch, dtype=jnp.uint32)
+    poss = jnp.full((batch,), 100, jnp.int32)
+    sfn = jax.jit(
+        lambda l: sample_tokens(l, temps, topks, topps, seeds, poss)
+    )
+    try:
+        jax.block_until_ready(sfn(logits))
+        out["sampling_ms"] = min(
+            time_fn(lambda: sfn(logits), warmup=5, iters=30, runs=2)
+        ) * 1e3
+    except Exception as e:
+        out["sampling_ms"] = None
+        log(f"engine breakdown sampling: FAIL {e!r}")
+    for k2, v2 in out.items():
+        log(f"engine breakdown {k2}: {v2:.2f}" if v2 is not None else
+            f"engine breakdown {k2}: n/a")
+    return out
+
+
 def main():
     on_tpu = jax.default_backend() == "tpu"
     log(f"devices: {jax.devices()}  backend={jax.default_backend()}")
@@ -833,10 +962,12 @@ def main():
     gqa_rows = bench_gqa(on_tpu)
     win_rows = bench_window(on_tpu)
     packed_rows = bench_packed(on_tpu)
+    d64_rows = bench_d64(on_tpu)
     train_rows = bench_training(on_tpu)
     dec_rows = bench_decode(on_tpu)
     dec_rows += bench_paged(on_tpu)
     eng_rows = bench_engine(on_tpu)
+    eng_breakdown = bench_engine_breakdown(on_tpu)
 
     ref_rows = [r for r in fwd_rows if r["reference_tflops"]]
     if ref_rows:
@@ -857,10 +988,12 @@ def main():
         gqa_forward=gqa_rows,
         window_forward=win_rows,
         packed=packed_rows,
+        d64_forward=d64_rows,
         train=train_rows,
         decode=[r for r in dec_rows if r["kind"] == "decode"],
         paged_prefill=[r for r in dec_rows if r["kind"] == "paged_prefill"],
         engine=eng_rows[0] if eng_rows else None,
+        engine_breakdown=eng_breakdown,
         geomean_tflops=geo,
         vs_baseline=vs,
     )

@@ -16,7 +16,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from flash_attention_tpu.ops.common import ceil_to as _ceil_to
+from flash_attention_tpu.ops.common import LOG2E, ceil_to as _ceil_to
 from flash_attention_tpu.ops.decode import decode_attention
 from flash_attention_tpu.ops.merge import merge_two
 from flash_attention_tpu.ops.flash_attention import flash_attention
@@ -576,6 +576,72 @@ def attention_prefill_chunk_paged(
             sliding_window=cfg.sliding_window, logit_softcap=cfg.logit_softcap,
         )
     return _output_proj(params, o, x.dtype), paged_cache
+
+
+def attention_decode_paged_deferred(
+    params, cfg: AttentionConfig, x: jax.Array, paged_cache
+):
+    """Decode-step attention WITHOUT the per-layer cache write.
+
+    The per-layer scatter write is invocation-overhead bound (~0.5 ms each
+    on v5e), so an L-layer step paid L of them. Here the kernel attends
+    over the cache as-is (the new token is NOT in it) and the current
+    token's self-attention term — score q.k_new at full precision, output
+    v_new — is folded in with the standard LSE combine (ops/merge.py). The
+    caller batches every layer's (k_new, v_new) into ONE
+    paged_write_tokens_multi call after the layer stack.
+
+    Returns (output [num_slots, 1, model_dim], (k_new, v_new) each
+    [num_slots, kv_heads, head_dim]).
+    """
+    from flash_attention_tpu.ops.merge import merge_two
+    from flash_attention_tpu.ops.paged import paged_decode_attention
+
+    q, k, v = _project_qkv(
+        params, cfg, x, paged_cache.lengths[:, None, None]
+    )
+    q1 = q[:, :, 0, :]  # [n, Hq, D]
+    k1 = k[:, :, 0, :]  # [n, Hkv, D]
+    v1 = v[:, :, 0, :]
+    # Window off-by-one: the kernel's band is `col >= lengths - window` and
+    # here lengths does NOT yet include the current token (the write is
+    # deferred), so the same window value would admit one extra cache
+    # token. window-1 restores the exact band; the self term supplies the
+    # current token. (sliding_window == 1 would need window 0, which the
+    # kernel rejects — decode_step_logits_paged falls back to the
+    # write-first path for that degenerate config.)
+    win = cfg.sliding_window
+    if win is not None:
+        if win <= 1:
+            raise ValueError(
+                "deferred decode requires sliding_window > 1; use "
+                "attention_decode_paged"
+            )
+        win = win - 1
+    o_c, lse_c = paged_decode_attention(
+        q1, paged_cache, save_residuals=True,
+        sliding_window=win, logit_softcap=cfg.logit_softcap,
+        attention_sinks=cfg.attention_sinks,
+    )
+    # Self term: the current token always attends to itself (in-window by
+    # definition). Raw score per q head against its group's kv head, run
+    # through the kernel's exact logit pipeline (softcap then scale), in
+    # the base-2 LSE domain of the merge contract.
+    group = cfg.num_q_heads // cfg.num_kv_heads
+    sm_scale = 1.0 / math.sqrt(cfg.head_dim)
+    k_exp = jnp.repeat(k1, group, axis=1)  # [n, Hq, D]
+    v_exp = jnp.repeat(v1, group, axis=1)
+    s_raw = jnp.sum(
+        q1.astype(jnp.float32) * k_exp.astype(jnp.float32), axis=-1
+    )  # [n, Hq]
+    if cfg.logit_softcap is not None:
+        cap = cfg.logit_softcap
+        logits = jnp.tanh(s_raw * sm_scale / cap) * cap
+    else:
+        logits = s_raw * sm_scale
+    lse_self = logits * LOG2E  # single-score LSE == the score itself
+    o, _ = merge_two(o_c, lse_c, v_exp, lse_self)
+    return _output_proj_decode(params, o, x.dtype), (k1, v1)
 
 
 def attention_decode_paged(params, cfg: AttentionConfig, x: jax.Array, paged_cache):

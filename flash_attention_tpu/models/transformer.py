@@ -19,6 +19,7 @@ from flash_attention_tpu.models.attention import (
     KVCache,
     attention_decode,
     attention_decode_paged,
+    attention_decode_paged_deferred,
     attention_forward,
     attention_prefill,
     attention_prefill_chunk,
@@ -280,9 +281,38 @@ def prefill_chunk_paged(
 
 
 def decode_step_logits_paged(params, cfg: ModelConfig, tokens, caches):
-    """One paged decode step returning raw last-position logits [S, vocab]."""
-    logits, new_caches = _trunk(
-        params, cfg, tokens, attention_decode_paged, caches
+    """One paged decode step returning raw last-position logits [S, vocab].
+
+    Uses the deferred-write path: every layer attends over the cache as-is
+    with the current token's self term merged in at full precision
+    (attention_decode_paged_deferred), and ALL layers' K/V tokens land in
+    one paged_write_tokens_multi scatter after the layer stack — one
+    Pallas-call overhead instead of num_layers (the per-layer scatter was
+    ~0.5 ms/call on v5e, ~2 ms of a 9 ms 4-layer step). sliding_window <= 1
+    (degenerate) keeps the write-first path.
+    """
+    from flash_attention_tpu.ops.paged import paged_write_tokens_multi
+
+    if cfg.sliding_window is not None and cfg.sliding_window <= 1:
+        logits, new_caches = _trunk(
+            params, cfg, tokens, attention_decode_paged, caches
+        )
+        return logits[:, -1, :], new_caches
+
+    pending = []
+
+    def attn(lp, acfg, h, cache):
+        out, kv = attention_decode_paged_deferred(lp, acfg, h, cache)
+        pending.append(kv)
+        return out, cache
+
+    logits, new_caches = _trunk(params, cfg, tokens, attn, caches)
+    num_slots = tokens.shape[0]
+    new_caches = paged_write_tokens_multi(
+        new_caches,
+        [kv[0] for kv in pending],
+        [kv[1] for kv in pending],
+        jnp.arange(num_slots),
     )
     return logits[:, -1, :], new_caches
 

@@ -621,6 +621,14 @@ def _bwd_fused_kernel(
     subtile: int = 0,
     diag_subtile: int = 0,
     diag_offset: int | None = None,
+    seg_refs=None,
+    seg_live_ref=None,  # flat [B*nq*nkv] liveness (packed prefetch gating)
+    seg_heads: int = 1,
+    seg_nq: int = 0,
+    seg_nkv: int = 0,
+    iq0: int = 0,
+    ikv0: int = 0,
+    packed_dsub: int = 0,
 ):
     """ONE-pass backward: dq, dk, dv from a single score/softmax recompute.
 
@@ -744,6 +752,19 @@ def _bwd_fused_kernel(
             )
     else:
         should_run = True
+    if seg_live_ref is not None:
+        # Packed block skipping via the prefetched liveness table (block
+        # id-RANGE intersection, same table as the two-pass kernels): fully
+        # cross-document pairs skip all five MMAs, and the caller's clamped
+        # index maps already re-issue no DMA for them. Indices are GLOBAL
+        # (iq0/ikv0 offset the chunked call's local grid).
+        b = pl.program_id(0) // seg_heads
+        should_run = jnp.logical_and(
+            should_run,
+            seg_live_ref[
+                (b * seg_nq + iq0 + iq) * seg_nkv + ikv0 + ikv
+            ] != 0,
+        )
 
     def _fused_body(masked: bool):
         q = q_ref[...]
@@ -766,7 +787,7 @@ def _bwd_fused_kernel(
         else:
             s2t = rawt * scale2
 
-        if masked and (causal or kv_pad):
+        if masked and (causal or kv_pad or seg_refs is not None):
             ok = None
             shape2d = s2t.shape[1:]
             kvpos = (
@@ -785,6 +806,9 @@ def _bwd_fused_kernel(
             if kv_pad:
                 inb = kvpos < kv_len
                 ok = inb if ok is None else jnp.logical_and(ok, inb)
+            if seg_refs is not None:
+                same = seg_refs[1][0, 0][:, None] == seg_refs[0][0, 0][None, :]
+                ok = same if ok is None else jnp.logical_and(ok, same)
             s2t = jnp.where(ok[None], s2t, MASK_VALUE)
 
         pt = jnp.exp2(s2t - lse_ref[...])
@@ -805,18 +829,7 @@ def _bwd_fused_kernel(
             preferred_element_type=jnp.float32,
         )
 
-    if diag_subtile:
-        # Multi-block causal diag sub-tiling: the diagonal block pair runs
-        # live-prefix sub-MMAs (all five), interior pairs are mask-free.
-        last_live = ((iq + 1) * block_q - 1 + diag_offset) // block_kv
-
-        @pl.when(ikv < last_live)
-        def _interior():
-            _fused_body(masked=False)
-
-        @pl.when(ikv == last_live)
-        def _diag():
-            w = diag_subtile
+    def _diag_body(w):
             q = q_ref[...]
             k = k_ref[...]
             v = v_ref[...]
@@ -867,6 +880,40 @@ def _bwd_fused_kernel(
                     pt.astype(do.dtype), doi, (((2,), (1,)), ((0,), (0,))),
                     preferred_element_type=jnp.float32,
                 )
+
+    if diag_subtile:
+        # Multi-block causal diag sub-tiling: the diagonal block pair runs
+        # live-prefix sub-MMAs (all five), interior pairs are mask-free.
+        last_live = ((iq + 1) * block_q - 1 + diag_offset) // block_kv
+
+        @pl.when(ikv < last_live)
+        def _interior():
+            _fused_body(masked=False)
+
+        @pl.when(ikv == last_live)
+        def _diag():
+            _diag_body(diag_subtile)
+    elif packed_dsub and seg_live_ref is not None:
+        # Packed runtime routing (the forward's packed_subtile twin): the
+        # prefetched table carries 0 = dead/above-diagonal, 1 = masked
+        # live (document boundaries, pad blocks), 2 = fully-live
+        # single-document interior (no mask at all), 3 = single-document
+        # diagonal (doc-local diagonal == global diagonal for contiguous
+        # packing, so the live-prefix sub-MMA body applies verbatim).
+        b = pl.program_id(0) // seg_heads
+        val = seg_live_ref[(b * seg_nq + iq0 + iq) * seg_nkv + ikv0 + ikv]
+
+        @pl.when(val == 1)
+        def _generic():
+            _fused_body(masked=True)
+
+        @pl.when(val == 2)
+        def _interior():
+            _fused_body(masked=False)
+
+        @pl.when(val == 3)
+        def _diag():
+            _diag_body(packed_dsub)
     else:
         @pl.when(should_run)
         def _compute():
@@ -1029,6 +1076,48 @@ def flash_attention_bwd(
         dkv_last_live = (
             num_q_blocks - 1 - jnp.argmax(seg_live[:, ::-1, :], axis=1)
         ).astype(jnp.int32)  # [B, nkv]
+        # Routing table for the packed FUSED kernel (values 0-3; see
+        # _bwd_fused_kernel's packed_dsub branch). Built alongside the
+        # plain live table; only consumed when the fused call's static
+        # alignment allows (pdsub). `below`/`partial` are static causal
+        # block geometry; same_doc is the runtime id-range collapse.
+        if causal:
+            iq_idx = jnp.arange(num_q_blocks)[:, None]
+            ikv_idx = jnp.arange(num_kv_blocks)[None, :]
+            below = (
+                ikv_idx * block_kv
+                <= (iq_idx + 1) * block_q - 1 + diag_offset
+            )  # [nq, nkv] causally-reachable block pairs
+            partial_b = jnp.logical_and(
+                below,
+                (ikv_idx + 1) * block_kv - 1 > iq_idx * block_q + diag_offset,
+            )
+            same_doc = jnp.logical_and(
+                jnp.logical_and(
+                    (qmin == qmax)[:, :, None], (kmin == kmax)[:, None, :]
+                ),
+                qmin[:, :, None] == kmin[:, None, :],
+            )  # [B, nq, nkv]
+            live_b = jnp.logical_and(seg_live != 0, below[None])
+            route = jnp.where(live_b, 1, 0)
+            route = jnp.where(
+                jnp.logical_and(
+                    live_b,
+                    jnp.logical_and(
+                        jnp.logical_not(partial_b)[None], same_doc
+                    ),
+                ),
+                2, route,
+            )
+            route = jnp.where(
+                jnp.logical_and(
+                    live_b, jnp.logical_and(partial_b[None], same_doc)
+                ),
+                3, route,
+            )
+            seg_route = route.astype(jnp.int32).reshape(-1)
+        else:
+            seg_route = seg_live.reshape(-1)
         # Flat prefetch arrays (flat-with-computed-offset is the paged
         # kernels' proven on-chip indexing pattern).
         seg_live = seg_live.reshape(-1)
@@ -1111,7 +1200,7 @@ def flash_attention_bwd(
     fused_chunk = block_sizes.fused_kv_chunk or kv_padded
     fused_chunk = max(block_kv, (fused_chunk // block_kv) * block_kv)
     fused_ok = (
-        block_sizes.bwd_fused and group == 1 and segments is None
+        block_sizes.bwd_fused and group == 1
         and (
             fused_chunk >= kv_padded
             # The chunked form: self-attention alignment only (the q slice
@@ -1120,6 +1209,15 @@ def flash_attention_bwd(
             or (causal and diag_offset == 0 and window is None
                 and q_pad == kv_padded and block_q == block_kv)
             or not causal
+        )
+        # Packed sequences: causal self-attention with unpadded aligned
+        # square blocks only (the kernel's in-kernel liveness + segment
+        # mask assume the global diagonal IS the packing diagonal).
+        and (
+            segments is None
+            or (causal and diag_offset == 0 and window is None
+                and q_pad == q_len and kv_padded == kv_len
+                and q_pad == kv_padded and block_q == block_kv)
         )
     )
     if fused_ok:
@@ -1134,11 +1232,14 @@ def flash_attention_bwd(
             # Chunked call: first-aligned — the causal q slice starts at the
             # chunk's first kv position (the gate requires diag_offset == 0).
             off = (kv_len - q_len) if whole else c0 - q0
-            sub = subtile if (q0 == 0 and c0 == 0 and c1 >= kv_padded) else 0
+            sub = subtile if (
+                q0 == 0 and c0 == 0 and c1 >= kv_padded and segments is None
+            ) else 0
             dsub = 0
             if (
                 causal and not sub and block_sizes.block_sub
-                and window is None and kv_len_loc == c1 - c0
+                and window is None and segments is None
+                and kv_len_loc == c1 - c0
                 and q_pad == q_len and block_q == block_kv
                 and off % block_kv == 0
                 and block_q >= block_sizes.block_sub
@@ -1146,6 +1247,22 @@ def flash_attention_bwd(
                 and hb * block_q <= 2048
             ):
                 dsub = block_sizes.block_sub
+            use_prefetch = segments is not None and packed
+            # Packed runtime diag routing: needs the same static alignment
+            # facts as the unpacked diag sub-tiling (square blocks,
+            # origin-aligned diagonal, no padded tails) — then the route
+            # table upgrades fully-live single-doc interiors to mask-free
+            # and single-doc diagonals to the sub-MMA body.
+            pdsub = 0
+            if (
+                use_prefetch and causal and block_sizes.block_sub
+                and off % block_kv == 0 and block_q == block_kv
+                and kv_len_loc == c1 - c0 and q_pad == q_len
+                and block_q >= block_sizes.block_sub
+                and block_q % block_sizes.block_sub == 0
+                and hb * block_q <= 2048
+            ):
+                pdsub = block_sizes.block_sub
             fused_kernel = functools.partial(
                 _bwd_fused_kernel,
                 causal=causal,
@@ -1164,69 +1281,148 @@ def flash_attention_bwd(
                 subtile=sub,
                 diag_subtile=dsub,
                 diag_offset=off,
+                seg_heads=hblocks_q,
+                seg_nq=num_q_blocks,
+                seg_nkv=num_kv_blocks,
+                iq0=q0 // block_q,
+                ikv0=c0 // block_kv,
+                packed_dsub=pdsub,
             )
 
-            def kv_idx(iq, ikv):
-                if not causal:
-                    return ikv
-                last_live = ((iq + 1) * block_q - 1 + off) // block_kv
-                return jnp.minimum(ikv, last_live)
+            def kv_idx(iq, ikv, *refs):
+                idx = ikv
+                if causal:
+                    last_live = ((iq + 1) * block_q - 1 + off) // block_kv
+                    idx = jnp.minimum(ikv, last_live)
+                if use_prefetch:
+                    # Clamp into the q block's live-document band (GLOBAL
+                    # table indices) so dead blocks re-issue no DMA — the
+                    # same discipline as the two-pass grids. refs[0] is the
+                    # head-block id (to recover the batch row); refs[1:] are
+                    # (live, first, last).
+                    bq = (refs[0] // hblocks_q) * num_q_blocks + (
+                        q0 // block_q + iq
+                    )
+                    idx = jnp.clip(
+                        idx,
+                        refs[2][bq] - c0 // block_kv,
+                        refs[3][bq] - c0 // block_kv,
+                    )
+                    idx = jnp.clip(idx, 0, nkb - 1)
+                return idx
 
             q_spec_f = pl.BlockSpec(
                 (hb, block_q, d_pad),
-                lambda bh, iq, ikv: (bh, q0 // block_q + iq, 0),
+                lambda bh, iq, ikv, *r: (bh, q0 // block_q + iq, 0),
             )
             kv_spec_f = pl.BlockSpec(
                 (hb, block_kv, d_pad),
-                lambda bh, iq, ikv: (
-                    bh, c0 // block_kv + kv_idx(iq, ikv), 0
+                lambda bh, iq, ikv, *r: (
+                    bh, c0 // block_kv + kv_idx(iq, ikv, bh, *r), 0
                 ),
             )
             stat_spec_f = pl.BlockSpec(
                 (hb, 1, block_q),
-                lambda bh, iq, ikv: (bh, 0, q0 // block_q + iq),
+                lambda bh, iq, ikv, *r: (bh, 0, q0 // block_q + iq),
             )
+            in_specs_f = [
+                q_spec_f, kv_spec_f, kv_spec_f, q_spec_f,
+                stat_spec_f, stat_spec_f,
+            ]
+            inputs_f = [qq, kk, vv, dodo, lse_row, delta_row]
+            if segments is not None:
+                in_specs_f += [
+                    pl.BlockSpec(
+                        (1, 1, block_q),
+                        lambda bh, iq, ikv, *r: (
+                            bh // hblocks_q, 0, q0 // block_q + iq
+                        ),
+                    ),
+                    pl.BlockSpec(
+                        (1, 1, block_kv),
+                        lambda bh, iq, ikv, *r: (
+                            bh // hblocks_q, 0,
+                            c0 // block_kv + kv_idx(iq, ikv, bh, *r),
+                        ),
+                    ),
+                ]
+                inputs_f += [seg_q, seg_kv]
+                base = fused_kernel
+                if use_prefetch:
+                    def fused_kernel(
+                        live_r, first_r, last_r,
+                        q_r, k_r, v_r, do_r, lse_r, d_r, sq_r, skv_r,
+                        dq_r, dk_r, dv_r, *scr
+                    ):
+                        base(
+                            q_r, k_r, v_r, do_r, lse_r, d_r,
+                            dq_r, dk_r, dv_r, *scr,
+                            seg_refs=(sq_r, skv_r), seg_live_ref=live_r,
+                        )
+                else:
+                    def fused_kernel(
+                        q_r, k_r, v_r, do_r, lse_r, d_r, sq_r, skv_r,
+                        dq_r, dk_r, dv_r, *scr
+                    ):
+                        base(
+                            q_r, k_r, v_r, do_r, lse_r, d_r,
+                            dq_r, dk_r, dv_r, *scr, seg_refs=(sq_r, skv_r)
+                        )
+            out_specs_f = [
+                pl.BlockSpec(
+                    (hb, block_q, d_pad), lambda bh, iq, ikv, *r: (bh, iq, 0)
+                ),
+                pl.BlockSpec(
+                    (hb, c1 - c0, d_pad), lambda bh, iq, ikv, *r: (bh, 0, 0)
+                ),
+                pl.BlockSpec(
+                    (hb, c1 - c0, d_pad), lambda bh, iq, ikv, *r: (bh, 0, 0)
+                ),
+            ]
+            out_shape_f = [
+                jax.ShapeDtypeStruct(
+                    (batch * num_q_heads, q_pad - q0, d_pad), dq_dtype
+                ),
+                jax.ShapeDtypeStruct(
+                    (batch * num_kv_heads, c1 - c0, d_pad), k.dtype
+                ),
+                jax.ShapeDtypeStruct(
+                    (batch * num_kv_heads, c1 - c0, d_pad), v.dtype
+                ),
+            ]
+            scratch_f = [
+                pltpu.VMEM((hb, block_q, d_pad), jnp.float32),
+                pltpu.VMEM((nkb, hb, block_kv, d_pad), jnp.float32),
+                pltpu.VMEM((nkb, hb, block_kv, d_pad), jnp.float32),
+            ]
+            semantics = pltpu.CompilerParams(
+                dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+            )
+            if use_prefetch:
+                table = seg_route if pdsub else seg_live
+                return pl.pallas_call(
+                    fused_kernel,
+                    grid_spec=pltpu.PrefetchScalarGridSpec(
+                        num_scalar_prefetch=3,
+                        grid=(batch * num_q_heads // hb, nqb, nkb),
+                        in_specs=in_specs_f,
+                        out_specs=out_specs_f,
+                        scratch_shapes=scratch_f,
+                    ),
+                    out_shape=out_shape_f,
+                    compiler_params=semantics,
+                    interpret=interpret,
+                )(table, dq_first_live, dq_last_live, *inputs_f)
             return pl.pallas_call(
                 fused_kernel,
                 grid=(batch * num_q_heads // hb, nqb, nkb),
-                in_specs=[
-                    q_spec_f, kv_spec_f, kv_spec_f, q_spec_f,
-                    stat_spec_f, stat_spec_f,
-                ],
-                out_specs=[
-                    pl.BlockSpec(
-                        (hb, block_q, d_pad), lambda bh, iq, ikv: (bh, iq, 0)
-                    ),
-                    pl.BlockSpec(
-                        (hb, c1 - c0, d_pad), lambda bh, iq, ikv: (bh, 0, 0)
-                    ),
-                    pl.BlockSpec(
-                        (hb, c1 - c0, d_pad), lambda bh, iq, ikv: (bh, 0, 0)
-                    ),
-                ],
-                out_shape=[
-                    jax.ShapeDtypeStruct(
-                        (batch * num_q_heads, q_pad - q0, d_pad), dq_dtype
-                    ),
-                    jax.ShapeDtypeStruct(
-                        (batch * num_kv_heads, c1 - c0, d_pad), k.dtype
-                    ),
-                    jax.ShapeDtypeStruct(
-                        (batch * num_kv_heads, c1 - c0, d_pad), v.dtype
-                    ),
-                ],
-                scratch_shapes=[
-                    pltpu.VMEM((hb, block_q, d_pad), jnp.float32),
-                    pltpu.VMEM((nkb, hb, block_kv, d_pad), jnp.float32),
-                    pltpu.VMEM((nkb, hb, block_kv, d_pad), jnp.float32),
-                ],
-                compiler_params=pltpu.CompilerParams(
-                    dimension_semantics=(
-                        "parallel", "arbitrary", "arbitrary"
-                    ),
-                ),
+                in_specs=in_specs_f,
+                out_specs=out_specs_f,
+                out_shape=out_shape_f,
+                scratch_shapes=scratch_f,
+                compiler_params=semantics,
                 interpret=interpret,
-            )(qq, kk, vv, dodo, lse_row, delta_row)
+            )(*inputs_f)
 
         if fused_chunk >= kv_padded:
             dq, dk, dv = run_fused(0, 0, kv_padded, q.dtype)

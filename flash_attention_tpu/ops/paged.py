@@ -254,6 +254,192 @@ def _scatter_token_rows(cache, kq, vq, ks, vs, phys, offset, valid, interpret):
     return cache._replace(k_pages=kp, v_pages=vp)
 
 
+def _make_multi_write_kernel(num_layers: int, quant: bool):
+    """Kernel writing one token row into `num_layers` layers' pools per grid
+    step (see paged_write_tokens_multi). Ref order: phys [L*n], offset
+    [L*n], valid [n] prefetch; per-layer new blocks; per-layer old blocks;
+    then the aliased per-layer out blocks."""
+
+    def kernel(*refs):
+        per = 4 if quant else 2
+        phys_ref, offset_ref, valid_ref = refs[:3]
+        news = refs[3 : 3 + num_layers * per]
+        olds = refs[3 + num_layers * per : 3 + 2 * num_layers * per]
+        outs = refs[3 + 2 * num_layers * per :]
+        i = pl.program_id(0)
+        n = valid_ref.shape[0]
+        ok = valid_ref[i] != 0
+        for j in range(num_layers):
+            off = offset_ref[j * n + i]
+            sub = off % 8
+            knew, vnew = news[j * per], news[j * per + 1]
+            kold, vold = olds[j * per], olds[j * per + 1]
+            kout, vout = outs[j * per], outs[j * per + 1]
+            _slab_update(kout, kold, knew[0], sub, ok)
+            _slab_update(vout, vold, vnew[0], sub, ok)
+            if quant:
+                ksnew, vsnew = news[j * per + 2], news[j * per + 3]
+                ksold, vsold = olds[j * per + 2], olds[j * per + 3]
+                ksout, vsout = outs[j * per + 2], outs[j * per + 3]
+                lane = jax.lax.broadcasted_iota(jnp.int32, ksold.shape, 3)
+                hit = jnp.logical_and(ok, lane == off)
+                ksout[...] = jnp.where(hit, ksnew[...], ksold[...])
+                vsout[...] = jnp.where(hit, vsnew[...], vsold[...])
+
+    return kernel
+
+
+def paged_write_tokens_multi(
+    caches: list,
+    k_news: list,
+    v_news: list,
+    slots: jax.Array,
+    *,
+    interpret: bool | None = None,
+) -> list:
+    """Append ONE token of K/V per slot to EVERY layer's cache in a single
+    Pallas call.
+
+    The per-layer :func:`paged_write_tokens` scatter is overhead-bound (~0.5
+    ms/call for 32 slots' ~100 KB of slab RMWs on v5e — dispatch + grid setup
+    + per-tiny-block DMA latency), so an L-layer decode step paid L of them.
+    One call with every layer's pools aliased in/out moves the same bytes for
+    one invocation's overhead. Used by the deferred-write decode step
+    (models/transformer.py), which batches all layers' writes after the layer
+    stack instead of writing inside each layer.
+
+    caches: L PagedKVCache (same num_slots/page_size/quantization; page
+    tables and lengths may differ per layer). k_news/v_news: L arrays of
+    [n, kv_heads, head_dim]. Returns the L updated caches.
+    """
+    L = len(caches)
+    if L == 0:
+        return []
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    cache0 = caches[0]
+    page_size = cache0.page_size
+    quant = cache0.quantized()
+    n, H, D = k_news[0].shape
+    num_pages = cache0.k_pages.shape[0]
+
+    phys_l, offset_l, valid_l = [], [], []
+    new_inputs = []
+    old_inputs = []
+    for cache, k_new, v_new in zip(caches, k_news, v_news):
+        pos = cache.lengths[slots]
+        in_range = pos < cache.pages_per_slot * page_size
+        logical = jnp.minimum(pos // page_size, cache.pages_per_slot - 1)
+        offset = pos % page_size
+        phys = jnp.minimum(
+            cache.page_table[slots, logical], num_pages - 1
+        ).astype(jnp.int32)
+        phys_l.append(phys)
+        offset_l.append(offset.astype(jnp.int32))
+        valid_l.append(in_range)
+        if quant:
+            kq, ks = jax.vmap(
+                lambda x, c=cache: _quantize_rows(x, c.k_pages.dtype)
+            )(k_new)
+            vq, vs = jax.vmap(
+                lambda x, c=cache: _quantize_rows(x, c.v_pages.dtype)
+            )(v_new)
+            ks = jnp.broadcast_to(
+                ks[:, :, 0].astype(jnp.float32)[:, :, None, None],
+                (n, H, 1, page_size),
+            )
+            vs = jnp.broadcast_to(
+                vs[:, :, 0].astype(jnp.float32)[:, :, None, None],
+                (n, H, 1, page_size),
+            )
+            new_inputs += [kq, vq, ks, vs]
+            old_inputs += [
+                cache.k_pages, cache.v_pages, cache.k_scales, cache.v_scales
+            ]
+        else:
+            new_inputs += [
+                k_new.astype(cache.k_pages.dtype),
+                v_new.astype(cache.v_pages.dtype),
+            ]
+            old_inputs += [cache.k_pages, cache.v_pages]
+
+    phys_all = jnp.stack(phys_l).reshape(-1)  # [L*n]
+    offset_all = jnp.stack(offset_l).reshape(-1)
+    # Valid is shared across layers (lengths advance in lockstep); AND them
+    # so a layer at capacity freezes every layer consistently.
+    valid = valid_l[0]
+    for vl in valid_l[1:]:
+        valid = jnp.logical_and(valid, vl)
+    valid = valid.astype(jnp.int32)
+
+    per = 4 if quant else 2
+    in_specs = []
+    out_specs = []
+    out_shape = []
+    aliases = {}
+    for j in range(L):
+        row_block = pl.BlockSpec(
+            (1, H, 8, D),
+            lambda i, p, o, v, j=j: (p[j * n + i], 0, o[j * n + i] // 8, 0),
+        )
+        new_block = pl.BlockSpec((1, H, D), lambda i, p, o, v: (i, 0, 0))
+        if quant:
+            scale_block = pl.BlockSpec(
+                (1, H, 1, page_size),
+                lambda i, p, o, v, j=j: (p[j * n + i], 0, 0, 0),
+            )
+            snew_block = pl.BlockSpec(
+                (1, H, 1, page_size), lambda i, p, o, v: (i, 0, 0, 0)
+            )
+            in_specs += [new_block, new_block, snew_block, snew_block]
+            out_specs += [row_block, row_block, scale_block, scale_block]
+        else:
+            in_specs += [new_block, new_block]
+            out_specs += [row_block, row_block]
+    # olds mirror the out specs (aliased buffers).
+    old_specs = list(out_specs)
+    for t in range(L * per):
+        # Flattened input index: 3 prefetch + L*per new + t ; output t.
+        aliases[3 + L * per + t] = t
+        c = caches[t // per]
+        arrs = (
+            [c.k_pages, c.v_pages, c.k_scales, c.v_scales]
+            if quant else [c.k_pages, c.v_pages]
+        )
+        a = arrs[t % per]
+        out_shape.append(jax.ShapeDtypeStruct(a.shape, a.dtype))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        in_specs=in_specs + old_specs,
+        out_specs=out_specs,
+        grid=(n,),
+    )
+    results = pl.pallas_call(
+        _make_multi_write_kernel(L, quant),
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        input_output_aliases=aliases,
+        interpret=interpret,
+    )(phys_all, offset_all, valid, *new_inputs, *old_inputs)
+
+    out_caches = []
+    vbool = valid.astype(cache0.lengths.dtype)
+    for j, cache in enumerate(caches):
+        if quant:
+            kp, vp, ksc, vsc = results[j * 4 : (j + 1) * 4]
+            cache = cache._replace(
+                k_pages=kp, v_pages=vp, k_scales=ksc, v_scales=vsc
+            )
+        else:
+            kp, vp = results[j * 2 : (j + 1) * 2]
+            cache = cache._replace(k_pages=kp, v_pages=vp)
+        out_caches.append(
+            cache._replace(lengths=cache.lengths.at[slots].add(vbool))
+        )
+    return out_caches
+
+
 def paged_write_tokens(
     cache: PagedKVCache,
     k_new: jax.Array,

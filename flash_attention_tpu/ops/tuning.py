@@ -171,6 +171,27 @@ def _select_fwd_raw(
     causal at 8K).
     """
     pad_seq = _ceil_to(seq, 128)
+    if (
+        head_dim == 64 and causal and not windowed and group == 1
+        and not save_residuals and pad_seq >= 1024
+        and (kv_seq is None or _ceil_to(kv_seq, 128) == pad_seq)
+    ):
+        # GPT-2-class d=64, causal self-attention: keep the minor dim
+        # unpadded (half the HBM bytes and half the MXU contraction work
+        # of the zero-padded path). In-bench sweep 2026-08-20: 1024
+        # 42.1 -> 47.1 TF (+11.8%, superblock h4), 4096 55.5 -> 59.9
+        # (+7.9%, tri grid hu+pipe). Unswept d64 shapes (residuals, GQA,
+        # windowed, non-causal, short seqs) keep the padded generic tiers.
+        if pad_seq <= 1024:
+            return BlockSizes(
+                block_q=pad_seq, block_kv=pad_seq, block_h=4,
+                block_sub=256 if pad_seq % 256 == 0 else 128,
+                diag_pipe=True, d64_unpadded=True,
+            )
+        return BlockSizes(
+            block_q=1024, block_kv=1024, block_h=2, block_sub=256,
+            head_unroll=True, diag_pipe=True, d64_unpadded=True,
+        )
     if head_dim > 128:
         # Tuned at head_dim=128; larger heads scale the VMEM accumulators, so
         # fall back to unbatched heads rather than risk scoped-VMEM OOM.
@@ -258,8 +279,11 @@ def _select_fwd_raw(
                     block_q=pad_seq, block_kv=pad_seq, block_h=2,
                     block_sub=sub, lse_narrow=True,
                 )
+            # head_unroll +5.1% (in-bench 2026-08-20: 138.9 vs 132.2 TF
+            # @8192 under-grad forward).
             return BlockSizes(
-                block_q=512, block_kv=1024, block_h=2, lse_narrow=True
+                block_q=512, block_kv=1024, block_h=2, lse_narrow=True,
+                head_unroll=True,
             )
         if pad_seq <= 768:
             return BlockSizes(block_q=pad_seq, block_kv=pad_seq, block_h=2)
@@ -368,7 +392,11 @@ def select_bwd_block_sizes(
         head-batched beyond.
     """
     pad_seq = _ceil_to(seq, 128)
-    fused_ok = group == 1 and not packed and head_dim <= 128
+    # Packed self-attention now runs the fused kernel too (in-kernel
+    # liveness + segment mask); flash_attention_bwd's runtime gate falls
+    # back to the two-pass path for the shapes it can't prove (ragged /
+    # unaligned), where these tiers remain reasonable.
+    fused_ok = group == 1 and head_dim <= 128 and (not packed or causal)
     if windowed or cross:
         # Two-pass tiers for sliding windows and q/kv length mismatches:
         # the fused superblock configs below would materialize window-less
@@ -387,10 +415,22 @@ def select_bwd_block_sizes(
         return BlockSizes(block_q=512, block_kv=512)
     if fused_ok:
         if causal:
+            if packed:
+                # Packed fused grid with runtime routing (mask-free
+                # single-doc interiors + sub-tiled single-doc diagonals
+                # via the prefetched route table); blocks stay <= 1024 to
+                # keep the transposed fp32 score tile in VMEM.
+                if pad_seq <= 1024:
+                    return BlockSizes(512, 512, 2, 128, bwd_fused=True)
+                return BlockSizes(
+                    1024, 1024, 1, 256, bwd_fused=True, fused_kv_chunk=2048
+                )
             if pad_seq <= 512:
                 return BlockSizes(pad_seq, pad_seq, 8, 128, bwd_fused=True)
             if pad_seq <= 2048:
-                return BlockSizes(pad_seq, pad_seq, 2, 128, bwd_fused=True)
+                # sub256 +2.0% over sub128 (in-bench 2026-08-20).
+                sub = 256 if pad_seq % 256 == 0 else 128
+                return BlockSizes(pad_seq, pad_seq, 2, sub, bwd_fused=True)
             if pad_seq <= 4096:
                 # The whole-KV (1024,1024,h1,sub256) form measured 135.7 in
                 # the scan wrapper but FAILS the standalone compile gate
@@ -400,10 +440,12 @@ def select_bwd_block_sizes(
                 return BlockSizes(
                     1024, 1024, 1, 256, bwd_fused=True, fused_kv_chunk=2048
                 )
-            # Chunked: (512,512,h2,k2048) 129.5 eff-TF @8K vs 123.6 for
-            # (512,512,h1,k4096); 16K measured 130.1 with the h1 form.
+            # In-bench sweep 2026-08-20: the 4096 tier's own
+            # (1024,1024,h1,sub256,k2048) also wins at 8192 (136.6 vs
+            # 131.3 eff-TF for the old (512,512,h2,sub128,k2048)) — the
+            # dP-hoist moved the balance toward bigger tiles.
             return BlockSizes(
-                512, 512, 2, 128, bwd_fused=True, fused_kv_chunk=2048
+                1024, 1024, 1, 256, bwd_fused=True, fused_kv_chunk=2048
             )
         if pad_seq <= 512:
             return BlockSizes(pad_seq, pad_seq, 2, bwd_fused=True)

@@ -167,9 +167,12 @@ def make_decode_multi(model_cfg, decode_logits_fn):
     kernels — what makes continuous batching continuous).
     """
 
-    @functools.partial(jax.jit, static_argnums=(8,), donate_argnums=(2,))
+    @functools.partial(
+        jax.jit, static_argnums=(8, 9), donate_argnums=(2,)
+    )
     def _decode_multi(
-        params, last_tok, caches, active, temps, topk, topp, seeds, k
+        params, last_tok, caches, active, temps, topk, topp, seeds, k,
+        greedy=False,
     ):
         def body(carry, _):
             tok, caches = carry
@@ -177,14 +180,21 @@ def make_decode_multi(model_cfg, decode_logits_fn):
             logits, new_caches = decode_logits_fn(
                 params, model_cfg, tok[:, None], caches
             )
-            # Fold the position the sampled token will OCCUPY (old length
-            # + 1): the prompt's first sampled token already folded
-            # position == true_len in _sample_first, so folding the raw old
-            # length here would reuse that exact Gumbel vector for the
-            # second token of every completion.
-            nt = sample_tokens(
-                logits, temps, topk, topp, seeds, old_lengths[0] + 1
-            )
+            if greedy:
+                # Every slot in the block is temperature==0 (host-checked at
+                # sampling-state upload): sample_tokens would compute two
+                # full [slots, vocab] sorts and a Gumbel draw only to select
+                # the argmax anyway (~0.7 ms/step of pure waste at 32x32000).
+                nt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            else:
+                # Fold the position the sampled token will OCCUPY (old
+                # length + 1): the prompt's first sampled token already
+                # folded position == true_len in _sample_first, so folding
+                # the raw old length here would reuse that exact Gumbel
+                # vector for the second token of every completion.
+                nt = sample_tokens(
+                    logits, temps, topk, topp, seeds, old_lengths[0] + 1
+                )
             nt = jnp.where(active, nt, tok)
             fixed = [
                 c._replace(lengths=jnp.where(active, c.lengths, old))
@@ -291,6 +301,9 @@ def run_decode_block(eng, active, out) -> None:
             jnp.asarray(eng._temps), jnp.asarray(eng._topk),
             jnp.asarray(eng._topp), jnp.asarray(eng._seeds),
         )
+        # Exact static fast path: when every ACTIVE slot is greedy
+        # (temperature 0), the block compiles without the sampling sorts.
+        eng._dev_greedy = bool((eng._temps[active] == 0).all())
         eng._dev_dirty = False
     d_last, d_active, d_t, d_k, d_p, d_s = eng._dev
     # Block length: bounded by every active slot's SCHEDULED token budget and
@@ -311,7 +324,7 @@ def run_decode_block(eng, active, out) -> None:
     k_run = 1 << (k_run.bit_length() - 1)
     toks_dev, d_last, eng.caches = eng._decode_multi(
         eng.params, d_last, eng.caches, d_active,
-        d_t, d_k, d_p, d_s, k_run,
+        d_t, d_k, d_p, d_s, k_run, getattr(eng, "_dev_greedy", False),
     )
     eng._dev = (d_last, d_active, d_t, d_k, d_p, d_s)
     for s in active:

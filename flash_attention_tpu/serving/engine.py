@@ -101,7 +101,7 @@ class ServingEngine:
         eos_id: int | None = None,
         prefill_chunk: int = 256,
         shard_caches: Callable | None = None,
-        decode_block_steps: int = 8,
+        decode_block_steps: int = 16,
         pipeline_decode: bool = True,
     ):
         self.params = params

@@ -83,7 +83,7 @@ class PagedServingEngine:
         page_size: int = 128,
         eos_id: int | None = None,
         prefill_chunk: int = 256,
-        decode_block_steps: int = 8,
+        decode_block_steps: int = 16,
         pipeline_decode: bool = True,
         shard_caches=None,
         prefix_cache: bool = False,

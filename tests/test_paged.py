@@ -492,3 +492,119 @@ def test_paged_write_tokens_at_capacity_drops():
     # Slot 1 (in range) still works: row at pos 10 of its page written.
     assert float(new.k_pages[3, 0, 10, 0]) == 7.0
     assert int(new.lengths[1]) == 11
+
+
+def test_paged_write_tokens_multi_matches_singles():
+    """One multi-layer scatter call == L independent per-layer writes."""
+    from flash_attention_tpu.ops.paged import (
+        init_paged_cache, paged_write_tokens, paged_write_tokens_multi,
+    )
+
+    for kv_quant in ("none", "int8"):
+        L, slots, H, D, page = 3, 4, 2, 128, 128
+        caches = []
+        for j in range(L):
+            c = init_paged_cache(
+                num_pages=9, num_slots=slots, pages_per_slot=2,
+                kv_heads=H, page_size=page, kv_quant=kv_quant,
+            )
+            table = np.asarray(
+                [[1 + 2 * s, 2 + 2 * s] for s in range(slots)], np.int32
+            )
+            c = c._replace(
+                page_table=jnp.asarray(table),
+                # One slot at capacity (frozen), the rest mid-page.
+                lengths=jnp.asarray([5, 130, 2 * page, 127], jnp.int32),
+            )
+            caches.append(c)
+        ks = [
+            jnp.asarray(
+                np.random.RandomState(40 + j).uniform(-0.5, 0.5, (slots, H, D)),
+                jnp.bfloat16,
+            )
+            for j in range(L)
+        ]
+        vs = [
+            jnp.asarray(
+                np.random.RandomState(50 + j).uniform(-0.5, 0.5, (slots, H, D)),
+                jnp.bfloat16,
+            )
+            for j in range(L)
+        ]
+        slots_arr = jnp.arange(slots)
+        singles = [
+            paged_write_tokens(c, k1, v1, slots_arr)
+            for c, k1, v1 in zip(caches, ks, vs)
+        ]
+        multi = paged_write_tokens_multi(caches, ks, vs, slots_arr)
+        for j in range(L):
+            for field in ("k_pages", "v_pages", "lengths", "k_scales", "v_scales"):
+                a = getattr(singles[j], field)
+                b = getattr(multi[j], field)
+                if a is None:
+                    assert b is None
+                    continue
+                np.testing.assert_array_equal(
+                    np.asarray(a), np.asarray(b),
+                    err_msg=f"{kv_quant} layer {j} {field}",
+                )
+
+
+def test_deferred_decode_matches_write_first():
+    """decode_step_logits_paged's deferred-write path (self-token LSE merge
+    + one multi-layer write) must match the write-first path: same token
+    stream and same cache contents after several steps."""
+    from flash_attention_tpu.models.transformer import (
+        ModelConfig, init_model_params, init_paged_caches,
+        decode_step_logits_paged, prefill_paged, _trunk,
+    )
+    from flash_attention_tpu.models.attention import attention_decode_paged
+
+    cfg = ModelConfig.tiny(kv_quant="none")
+    params = init_model_params(jax.random.key(0), cfg)
+    page = 128
+    caches = init_paged_caches(
+        cfg, num_pages=5, num_slots=2, pages_per_slot=2, page_size=page,
+    )
+    table = np.asarray([[1, 2], [3, 4]], np.int32)
+    caches = [c._replace(page_table=jnp.asarray(table)) for c in caches]
+    toks = jnp.asarray(
+        np.random.RandomState(0).randint(0, cfg.vocab_size, (2, page))
+    )
+    for slot in range(2):
+        _, caches = prefill_paged(
+            params, cfg, toks[slot : slot + 1], caches, slot, page - 7
+        )
+    caches = [
+        c._replace(lengths=jnp.asarray([page - 7, page - 7], jnp.int32))
+        for c in caches
+    ]
+
+    def write_first_step(params, cfg, tokens, caches):
+        logits, new_caches = _trunk(
+            params, cfg, tokens, attention_decode_paged, caches
+        )
+        return logits[:, -1, :], new_caches
+
+    cur = jnp.asarray([[3], [5]], jnp.int32)
+    c_a = [jax.tree_util.tree_map(jnp.copy, c) for c in caches]
+    c_b = [jax.tree_util.tree_map(jnp.copy, c) for c in caches]
+    ta, tb = cur, cur
+    for _ in range(3):
+        la, c_a = decode_step_logits_paged(params, cfg, ta, c_a)
+        lb, c_b = write_first_step(params, cfg, tb, c_b)
+        na = jnp.argmax(la, axis=-1)[:, None].astype(jnp.int32)
+        nb = jnp.argmax(lb, axis=-1)[:, None].astype(jnp.int32)
+        np.testing.assert_array_equal(np.asarray(na), np.asarray(nb))
+        ta, tb = na, nb
+        np.testing.assert_array_equal(
+            np.asarray(c_a[0].lengths), np.asarray(c_b[0].lengths)
+        )
+    # Cache payloads agree (same tokens written at the same positions; a
+    # few bf16 ulps of slack — the two paths fuse the k projection into
+    # different consumers, so last-bit roundings can differ).
+    for ca, cb in zip(c_a, c_b):
+        np.testing.assert_allclose(
+            np.asarray(ca.k_pages, np.float32),
+            np.asarray(cb.k_pages, np.float32), atol=0.05,
+        )

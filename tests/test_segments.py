@@ -405,3 +405,45 @@ def test_grads_finite_on_dead_segment_rows(causal):
     # KV columns no live row can reach carry zero gradient.
     assert bool(jnp.all(dk[:, :, kv_keep:] == 0))
     assert bool(jnp.all(dv[:, :, kv_keep:] == 0))
+
+
+def test_packed_fused_backward_matches_oracle():
+    """The fused one-pass backward now serves packed causal self-attention
+    (in-kernel liveness + segment mask); grads must match the oracle for
+    aligned and unaligned document layouts, whole-KV and chunked."""
+    from flash_attention_tpu.ops.tuning import BlockSizes
+
+    q, k, v = make_qkv(61, 1, 2, 256, 128)
+    w = jax.random.normal(jax.random.key(6), q.shape)
+    for boundaries in ([128], [100, 180]):
+        seg = make_segments(1, 256, boundaries)
+
+        def loss(f):
+            def g(q, k, v):
+                return jnp.sum(f(q, k, v).astype(jnp.float32) * w)
+
+            return g
+
+        ref = jax.grad(
+            loss(
+                lambda q, k, v: reference_attention(
+                    q, k, v, causal=True, segment_ids=seg
+                )
+            ),
+            argnums=(0, 1, 2),
+        )(q, k, v)
+        for bwd in (
+            BlockSizes(128, 128, 2, 0, bwd_fused=True),
+            BlockSizes(128, 128, 1, 0, bwd_fused=True, fused_kv_chunk=128),
+        ):
+            ours = jax.grad(
+                loss(
+                    lambda q, k, v: flash_attention(
+                        q, k, v, causal=True, segment_ids=seg,
+                        bwd_block_sizes=bwd,
+                    )
+                ),
+                argnums=(0, 1, 2),
+            )(q, k, v)
+            for a, b, name in zip(ours, ref, ("dq", "dk", "dv")):
+                assert_close(a, b, msg=f"{name} {boundaries} {bwd.fused_kv_chunk}")
