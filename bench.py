@@ -17,6 +17,7 @@ vs_baseline compares against the reference's published geomean on its GPU
 (BASELINE.md). Detail rows go to stderr and BENCH_DETAIL.json.
 """
 
+import dataclasses
 import json
 import math
 import pathlib
@@ -74,110 +75,32 @@ def _sweep_candidates():
     """
     from flash_attention_tpu.ops.tuning import BlockSizes as B
 
-    # Round-2 batch (2026-08-20): round-1 in-bench winners were hu on
-    # non-causal 4096/8192 (+5-7%), hu+pipe on causal 8192/16K (+3-7%),
-    # sub128+pipe at 512 (+2.9%); pipe alone and wider subs lost. This
-    # batch refines around those and adds the new window-lead / packed
-    # sub-tile / GQA head-unroll paths.
+    # Round-3 batch (2026-08-20): superblock head-unroll (per-(sub-step,
+    # head) chains with hoisted 2D QK matmuls) for the short-seq causal
+    # tiers and the GQA 2048 superblock.
     return {
         (512, True): [
-            B(512, 512, 8, 128, diag_pipe=True),
+            B(512, 512, 8, 128, head_unroll=True, diag_pipe=True),
         ],
-        (4096, True): [
-            B(1024, 1024, 2, 256, head_unroll=True, diag_pipe=True),
-            B(1024, 1024, 2, 128, head_unroll=True, diag_pipe=True),
-            B(1024, 1024, 2, 256, head_unroll=True),
+        (768, True): [
+            B(768, 768, 8, 128, head_unroll=True, diag_pipe=True),
+            B(768, 768, 8, 128, head_unroll=True),
         ],
-        (8192, True): [
-            B(1024, 1024, 2, 256, head_unroll=True, diag_pipe=True),
-            B(1024, 1024, 2, 128, head_unroll=True, diag_pipe=True),
+        (1024, True): [
+            B(1024, 1024, 4, 256, head_unroll=True, diag_pipe=True),
+            B(1024, 1024, 4, 128, head_unroll=True, diag_pipe=True),
+            B(1024, 1024, 4, 256, head_unroll=True),
         ],
-        (16384, True): [
-            B(1024, 1024, 2, 256, head_unroll=True, diag_pipe=True),
-            B(1024, 1024, 2, 128, head_unroll=True, diag_pipe=True),
-        ],
-        (4096, False): [
-            B(1024, 1024, 2, head_unroll=True),
-        ],
-        (8192, False): [
-            B(1024, 1024, 2, head_unroll=True),
-        ],
-        (16384, False): [
-            B(1024, 1024, 2, head_unroll=True),
-        ],
-        # GQA 32q/8kv rows (bench_gqa): hu chains share the group KV head.
-        ("gqa", 8192, True): [
-            B(512, 1024, 4, 0, head_unroll=True),
-            B(512, 512, 4, 128, head_unroll=True, diag_pipe=True),
-        ],
-        ("gqa", 8192, False): [
-            B(512, 1024, 4, 0, head_unroll=True),
+        (2048, True): [
+            B(2048, 2048, 2, 256, head_unroll=True, diag_pipe=True),
+            B(2048, 2048, 2, 128, head_unroll=True, diag_pipe=True),
         ],
         ("gqa", 2048, True): [
-            B(2048, 2048, 4, 128, diag_pipe=True),
+            B(2048, 2048, 4, 128, head_unroll=True, diag_pipe=True),
+            B(2048, 2048, 4, 256, head_unroll=True, diag_pipe=True),
         ],
-        # Sliding-window rows (bench_window): the window-lead sub-tiled
-        # path needs square blocks with window % block_kv == 0.
-        ("window", 4096): [
-            B(1024, 1024, 2, 256),
-            B(1024, 1024, 2, 512, diag_pipe=True),
-            B(1024, 1024, 2, 256, head_unroll=True, diag_pipe=True),
-        ],
-        ("window", 1024): [
-            B(1024, 1024, 2, 256),
-            B(1024, 1024, 2, 512, diag_pipe=True),
-            B(1024, 1024, 2, 256, head_unroll=True, diag_pipe=True),
-        ],
-        # Packed rows (bench_packed): runtime-bit routing (mask-free
-        # interiors + fused sub-tiled single-doc diagonals).
         ("packed",): [
             B(1024, 1024, 2, 256),
-            B(1024, 1024, 2, 512, diag_pipe=True),
-            B(1024, 1024, 2, 256, diag_pipe=True),
-        ],
-        # Training rows (bench_training): fused one-pass backward tiers
-        # (bwd_block_sizes override; the dP-hoist applies to all).
-        ("train", 2048, True): [
-            B(2048, 2048, 2, 256, bwd_fused=True),
-            B(1024, 1024, 2, 128, bwd_fused=True, fused_kv_chunk=2048),
-        ],
-        ("train", 8192, True): [
-            B(512, 512, 2, 256, bwd_fused=True, fused_kv_chunk=2048),
-            B(1024, 1024, 1, 256, bwd_fused=True, fused_kv_chunk=2048),
-            B(1024, 1024, 1, 512, bwd_fused=True, fused_kv_chunk=2048),
-            B(512, 512, 4, 128, bwd_fused=True, fused_kv_chunk=2048),
-        ],
-        ("train", 8192, False): [
-            B(512, 1024, 2, 0, bwd_fused=True, fused_kv_chunk=2048),
-            B(1024, 1024, 1, 0, bwd_fused=True, fused_kv_chunk=4096),
-        ],
-        # Residuals forward standalone (bench_training swept separately):
-        # candidates for the under-grad forward tiers, incl. head_unroll
-        # and the remaining lse_narrow flips.
-        ("resfwd", 8192, True): [
-            B(512, 1024, 2, 0, lse_narrow=True, head_unroll=True),
-            B(1024, 1024, 2, 256, lse_narrow=True, head_unroll=True,
-              diag_pipe=True),
-        ],
-        ("resfwd", 2048, True): [
-            B(2048, 2048, 2, 256, lse_narrow=True, diag_pipe=True),
-            B(1024, 1024, 2, 256, lse_narrow=True, head_unroll=True,
-              diag_pipe=True),
-        ],
-        ("resfwd", 8192, False): [
-            B(512, 1024, 2, 0, lse_narrow=True, head_unroll=True),
-            B(1024, 1024, 2, 0, lse_narrow=True, head_unroll=True),
-        ],
-        # head_dim=64 rows: flip candidates for d64_unpadded.
-        ("d64", 1024): [
-            B(1024, 1024, 4, 256, d64_unpadded=True, diag_pipe=True),
-            B(1024, 1024, 8, 256, d64_unpadded=True, diag_pipe=True),
-        ],
-        ("d64", 4096): [
-            B(1024, 1024, 2, 256, head_unroll=True, diag_pipe=True,
-              d64_unpadded=True),
-            B(1024, 1024, 4, 256, head_unroll=True, diag_pipe=True,
-              d64_unpadded=True),
         ],
     }
 
@@ -822,6 +745,38 @@ def bench_engine(on_tpu):
         f"{tps:8.0f} tok/s decode-phase ({toks} toks, "
         f"total run {total:.1f}s incl prefill)"
     )
+    del engine
+
+    # W8A16 variant: same model/config with weight-only int8 params —
+    # decode is weight-read bound, so this is the serving-efficiency row
+    # (ops/quant.py::quantize_weight; measured near-lossless logits).
+    cfg8 = dataclasses.replace(cfg, weight_quant="int8")
+    params8 = init_model_params(jax.random.key(0), cfg8)
+    engine8 = PagedServingEngine(
+        params8, cfg8, max_slots=batch,
+        num_pages=batch * (ctx // page) + 1,
+        pages_per_slot=ctx // page, page_size=page, prefill_chunk=1024,
+    )
+    engine8.warmup(prompt_len=prompt_len)
+    t0 = time.perf_counter()
+    engine8.run(reqs)
+    total8 = time.perf_counter() - t0
+    toks8 = engine8.decode_tokens
+    tps8 = toks8 / engine8.decode_time_s
+    rows.append(
+        dict(
+            kind="engine", engine="paged_w8", batch=batch, seq=ctx,
+            page_size=page, kv_quant="int8", weight_quant="int8",
+            model_layers=cfg.num_layers, decode_tokens=toks8,
+            decode_time_s=engine8.decode_time_s, tokens_per_s=tps8,
+            total_run_s=total8,
+        )
+    )
+    log(
+        f"engine paged W8 b={batch} ctx={ctx} int8+w8 ({cfg.num_layers}L "
+        f"7B-shape): {tps8:8.0f} tok/s decode-phase ({toks8} toks, "
+        f"total run {total8:.1f}s incl prefill)"
+    )
     return rows
 
 
@@ -948,6 +903,38 @@ def bench_engine_breakdown(on_tpu):
     except Exception as e:
         out["sampling_ms"] = None
         log(f"engine breakdown sampling: FAIL {e!r}")
+    # Device-side decode-block rate (relay-independent): N chained k=16
+    # blocks on donated caches with ONE readback — the rate a
+    # directly-attached host's serving loop would see (the engine row on
+    # THIS tunneled host additionally pays the per-block relay RTT, see
+    # relay_overhead_us). Measured for the bf16 tree and the W8A16 tree.
+    import time as _time
+
+    from flash_attention_tpu.models.transformer import quantize_model_weights
+    from flash_attention_tpu.serving.decode_loop import make_decode_multi
+    from flash_attention_tpu.models.transformer import (
+        decode_step_logits_paged as _dslp,
+    )
+
+    dm = make_decode_multi(cfg, _dslp)
+    last = jnp.ones((batch,), jnp.int32)
+    active = jnp.ones((batch,), bool)
+    z32 = jnp.zeros((batch,), jnp.float32)
+    zi = jnp.zeros((batch,), jnp.int32)
+    ones = jnp.ones((batch,), jnp.float32)
+    seeds = jnp.arange(batch, dtype=jnp.int32)
+    for label, p in (("bf16", params), ("w8", quantize_model_weights(params))):
+        c = [jax.tree_util.tree_map(jnp.copy, ci) for ci in caches]
+        toks2, l2, c = dm(p, last, c, active, z32, zi, ones, seeds, 16, True)
+        np.asarray(toks2[0, :1])
+        t0 = _time.perf_counter()
+        n_blocks = 5
+        for _ in range(n_blocks):
+            toks2, l2, c = dm(p, l2, c, active, z32, zi, ones, seeds, 16, True)
+        np.asarray(toks2[0, :1])
+        dt = (_time.perf_counter() - t0) / n_blocks
+        out[f"block16_tok_s_{label}"] = batch * 16 / dt
+
     for k2, v2 in out.items():
         log(f"engine breakdown {k2}: {v2:.2f}" if v2 is not None else
             f"engine breakdown {k2}: n/a")

@@ -238,12 +238,26 @@ def _project_qkv(params, cfg: AttentionConfig, x: jax.Array, positions):
     x: [B, T, model_dim]; positions: int32 broadcastable to [B, 1, T].
     Returns (q, k, v) as [B, H, T, D] in the config dtype, q/k rotated.
     """
-    q = jnp.einsum("btm,mhd->bhtd", x, params["wq"]).astype(cfg.jnp_dtype)
-    k = jnp.einsum("btm,mhd->bhtd", x, params["wk"]).astype(cfg.jnp_dtype)
-    v = jnp.einsum("btm,mhd->bhtd", x, params["wv"]).astype(cfg.jnp_dtype)
+    from flash_attention_tpu.ops.quant import w8_dequant
+
+    q = jnp.einsum(
+        "btm,mhd->bhtd", x, w8_dequant(params["wq"])
+    ).astype(cfg.jnp_dtype)
+    k = jnp.einsum(
+        "btm,mhd->bhtd", x, w8_dequant(params["wk"])
+    ).astype(cfg.jnp_dtype)
+    v = jnp.einsum(
+        "btm,mhd->bhtd", x, w8_dequant(params["wv"])
+    ).astype(cfg.jnp_dtype)
     q = apply_rope(q, positions, theta=cfg.rope_theta)
     k = apply_rope(k, positions, theta=cfg.rope_theta)
     return q, k, v
+
+
+def _wo(params):
+    from flash_attention_tpu.ops.quant import w8_dequant
+
+    return w8_dequant(params["wo"])
 
 
 def _output_proj(params, o: jax.Array, out_dtype):
@@ -254,7 +268,7 @@ def _output_proj(params, o: jax.Array, out_dtype):
     copy per call and halve the MXU rate.
     """
     out = jnp.einsum(
-        "bhtd,hdm->btm", o, params["wo"], preferred_element_type=jnp.float32
+        "bhtd,hdm->btm", o, _wo(params), preferred_element_type=jnp.float32
     )
     return out.astype(out_dtype)
 
@@ -262,7 +276,7 @@ def _output_proj(params, o: jax.Array, out_dtype):
 def _output_proj_decode(params, o: jax.Array, out_dtype):
     """wo projection of single-token [B, H, D] output -> [B, 1, model_dim]."""
     out = jnp.einsum(
-        "bhd,hdm->bm", o, params["wo"], preferred_element_type=jnp.float32
+        "bhd,hdm->bm", o, _wo(params), preferred_element_type=jnp.float32
     )
     return out[:, None, :].astype(out_dtype)
 

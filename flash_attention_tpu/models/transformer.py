@@ -42,6 +42,11 @@ class ModelConfig:
     rope_theta: float = 10000.0
     norm_eps: float = 1e-5
     kv_quant: str = "none"
+    # Weight-only int8 (W8A16): weights stored int8 + per-output-channel
+    # fp32 scale (ops/quant.py::quantize_weight); matmuls widen in the
+    # fused weight read. Decode is weight-read bound at serving batch
+    # sizes, so this ~halves the non-attention step time. "none" | "int8".
+    weight_quant: str = "none"
     dtype: str = "bfloat16"
     sliding_window: int | None = None
     logit_softcap: float | None = None
@@ -85,11 +90,20 @@ def rms_norm(x: jax.Array, weight: jax.Array, eps: float) -> jax.Array:
 
 
 def swiglu(x: jax.Array, params) -> jax.Array:
-    gate = jnp.einsum("btm,mf->btf", x, params["w_gate"], preferred_element_type=jnp.float32)
-    up = jnp.einsum("btm,mf->btf", x, params["w_up"], preferred_element_type=jnp.float32)
+    from flash_attention_tpu.ops.quant import w8_dequant
+
+    gate = jnp.einsum(
+        "btm,mf->btf", x, w8_dequant(params["w_gate"]),
+        preferred_element_type=jnp.float32,
+    )
+    up = jnp.einsum(
+        "btm,mf->btf", x, w8_dequant(params["w_up"]),
+        preferred_element_type=jnp.float32,
+    )
     act = (jax.nn.silu(gate) * up).astype(x.dtype)
     return jnp.einsum(
-        "btf,fm->btm", act, params["w_down"], preferred_element_type=jnp.float32
+        "btf,fm->btm", act, w8_dequant(params["w_down"]),
+        preferred_element_type=jnp.float32,
     ).astype(x.dtype)
 
 
@@ -113,13 +127,48 @@ def init_model_params(key, cfg: ModelConfig):
             },
         }
 
-    return {
+    params = {
         "embed": (
             jax.random.normal(keys[0], (cfg.vocab_size, cfg.model_dim), jnp.float32)
             / math.sqrt(cfg.model_dim)
         ).astype(dt),
         "layers": [init_layer(k) for k in keys[1:-1]],
         "final_norm": jnp.ones((cfg.model_dim,), dt),
+    }
+    if cfg.weight_quant == "int8":
+        params = quantize_model_weights(params)
+    elif cfg.weight_quant != "none":
+        raise ValueError(f"unknown weight_quant {cfg.weight_quant!r}")
+    return params
+
+
+def quantize_model_weights(params):
+    '''Weight-only int8 conversion of a bf16 parameter tree (W8A16).
+
+    Matmul weights become QuantizedTensor (int8 payload + per-output-
+    channel fp32 scale); norms stay bf16. The embedding quantizes per
+    VOCAB ROW so the same payload serves lookups and the tied unembed.
+    Apply to freshly-initialized or loaded params; every model entry
+    point accepts the converted tree transparently (the einsum sites
+    widen through ops/quant.py::w8_dequant).
+    '''
+    from flash_attention_tpu.ops.quant import quantize_weight
+
+    def q_layer(lp):
+        attn = dict(lp["attn"])
+        for name, axes in (("wq", 0), ("wk", 0), ("wv", 0), ("wo", (0, 1))):
+            attn[name] = quantize_weight(attn[name], contract_axes=axes)
+        mlp = {
+            "w_gate": quantize_weight(lp["mlp"]["w_gate"], contract_axes=0),
+            "w_up": quantize_weight(lp["mlp"]["w_up"], contract_axes=0),
+            "w_down": quantize_weight(lp["mlp"]["w_down"], contract_axes=0),
+        }
+        return {**lp, "attn": attn, "mlp": mlp}
+
+    return {
+        **params,
+        "embed": quantize_weight(params["embed"], contract_axes=1),
+        "layers": [q_layer(lp) for lp in params["layers"]],
     }
 
 
@@ -143,8 +192,20 @@ def _trunk(params, cfg: ModelConfig, tokens: jax.Array, attn_fn, caches=None):
     (attn_out, new_cache)`` (cache is None end-to-end on the cache-free
     training path). Returns (logits [B, T, vocab], new_caches).
     """
+    from flash_attention_tpu.ops.quant import QuantizedTensor
+
     acfg = cfg.attention_config()
-    x = params["embed"][tokens].astype(cfg.jnp_dtype)
+    emb = params["embed"]
+    if isinstance(emb, QuantizedTensor):
+        # Per-vocab-row scales serve both directions: lookup rows widen
+        # with their own scale; the tied unembed contracts over model_dim
+        # with the scale landing on the output vocab axis.
+        x = (
+            emb.values[tokens].astype(cfg.jnp_dtype)
+            * emb.scales[tokens].astype(cfg.jnp_dtype)
+        )
+    else:
+        x = emb[tokens].astype(cfg.jnp_dtype)
     new_caches = []
     cache_list = [None] * len(params["layers"]) if caches is None else caches
     for lp, cache in zip(params["layers"], cache_list):
@@ -155,9 +216,15 @@ def _trunk(params, cfg: ModelConfig, tokens: jax.Array, attn_fn, caches=None):
         x = x + swiglu(h, lp["mlp"])
         new_caches.append(cache)
     x = rms_norm(x, params["final_norm"], cfg.norm_eps)
-    logits = jnp.einsum(
-        "btm,vm->btv", x, params["embed"], preferred_element_type=jnp.float32
-    )
+    if isinstance(emb, QuantizedTensor):
+        logits = jnp.einsum(
+            "btm,vm->btv", x, emb.values.astype(cfg.jnp_dtype),
+            preferred_element_type=jnp.float32,
+        ) * emb.scales[:, 0].astype(jnp.float32)[None, None, :]
+    else:
+        logits = jnp.einsum(
+            "btm,vm->btv", x, emb, preferred_element_type=jnp.float32
+        )
     return logits, new_caches
 
 

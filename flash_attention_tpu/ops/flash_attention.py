@@ -157,7 +157,9 @@ def _fwd_kernel(
         q = q_ref[...]  # [hb, block_q, d]
         k = k_ref[...]  # [hb_kv, block_kv, d]
         v = v_ref[...]
-        if kv_repeat > 1:  # GQA: expand kv heads to match the q head batch
+        if kv_repeat > 1 and not head_unroll:
+            # GQA: expand kv heads to match the q head batch (the
+            # head-unrolled path indexes k[h // kv_repeat] directly).
             k = jnp.repeat(k, kv_repeat, axis=0)
             v = jnp.repeat(v, kv_repeat, axis=0)
         kv_block = k.shape[1]
@@ -177,16 +179,39 @@ def _fwd_kernel(
             addmask = jnp.where(
                 u <= r + kv_block - w, 0.0, MASK_VALUE
             ).astype(jnp.float32)
-        def qk_sub(i):
-            qi = jax.lax.slice_in_dim(q, i * w, (i + 1) * w, axis=1)
-            # Live prefix for this sub-block's rows, padded to the lane width.
-            width = min(kv_block, _ceil_to(diag_offset + (i + 1) * w, 128))
-            ki = jax.lax.slice_in_dim(k, 0, width, axis=1)
-            s = jax.lax.dot_general(
-                qi, ki, (((2,), (2,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32,
-            )  # [hb, w, width]
-            return s, width
+        if head_unroll:
+            # Per-(sub-step, head) chains (see _online_body's head_unroll):
+            # every head's 2D QK matmul for a sub-step is issued before any
+            # of its softmaxes, so the MXU runs head h+1's matmul (and,
+            # with diag_pipe, the next sub-step's) through head h's VPU
+            # phase. GQA heads read their group's KV head directly.
+            def qk_sub(i):
+                width = min(
+                    kv_block, _ceil_to(diag_offset + (i + 1) * w, 128)
+                )
+                s_h = [
+                    jax.lax.dot_general(
+                        q[h, i * w : (i + 1) * w, :],
+                        k[h // kv_repeat, :width, :],
+                        (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )  # [w, width]
+                    for h in range(q.shape[0])
+                ]
+                return s_h, width
+        else:
+            def qk_sub(i):
+                qi = jax.lax.slice_in_dim(q, i * w, (i + 1) * w, axis=1)
+                # Live prefix for this sub-block's rows, 128-padded.
+                width = min(
+                    kv_block, _ceil_to(diag_offset + (i + 1) * w, 128)
+                )
+                ki = jax.lax.slice_in_dim(k, 0, width, axis=1)
+                s = jax.lax.dot_general(
+                    qi, ki, (((2,), (2,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                )  # [hb, w, width]
+                return s, width
 
         n_sub = block_q // w
         if diag_pipe:
@@ -203,12 +228,12 @@ def _fwd_kernel(
                     s_pipe = qk_sub(i + 1)
             else:
                 s, width = qk_sub(i)
-            if softcap_in is not None:
-                s = jnp.tanh(s * softcap_in) * softcap_out
+            rows = slice(i * w, (i + 1) * w)
             if fast_mask:
-                s = s + jax.lax.slice_in_dim(
+                mask_add = jax.lax.slice_in_dim(
                     addmask, kv_block - width, kv_block, axis=1
-                )[None]
+                )
+                ok = None
             else:
                 shape2d = (w, width)
                 col = jax.lax.broadcasted_iota(jnp.int32, shape2d, 1)
@@ -224,23 +249,56 @@ def _fwd_kernel(
                     sq = seg_q_ref[0, 0, i * w : (i + 1) * w]
                     skv = seg_kv_ref[0, 0, :width]
                     ok = jnp.logical_and(ok, sq[:, None] == skv[None, :])
-                s = jnp.where(ok[None], s, MASK_VALUE)
-            m = jnp.maximum(jnp.max(s, axis=-1, keepdims=True) * scale2, M_FLOOR)
-            p = jnp.exp2(s * scale2 - m)
-            l = jnp.sum(p, axis=-1, keepdims=True)
-            # Normalize BEFORE the PV matmul (see the single_step branch).
-            inv = jnp.where(l == 0.0, 0.0, 1.0 / l)
-            vi = jax.lax.slice_in_dim(v, 0, width, axis=1)
-            pv = jax.lax.dot_general(
-                (p * inv).astype(vi.dtype), vi, (((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32,
-            )  # [hb, w, d]
-            o_ref[:, i * w : (i + 1) * w, :] = pv.astype(o_ref.dtype)
-            if lse_ref is not None:
-                safe_l = jnp.where(l == 0.0, 1.0, l)
-                lse2 = jnp.where(l == 0.0, -jnp.inf, m + jnp.log2(safe_l))
-                lse_ref[:, i * w : (i + 1) * w, :] = jnp.broadcast_to(
-                    lse2, (lse2.shape[0], w, lse_ref.shape[-1])
+
+            def finish(s2, vi2, out_slot):
+                # One sub-block's softmax + PV for a [.., w, width] tile
+                # (3D batched or 2D per-head; the mask tiles broadcast).
+                if softcap_in is not None:
+                    s3 = jnp.tanh(s2 * softcap_in) * softcap_out
+                else:
+                    s3 = s2
+                if fast_mask:
+                    s3 = s3 + (mask_add if s3.ndim == 2 else mask_add[None])
+                else:
+                    s3 = jnp.where(
+                        ok if s3.ndim == 2 else ok[None], s3, MASK_VALUE
+                    )
+                m = jnp.maximum(
+                    jnp.max(s3, axis=-1, keepdims=True) * scale2, M_FLOOR
+                )
+                p = jnp.exp2(s3 * scale2 - m)
+                l = jnp.sum(p, axis=-1, keepdims=True)
+                # Normalize BEFORE the PV matmul (see single_step).
+                inv = jnp.where(l == 0.0, 0.0, 1.0 / l)
+                dims = (
+                    (((1,), (0,)), ((), ()))
+                    if s3.ndim == 2 else (((2,), (1,)), ((0,), (0,)))
+                )
+                pv = jax.lax.dot_general(
+                    (p * inv).astype(vi2.dtype), vi2, dims,
+                    preferred_element_type=jnp.float32,
+                )
+                o_ref[out_slot] = pv.astype(o_ref.dtype)
+                if lse_ref is not None:
+                    safe_l = jnp.where(l == 0.0, 1.0, l)
+                    lse2 = jnp.where(
+                        l == 0.0, -jnp.inf, m + jnp.log2(safe_l)
+                    )
+                    tgt = (
+                        (w, lse_ref.shape[-1]) if s3.ndim == 2
+                        else (s3.shape[0], w, lse_ref.shape[-1])
+                    )
+                    lse_ref[out_slot] = jnp.broadcast_to(lse2, tgt)
+
+            if head_unroll:
+                for h in range(q.shape[0]):
+                    finish(
+                        s[h], v[h // kv_repeat, :width, :], (h, rows)
+                    )
+            else:
+                finish(
+                    s, jax.lax.slice_in_dim(v, 0, width, axis=1),
+                    (slice(None), rows),
                 )
         return
 
@@ -1532,6 +1590,29 @@ def flash_attention(
         sm_scale = 1.0 / math.sqrt(head_dim)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if q.dtype == jnp.float16 and not interpret:
+        # Mosaic has no f16 vector type ('Unsupported type in mosaic
+        # dialect', caught by the on-chip fp16 smoke 2026-08-20): fp16 I/O
+        # runs with bf16 operands on the MXU — scores and accumulators are
+        # fp32 either way, so the numerics contract (<0.1 vs the fp32
+        # oracle at the reference's own fp16 bit-width,
+        # flash_attention.cu:784) holds; only the operand mantissa rounds
+        # (fp16's U(-0.5,0.5) inputs land within 1 bf16 ulp). Gradients
+        # flow through the casts (cotangents cast back to fp16).
+        out = flash_attention(
+            q.astype(jnp.bfloat16),
+            k.astype(jnp.bfloat16),
+            v.astype(jnp.bfloat16),
+            causal=causal, sm_scale=sm_scale, block_sizes=block_sizes,
+            bwd_block_sizes=bwd_block_sizes,
+            save_residuals=save_residuals, interpret=interpret,
+            sliding_window=sliding_window, logit_softcap=logit_softcap,
+            segment_ids=segment_ids,
+        )
+        if save_residuals:
+            o, lse2 = out
+            return o.astype(jnp.float16), lse2
+        return out.astype(jnp.float16)
     group = num_q_heads // num_kv_heads
     res_block_sizes = select_block_sizes(
         min(q_len, kv_len), causal=causal, head_dim=head_dim,

@@ -90,3 +90,39 @@ def quantize_values(x: jax.Array, payload) -> QuantizedTensor:
         return quantize_int8(x)
     return quantize_fp8(x, dtype=payload)
 
+
+
+def quantize_weight(w: jax.Array, *, contract_axes) -> QuantizedTensor:
+    """Weight-only symmetric int8 (W8A16), per OUTPUT channel.
+
+    Serving weights are HBM-bandwidth-bound at decode batch sizes (the
+    matmul reads the whole matrix once per step); storing them int8 with a
+    per-output-channel fp32 scale halves the stream, and XLA fuses the
+    `int8 -> bf16 * scale` widening into the matmul's weight read
+    (measured v5e 2026-08-20, [32,4096]x[4096,11008]: bf16 123.9 us /
+    728 GB/s -> w8a16 66.1 us / 682 GB/s of int8 bytes — 1.9x; the
+    dynamic-activation w8a8 variant measured the same 65.2 us, so the
+    lossless-activation form wins).
+
+    contract_axes: the axes the matmul contracts over (per-channel scale
+    spans the remaining output axes; scales keep rank with size-1
+    contract dims, so `values.astype(bf16) * scales` broadcasts).
+    """
+    axes = tuple(
+        a % w.ndim for a in (
+            contract_axes if isinstance(contract_axes, (tuple, list))
+            else (contract_axes,)
+        )
+    )
+    xf = w.astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(xf), axis=axes, keepdims=True)
+    scale = jnp.where(absmax == 0.0, 1.0, absmax / 127.0)
+    q = jnp.clip(jnp.round(xf / scale), -127, 127).astype(jnp.int8)
+    return QuantizedTensor(values=q, scales=scale)
+
+
+def w8_dequant(w, dtype=jnp.bfloat16):
+    """Array or QuantizedTensor -> compute-dtype weight (the fused form)."""
+    if isinstance(w, QuantizedTensor):
+        return (w.values.astype(dtype) * w.scales.astype(dtype)).astype(dtype)
+    return w

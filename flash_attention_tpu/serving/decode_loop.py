@@ -165,6 +165,12 @@ def make_decode_multi(model_cfg, decode_logits_fn):
     decode steps in ONE dispatch via lax.scan. Inactive slots keep frozen
     lengths and tokens each step (their lanes are free riders in the batched
     kernels — what makes continuous batching continuous).
+
+    (Params stay a per-call argument: closing over them bakes the tree
+    into the executable, which on this relayed host serializes every
+    weight into the remote-compile payload — measured 2026-08-20 as a
+    broken-pipe compile failure at 7B scale. Passing buffer handles per
+    dispatch is cheap on directly-attached hosts.)
     """
 
     @functools.partial(

@@ -118,3 +118,51 @@ def test_write_cache_decode_at_capacity_drops():
     # Batch 1 (pos 16, AT capacity): dropped, last live row intact, frozen.
     assert float(cache.k[1, 0, 15, 0]) == 0.0
     assert int(cache.lengths[1]) == 16
+
+
+def test_weight_quant_int8_close_to_bf16():
+    """W8A16 weight-only quantization: same architecture, logits close to
+    the bf16 model (per-output-channel int8 is near-lossless at these
+    scales), and the full prefill+decode path runs on the quantized tree."""
+    from flash_attention_tpu.models.transformer import (
+        ModelConfig, init_model_params, init_caches, prefill,
+        decode_step, quantize_model_weights,
+    )
+    from flash_attention_tpu.ops.quant import QuantizedTensor
+
+    cfg = ModelConfig.tiny()
+    params = init_model_params(jax.random.key(0), cfg)
+    qparams = quantize_model_weights(params)
+    assert isinstance(qparams["embed"], QuantizedTensor)
+    assert qparams["layers"][0]["mlp"]["w_gate"].values.dtype == jnp.int8
+
+    toks = jnp.asarray(
+        np.random.RandomState(1).randint(0, cfg.vocab_size, (2, 16))
+    )
+    caches = init_caches(cfg, 2, 32)
+    logits, caches_b = prefill(params, cfg, toks, caches)
+    caches = init_caches(cfg, 2, 32)
+    qlogits, caches_q = prefill(qparams, cfg, toks, caches)
+    # int8 per-channel quantization error stays small relative to the
+    # logits' own scale.
+    scale = float(jnp.max(jnp.abs(logits)))
+    err = float(jnp.max(jnp.abs(logits - qlogits)))
+    assert err < 0.1 * scale + 0.05, (err, scale)
+
+    # Decode runs end-to-end on the quantized tree.
+    nt, caches_q = decode_step(
+        qparams, cfg, jnp.argmax(qlogits[:, -1:, :], axis=-1).astype(jnp.int32),
+        caches_q,
+    )
+    assert nt.shape == (2, 1)
+
+
+def test_weight_quant_cfg_init():
+    from flash_attention_tpu.models.transformer import (
+        ModelConfig, init_model_params,
+    )
+    from flash_attention_tpu.ops.quant import QuantizedTensor
+
+    cfg = ModelConfig.tiny(weight_quant="int8")
+    params = init_model_params(jax.random.key(0), cfg)
+    assert isinstance(params["layers"][0]["attn"]["wq"], QuantizedTensor)

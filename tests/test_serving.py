@@ -212,9 +212,9 @@ def test_warmup_walks_every_block_length(model):
     orig = eng._decode_multi
     seen = set()
 
-    def spy(params, last, caches, active, t, k_, p, s, k):
+    def spy(params, last, caches, active, t, k_, p, s, k, greedy=False):
         seen.add(k)
-        return orig(params, last, caches, active, t, k_, p, s, k)
+        return orig(params, last, caches, active, t, k_, p, s, k, greedy)
 
     eng._decode_multi = spy
     eng.warmup()
