@@ -174,3 +174,42 @@ def test_paged_decode_window_softcap():
         sliding_window=150, logit_softcap=5.0,
     )
     assert_close(got, want)
+
+
+def test_window_band_fast_path_matches_oracle():
+    """window == block_kv takes the fused band kernel (_band_kernel): one
+    grid step per q block, two kv refs, plain per-sub-block softmax."""
+    q, k, v = make_qkv(41, 2, 4, 768, 128)
+    want = reference_attention(q, k, v, causal=True, sliding_window=256)
+    got = flash_attention(
+        q, k, v, causal=True, sliding_window=256,
+        block_sizes=BlockSizes(256, 256, 2, 128),
+    )
+    assert_close(got, want)
+    # Residuals (under-grad forward) through the band path.
+    got2, lse = flash_attention(
+        q, k, v, causal=True, sliding_window=256, save_residuals=True,
+        block_sizes=BlockSizes(256, 256, 2, 128, diag_pipe=True),
+    )
+    assert_close(got2, want)
+    # Gradients still flow (bwd stays on the two-pass windowed kernels).
+    def loss(q, k, v):
+        return jnp.sum(
+            flash_attention(
+                q, k, v, causal=True, sliding_window=256,
+                block_sizes=BlockSizes(256, 256, 2, 128),
+            ).astype(jnp.float32)
+        )
+
+    def loss_ref(q, k, v):
+        return jnp.sum(
+            reference_attention(
+                q, k, v, causal=True, sliding_window=256
+            ).astype(jnp.float32)
+        )
+
+    dq, dk, dv = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    rq, rk, rv = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    assert_close(dq, rq, msg="dq")
+    assert_close(dk, rk, msg="dk")
+    assert_close(dv, rv, msg="dv")
