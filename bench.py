@@ -102,6 +102,17 @@ def _sweep_candidates():
         ("packed",): [
             B(1024, 1024, 2, 256),
         ],
+        # Fused-backward sub-step pipelining (diag_pipe in the bwd kernel).
+        ("train", 2048, True): [
+            B(2048, 2048, 2, 256, bwd_fused=True, diag_pipe=True),
+            B(2048, 2048, 2, 128, bwd_fused=True, diag_pipe=True),
+        ],
+        ("train", 8192, True): [
+            B(1024, 1024, 1, 256, bwd_fused=True, fused_kv_chunk=2048,
+              diag_pipe=True),
+            B(1024, 1024, 1, 512, bwd_fused=True, fused_kv_chunk=2048,
+              diag_pipe=True),
+        ],
     }
 
 

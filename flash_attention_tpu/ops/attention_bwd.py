@@ -629,6 +629,7 @@ def _bwd_fused_kernel(
     iq0: int = 0,
     ikv0: int = 0,
     packed_dsub: int = 0,
+    diag_pipe: bool = False,
 ):
     """ONE-pass backward: dq, dk, dv from a single score/softmax recompute.
 
@@ -680,24 +681,38 @@ def _bwd_fused_kernel(
         v = v_ref[...]
         do = do_ref[...]
         kv_block = k.shape[1]
-        for i in range(block_q // w):
+
+        def sub_mmas(i):
+            # Score + dP matmuls for sub-block i (both independent of any
+            # VPU work — with diag_pipe they are issued one sub-step early
+            # so the MXU runs through the current VPU phase).
             width = min(kv_block, ceil_to(diag_offset + (i + 1) * w, 128))
             qi = jax.lax.slice_in_dim(q, i * w, (i + 1) * w, axis=1)
             doi = jax.lax.slice_in_dim(do, i * w, (i + 1) * w, axis=1)
             ki = jax.lax.slice_in_dim(k, 0, width, axis=1)
             vi = jax.lax.slice_in_dim(v, 0, width, axis=1)
-            lse_i = lse_ref[:, :, i * w : (i + 1) * w]
-            delta_i = delta_ref[:, :, i * w : (i + 1) * w]
             rawt = jax.lax.dot_general(
                 ki, qi, (((2,), (2,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
             )  # [hb, width, w]
-            # dP is independent of the score chain: issue its matmul BEFORE
-            # the mask/exp2 VPU phase so the MXU works through it.
             dpt = jax.lax.dot_general(
                 vi, doi, (((2,), (2,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
             )
+            return rawt, dpt, width, qi, doi, ki, vi
+
+        n_sub = block_q // w
+        if diag_pipe:
+            pipe = sub_mmas(0)
+        for i in range(n_sub):
+            if diag_pipe:
+                rawt, dpt, width, qi, doi, ki, vi = pipe
+                if i + 1 < n_sub:
+                    pipe = sub_mmas(i + 1)
+            else:
+                rawt, dpt, width, qi, doi, ki, vi = sub_mmas(i)
+            lse_i = lse_ref[:, :, i * w : (i + 1) * w]
+            delta_i = delta_ref[:, :, i * w : (i + 1) * w]
             if softcap_in is not None:
                 tt = jnp.tanh(rawt * softcap_in)
                 s2t = tt * cap_out2
@@ -834,24 +849,36 @@ def _bwd_fused_kernel(
             k = k_ref[...]
             v = v_ref[...]
             do = do_ref[...]
-            for i in range(block_q // w):
+
+            def diag_mmas(i):
                 width = (i + 1) * w
                 qi = jax.lax.slice_in_dim(q, i * w, (i + 1) * w, axis=1)
                 doi = jax.lax.slice_in_dim(do, i * w, (i + 1) * w, axis=1)
                 ki = jax.lax.slice_in_dim(k, 0, width, axis=1)
                 vi = jax.lax.slice_in_dim(v, 0, width, axis=1)
-                lse_i = lse_ref[:, :, i * w : (i + 1) * w]
-                delta_i = delta_ref[:, :, i * w : (i + 1) * w]
                 rawt = jax.lax.dot_general(
                     ki, qi, (((2,), (2,)), ((0,), (0,))),
                     preferred_element_type=jnp.float32,
                 )  # [hb, width, w]
-                # dP is independent of the score chain: issue its matmul
-                # before the mask/exp2 VPU phase (see _fused_body).
+                # dP is independent of the score chain (see _fused_body).
                 dpt = jax.lax.dot_general(
                     vi, doi, (((2,), (2,)), ((0,), (0,))),
                     preferred_element_type=jnp.float32,
                 )
+                return rawt, dpt, width, qi, doi, ki, vi
+
+            nds = block_q // w
+            if diag_pipe:
+                dpipe = diag_mmas(0)
+            for i in range(nds):
+                if diag_pipe:
+                    rawt, dpt, width, qi, doi, ki, vi = dpipe
+                    if i + 1 < nds:
+                        dpipe = diag_mmas(i + 1)
+                else:
+                    rawt, dpt, width, qi, doi, ki, vi = diag_mmas(i)
+                lse_i = lse_ref[:, :, i * w : (i + 1) * w]
+                delta_i = delta_ref[:, :, i * w : (i + 1) * w]
                 if softcap_in is not None:
                     tt = jnp.tanh(rawt * softcap_in)
                     s2t = tt * cap_out2
@@ -1287,6 +1314,7 @@ def flash_attention_bwd(
                 iq0=q0 // block_q,
                 ikv0=c0 // block_kv,
                 packed_dsub=pdsub,
+                diag_pipe=block_sizes.diag_pipe,
             )
 
             def kv_idx(iq, ikv, *refs):

@@ -421,16 +421,23 @@ def select_bwd_block_sizes(
                 # via the prefetched route table); blocks stay <= 1024 to
                 # keep the transposed fp32 score tile in VMEM.
                 if pad_seq <= 1024:
-                    return BlockSizes(512, 512, 2, 128, bwd_fused=True)
+                    return BlockSizes(
+                        512, 512, 2, 128, bwd_fused=True, diag_pipe=True
+                    )
                 return BlockSizes(
-                    1024, 1024, 1, 256, bwd_fused=True, fused_kv_chunk=2048
+                    1024, 1024, 1, 256, bwd_fused=True, fused_kv_chunk=2048,
+                    diag_pipe=True,
                 )
             if pad_seq <= 512:
                 return BlockSizes(pad_seq, pad_seq, 8, 128, bwd_fused=True)
             if pad_seq <= 2048:
-                # sub256 +2.0% over sub128 (in-bench 2026-08-20).
-                sub = 256 if pad_seq % 256 == 0 else 128
-                return BlockSizes(pad_seq, pad_seq, 2, sub, bwd_fused=True)
+                # In-bench 2026-08-20: sub128 + the fused-backward
+                # sub-step pipeline beat the unpiped sub256 149.6 vs
+                # 140.1 eff-TF @2048 (sub256+pipe exceeds scoped VMEM —
+                # the pipe keeps one extra sub score tile live).
+                return BlockSizes(
+                    pad_seq, pad_seq, 2, 128, bwd_fused=True, diag_pipe=True
+                )
             if pad_seq <= 4096:
                 # The whole-KV (1024,1024,h1,sub256) form measured 135.7 in
                 # the scan wrapper but FAILS the standalone compile gate
@@ -438,14 +445,16 @@ def select_bwd_block_sizes(
                 # halves the fp32 accumulators and passes standalone at an
                 # equal 136.3 eff-TF (+22% over the two-pass 111.6).
                 return BlockSizes(
-                    1024, 1024, 1, 256, bwd_fused=True, fused_kv_chunk=2048
+                    1024, 1024, 1, 256, bwd_fused=True, fused_kv_chunk=2048,
+                    diag_pipe=True,
                 )
             # In-bench sweep 2026-08-20: the 4096 tier's own
             # (1024,1024,h1,sub256,k2048) also wins at 8192 (136.6 vs
-            # 131.3 eff-TF for the old (512,512,h2,sub128,k2048)) — the
-            # dP-hoist moved the balance toward bigger tiles.
+            # 131.3 eff-TF for the old (512,512,h2,sub128,k2048)); the
+            # sub-step pipeline adds +1.4%.
             return BlockSizes(
-                1024, 1024, 1, 256, bwd_fused=True, fused_kv_chunk=2048
+                1024, 1024, 1, 256, bwd_fused=True, fused_kv_chunk=2048,
+                diag_pipe=True,
             )
         if pad_seq <= 512:
             return BlockSizes(pad_seq, pad_seq, 2, bwd_fused=True)
