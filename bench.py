@@ -991,6 +991,9 @@ def main():
         decode=[r for r in dec_rows if r["kind"] == "decode"],
         paged_prefill=[r for r in dec_rows if r["kind"] == "paged_prefill"],
         engine=eng_rows[0] if eng_rows else None,
+        engine_w8=next(
+            (r for r in eng_rows if r.get("engine") == "paged_w8"), None
+        ),
         engine_breakdown=eng_breakdown,
         geomean_tflops=geo,
         vs_baseline=vs,

@@ -7,8 +7,9 @@ kernels (custom VJP), an adaptive block-size dispatcher, split-KV partial
 attention with log-sum-exp merge, quantized KV-cache decode, packed-sequence
 attention with segment-aware block skipping, sliding-window attention with
 O(window) rolling KV caches (dense ring buffer + paged ring), a
-continuous-batching serving engine with a native C++ scheduler, and
-multi-chip sharding over a ``jax.sharding.Mesh``.
+continuous-batching serving engine with a native C++ scheduler,
+weight-only int8 (W8A16) model quantization for serving, and multi-chip
+sharding over a ``jax.sharding.Mesh``.
 
 Layout:
   ops/       Pallas kernels + pure-JAX oracle (the compute path)
@@ -23,7 +24,11 @@ from flash_attention_tpu.ops.reference import reference_attention
 from flash_attention_tpu.ops.flash_attention import flash_attention
 from flash_attention_tpu.ops.decode import decode_attention, decode_attention_split
 from flash_attention_tpu.ops.merge import merge_partial_attention, merge_two
-from flash_attention_tpu.ops.quant import QuantizedTensor, quantize_kv
+from flash_attention_tpu.ops.quant import (
+    QuantizedTensor,
+    quantize_kv,
+    quantize_weight,
+)
 from flash_attention_tpu.ops.tuning import (
     BlockSizes,
     select_block_sizes,
@@ -36,13 +41,14 @@ from flash_attention_tpu.utils.distributed import (
     initialize_distributed,
 )
 
-__version__ = "0.5.0"
+__version__ = "0.6.0"
 
 __all__ = [
     "reference_attention",
     "flash_attention",
     "decode_attention",
     "decode_attention_split",
+    "quantize_weight",
     "merge_partial_attention",
     "merge_two",
     "QuantizedTensor",
