@@ -87,13 +87,12 @@ def _sweep_candidates():
             B(768, 768, 8, 128, head_unroll=True),
         ],
         (1024, True): [
-            B(1024, 1024, 4, 256, head_unroll=True, diag_pipe=True),
-            B(1024, 1024, 4, 128, head_unroll=True, diag_pipe=True),
-            B(1024, 1024, 4, 256, head_unroll=True),
+            B(1024, 1024, 8, 128),
+            B(1024, 1024, 8, 128, diag_pipe=True),
+            B(1024, 1024, 8, 256, diag_pipe=True),
         ],
         (2048, True): [
-            B(2048, 2048, 2, 256, head_unroll=True, diag_pipe=True),
-            B(2048, 2048, 2, 128, head_unroll=True, diag_pipe=True),
+            B(2048, 2048, 4, 128, diag_pipe=True),
         ],
         ("gqa", 2048, True): [
             B(2048, 2048, 4, 128, head_unroll=True, diag_pipe=True),

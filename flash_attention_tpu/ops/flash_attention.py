@@ -1829,6 +1829,7 @@ def flash_attention(
         min(q_len, kv_len), causal=causal, head_dim=head_dim,
         save_residuals=True, group=group, kv_seq=kv_len,
         windowed=sliding_window if sliding_window is not None else False,
+        packed=segments is not None,
     )
     if block_sizes is None:
         # The softcap's tanh temporary, like the LSE residual output, eats
@@ -1841,6 +1842,7 @@ def flash_attention(
             save_residuals=(save_residuals or logit_softcap is not None),
             group=group, kv_seq=kv_len,
             windowed=sliding_window if sliding_window is not None else False,
+            packed=segments is not None,
         )
     else:
         # An explicit override governs BOTH forward paths: a caller who

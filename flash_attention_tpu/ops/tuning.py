@@ -135,6 +135,7 @@ def _ceil_to(x: int, m: int) -> int:
 def select_block_sizes(
     seq: int, *, causal: bool, head_dim: int = 128, save_residuals: bool = False,
     group: int = 1, kv_seq: int | None = None, windowed=False,
+    packed: bool = False,
 ) -> BlockSizes:
     """Pick forward block sizes for a (seq, causal, residuals, group) config.
 
@@ -149,7 +150,7 @@ def select_block_sizes(
     bs = _select_fwd_raw(
         seq, causal=causal, head_dim=head_dim,
         save_residuals=save_residuals, group=group, kv_seq=kv_seq,
-        windowed=windowed,
+        windowed=windowed, packed=packed,
     )
     if group > 1 and bs.block_h > 1 and bs.block_h % group:
         bs = dataclasses.replace(bs, block_h=1)
@@ -159,6 +160,7 @@ def select_block_sizes(
 def _select_fwd_raw(
     seq: int, *, causal: bool, head_dim: int = 128, save_residuals: bool = False,
     group: int = 1, kv_seq: int | None = None, windowed=False,
+    packed: bool = False,
 ) -> BlockSizes:
     """Raw (seq, causal, residuals) tier table.
 
@@ -171,6 +173,23 @@ def _select_fwd_raw(
     causal at 8K).
     """
     pad_seq = _ceil_to(seq, 128)
+    if packed and causal and not windowed and pad_seq > 2048:
+        # Packed sequences need SQUARE aligned blocks for the runtime
+        # route bits (mask-free single-doc interiors + fused sub-tiled
+        # single-doc diagonals) — the generic residuals tier's (512,1024)
+        # shape disables them, leaving every live step fully masked.
+        # head_unroll is a no-op under segments. Residuals: h1 + 1-lane
+        # LSE (the (1024,1024,h2)+LSE combination exceeds scoped VMEM —
+        # same cliff as the unpacked residuals tier).
+        if save_residuals:
+            return BlockSizes(
+                block_q=1024, block_kv=1024, block_h=1, block_sub=256,
+                diag_pipe=True, lse_narrow=True,
+            )
+        return BlockSizes(
+            block_q=1024, block_kv=1024, block_h=2, block_sub=256,
+            diag_pipe=True,
+        )
     if (
         head_dim == 64 and causal and not windowed and group == 1
         and not save_residuals and pad_seq >= 1024
@@ -250,7 +269,8 @@ def _select_fwd_raw(
         # pushes (512,1024,h4) 876KB over the scoped-VMEM limit.
         if causal and pad_seq <= 2048 and not save_residuals and group == 4:
             return BlockSizes(
-                block_q=pad_seq, block_kv=pad_seq, block_h=4, block_sub=128
+                block_q=pad_seq, block_kv=pad_seq, block_h=4, block_sub=128,
+                diag_pipe=True,
             )
         if save_residuals:
             return BlockSizes(block_q=256, block_kv=1024, block_h=group)
@@ -320,6 +340,11 @@ def _select_fwd_raw(
                 block_q=pad_seq, block_kv=pad_seq, block_h=4, block_sub=sub
             )
         if pad_seq <= 2048:
+            # NOTE 2026-08-20: (h4, sub128, pipe) measured 141.8 vs 134.6
+            # TF INSIDE the bench scan but FAILS the standalone compile
+            # gate (scoped VMEM +3.8M — the scan shares buffers), and
+            # (h2, sub128, pipe) measured 131.1 in-process — sub256 h2
+            # stays the best standalone-compiling variant.
             sub = 256 if pad_seq % 256 == 0 else 128
             return BlockSizes(
                 block_q=pad_seq, block_kv=pad_seq, block_h=2, block_sub=sub
