@@ -8,23 +8,26 @@ balancing trick (flash_attention.cu:103-111) has no TPU analog — Pallas grids
 are not SM-scheduled — so causal work-skipping is done with clamped KV index
 maps + predicated compute inside the kernel instead.
 
-Tuned on TPU v5e with tools/autotune.py (calibrated in-graph scan slope-fit
-timing, utils/benchmarking.py::scan_timer). Measured winners at batch=1,
-heads=32, head_dim=128, bf16, with the triangular causal grid and
-head-batching (block_q, block_kv, block_h):
+Tuned on TPU v5e with IN-BENCH sweeps (FA_BENCH_SWEEP=1 rows timed inside
+the bench process itself — out-of-process sweeps drift 6-8% on this chip
+and are no longer trusted for dispatch). Dispatch winners at batch=1,
+heads=32, head_dim=128, bf16 (hu = head_unroll per-head chains, pipe =
+sub-step software pipeline; BENCH_DETAIL.json 2026-08-20):
 
-  seq      non-causal                       causal
-  512      (512,512,h4)    142.1 TF         (512,512,h8,sub128)      82 TF
-  768      (384,768,h4)    154.4 TF         (768,768,h8,sub128)     105 TF
-  1024     (1024,1024,h2)  164.1 TF         (1024,1024,h4,sub256)   119 TF
-  2048     (512,2048,h2)   161.4 TF         (2048,2048,h2,sub256)   137 TF
-  4096     (1024,1024,h2)  160.8 TF         (1024,1024,h2,sub512)  133.5 TF
-  8192     (1024,1024,h2)  169.9 TF         (1024,1024,h2,sub256)  142 TF
-  16384    (1024,1024,h2)  171.2 TF         (1024,1024,h2,sub256)  156 TF
+  seq      non-causal                          causal
+  512      (512,512,h4)       142.7 TF         (512,512,h8,sub128,pipe)        83 TF
+  768      (384,768,h4)       155.8 TF         (768,768,h8,sub128)            106 TF
+  1024     (1024,1024,h2)     161.5 TF         (1024,1024,h4,sub256)          118 TF
+  2048     (512,2048,h2)      159.3 TF         (2048,2048,h2,sub256)          138 TF
+  4096     (1024,1024,h2,hu)  166.6 TF         (1024,1024,h2,sub256,hu,pipe)  132 TF
+  8192     (1024,1024,h2,hu)  175.2 TF         (1024,1024,h2,sub256,hu,pipe)  152 TF
+  16384    (1024,1024,h2,hu)  178.1 TF         (1024,1024,h2,sub256,hu,pipe)  166 TF
 
-(v5e bf16 peak 197 TF => non-causal long-seq is ~87% of roofline. The
+(v5e bf16 peak 197 TF => non-causal long-seq is ~90% of roofline. The
 single-tile rows use the kernel's single-step specialization — plain softmax
-with no online-softmax scratch — worth ~1.8x at seq 512.)
+with no online-softmax scratch — worth ~1.8x at seq 512. Short causal rows
+are HBM-wall-bound, not MXU-bound: causal credits half the FLOPs for the
+same Q/K/V/O bytes.)
 
 The emergent rules: (1024,1024) tiles keep the fp32 score tile plus
 double-buffered KV inside the ~16 MB VMEM budget; block_h=2 halves the number
