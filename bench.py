@@ -94,6 +94,9 @@ def _sweep_candidates():
         (2048, True): [
             B(2048, 2048, 4, 128, diag_pipe=True),
         ],
+        # (gqa 8192: (256,1024,h4[,hu]) and (512,2048,h4) all measured
+        # BELOW the (512,1024,h4) dispatch in a fresh process — an
+        # apparent +7.9% came from a drifted-process baseline.)
         ("gqa", 2048, True): [
             B(2048, 2048, 4, 128, head_unroll=True, diag_pipe=True),
             B(2048, 2048, 4, 256, head_unroll=True, diag_pipe=True),
