@@ -630,6 +630,7 @@ def _bwd_fused_kernel(
     ikv0: int = 0,
     packed_dsub: int = 0,
     diag_pipe: bool = False,
+    dqin_ref=None,  # aliased prior-chunk dq partial (fp32), accumulated
 ):
     """ONE-pass backward: dq, dk, dv from a single score/softmax recompute.
 
@@ -948,7 +949,16 @@ def _bwd_fused_kernel(
 
     @pl.when(ikv == num_kv_blocks - 1)
     def _dq_epilogue():
-        dq_ref[...] = (dq_scr[...] * scale).astype(dq_ref.dtype)
+        # Chunked calls accumulate the fp32 dq partial IN the epilogue via
+        # an aliased buffer (read block + add + write) instead of a
+        # separate whole-array XLA add per chunk — the adds were ~1 ms of
+        # pure fp32 HBM traffic per 8K backward.
+        if dqin_ref is not None:
+            dq_ref[...] = (
+                dqin_ref[...] + dq_scr[...] * scale
+            ).astype(dq_ref.dtype)
+        else:
+            dq_ref[...] = (dq_scr[...] * scale).astype(dq_ref.dtype)
 
     @pl.when(jnp.logical_and(iq == num_q_blocks - 1, ikv == num_kv_blocks - 1))
     def _dkv_epilogue():
@@ -1250,8 +1260,14 @@ def flash_attention_bwd(
     if fused_ok:
         whole = fused_chunk >= kv_padded
 
-        def run_fused(q0: int, c0: int, c1: int, dq_dtype):
-            """One fused call: q rows [q0, q_pad) x kv rows [c0, c1)."""
+        def run_fused(q0: int, c0: int, c1: int, dq_dtype, dq_prev=None):
+            """One fused call: q rows [q0, q_pad) x kv rows [c0, c1).
+
+            dq_prev (chunked mode): the FULL [B*H, q_pad, d] fp32 partial
+            from earlier chunks, aliased into this call's full-size dq
+            output — the kernel's epilogue accumulates in place (q blocks
+            before q0 are never touched and pass through), replacing the
+            per-chunk whole-array XLA adds."""
             nqb = (q_pad - q0) // block_q
             nkb = (c1 - c0) // block_kv
             kv_len_loc = min(kv_len - c0, c1 - c0)  # unpadded rows in chunk
@@ -1375,31 +1391,50 @@ def flash_attention_bwd(
                     ),
                 ]
                 inputs_f += [seg_q, seg_kv]
-                base = fused_kernel
+            base = fused_kernel
+            has_seg = segments is not None
+            has_dqin = dq_prev is not None
+
+            def fused_kernel(*refs):
+                # Ref order: [3 prefetch (use_prefetch only)], q, k, v, do,
+                # lse, delta, [seg_q, seg_kv], [dqin], dq, dk, dv, *scratch.
+                i = 0
+                live_r = None
                 if use_prefetch:
-                    def fused_kernel(
-                        live_r, first_r, last_r,
-                        q_r, k_r, v_r, do_r, lse_r, d_r, sq_r, skv_r,
-                        dq_r, dk_r, dv_r, *scr
-                    ):
-                        base(
-                            q_r, k_r, v_r, do_r, lse_r, d_r,
-                            dq_r, dk_r, dv_r, *scr,
-                            seg_refs=(sq_r, skv_r), seg_live_ref=live_r,
-                        )
-                else:
-                    def fused_kernel(
-                        q_r, k_r, v_r, do_r, lse_r, d_r, sq_r, skv_r,
-                        dq_r, dk_r, dv_r, *scr
-                    ):
-                        base(
-                            q_r, k_r, v_r, do_r, lse_r, d_r,
-                            dq_r, dk_r, dv_r, *scr, seg_refs=(sq_r, skv_r)
-                        )
-            out_specs_f = [
+                    live_r = refs[0]
+                    i = 3
+                q_r, k_r, v_r, do_r, lse_r, d_r = refs[i : i + 6]
+                i += 6
+                seg_refs = None
+                if has_seg:
+                    seg_refs = (refs[i], refs[i + 1])
+                    i += 2
+                dqin_r = None
+                if has_dqin:
+                    dqin_r = refs[i]
+                    i += 1
+                dq_r, dk_r, dv_r = refs[i : i + 3]
+                scr = refs[i + 3 :]
+                base(
+                    q_r, k_r, v_r, do_r, lse_r, d_r,
+                    dq_r, dk_r, dv_r, *scr,
+                    seg_refs=seg_refs, seg_live_ref=live_r, dqin_ref=dqin_r,
+                )
+            dq_out_spec = (
                 pl.BlockSpec(
+                    (hb, block_q, d_pad),
+                    lambda bh, iq, ikv, *r: (bh, q0 // block_q + iq, 0),
+                )
+                if dq_prev is not None
+                else pl.BlockSpec(
                     (hb, block_q, d_pad), lambda bh, iq, ikv, *r: (bh, iq, 0)
-                ),
+                )
+            )
+            if dq_prev is not None:
+                in_specs_f = in_specs_f + [dq_out_spec]
+                inputs_f = inputs_f + [dq_prev]
+            out_specs_f = [
+                dq_out_spec,
                 pl.BlockSpec(
                     (hb, c1 - c0, d_pad), lambda bh, iq, ikv, *r: (bh, 0, 0)
                 ),
@@ -1409,7 +1444,12 @@ def flash_attention_bwd(
             ]
             out_shape_f = [
                 jax.ShapeDtypeStruct(
-                    (batch * num_q_heads, q_pad - q0, d_pad), dq_dtype
+                    (
+                        (batch * num_q_heads, q_pad, d_pad)
+                        if dq_prev is not None
+                        else (batch * num_q_heads, q_pad - q0, d_pad)
+                    ),
+                    dq_dtype,
                 ),
                 jax.ShapeDtypeStruct(
                     (batch * num_kv_heads, c1 - c0, d_pad), k.dtype
@@ -1426,6 +1466,13 @@ def flash_attention_bwd(
             semantics = pltpu.CompilerParams(
                 dimension_semantics=("parallel", "arbitrary", "arbitrary"),
             )
+            aliases = {}
+            if dq_prev is not None:
+                # dqin is the LAST input; flattened indices count the
+                # prefetch refs in the prefetch variant.
+                aliases = {
+                    (3 if use_prefetch else 0) + len(inputs_f) - 1: 0
+                }
             if use_prefetch:
                 table = seg_route if pdsub else seg_live
                 return pl.pallas_call(
@@ -1438,6 +1485,7 @@ def flash_attention_bwd(
                         scratch_shapes=scratch_f,
                     ),
                     out_shape=out_shape_f,
+                    input_output_aliases=aliases,
                     compiler_params=semantics,
                     interpret=interpret,
                 )(table, dq_first_live, dq_last_live, *inputs_f)
@@ -1448,6 +1496,7 @@ def flash_attention_bwd(
                 out_specs=out_specs_f,
                 out_shape=out_shape_f,
                 scratch_shapes=scratch_f,
+                input_output_aliases=aliases,
                 compiler_params=semantics,
                 interpret=interpret,
             )(*inputs_f)
@@ -1464,8 +1513,9 @@ def flash_attention_bwd(
             for c0 in range(0, kv_padded, fused_chunk):
                 c1 = min(c0 + fused_chunk, kv_padded)
                 q0 = c0 if causal else 0
-                dq_c, dk_c, dv_c = run_fused(q0, c0, c1, jnp.float32)
-                dq_acc = dq_acc.at[:, q0:].add(dq_c)
+                dq_acc, dk_c, dv_c = run_fused(
+                    q0, c0, c1, jnp.float32, dq_prev=dq_acc
+                )
                 dk_parts.append(dk_c)
                 dv_parts.append(dv_c)
             dq = dq_acc.astype(q.dtype)
